@@ -1,0 +1,322 @@
+"""Aggregation operators (SURVEY.md §2.4: A1–A9).
+
+Scale notes (the part the sf0.01 oracle can't see):
+  * Every groupBy here is a hash aggregate with map-side partial
+    aggregation (A8) — the shuffle moves one row per (partition × group),
+    not per input row. Group cardinalities are tiny (flags, segments,
+    years), so at 100 TB the shuffle is kilobytes per task.
+  * No unbounded collect_list: A6 collects bounded per-order line numbers
+    (≤7 per order) and stringifies them, keeping rows narrow.
+  * Double sums accumulate in DECIMAL (functions/numeric.py) — exact,
+    order-independent, and therefore reproducible across 1 or 1000
+    executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "agg_pricing_summary",
+    survey_ref="A1,A8,F3,P3",
+    doc="Flagship TPC-H-Q1-style pricing summary over lineitem.",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            {sql_dsum('l_quantity', 'sum_qty')},
+            {sql_dsum('l_extendedprice', 'sum_base_price')},
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+            {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+            {sql_davg('l_quantity', 'avg_qty')},
+            {sql_davg('l_extendedprice', 'avg_price')},
+            {sql_davg('l_discount', 'avg_disc')},
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide hash-agg over the fact table; the shipdate filter is pushed
+    into the parquet scan (min/max row-group pruning at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    survey_ref="A2",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            COUNT(DISTINCT o_custkey) AS n_customers,
+            COUNT(DISTINCT o_orderpriority) AS n_priorities,
+            COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per segment. Spark plans this as expand +
+    two-phase aggregate; distinct keys stay partitioned, never driver-side."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    survey_ref="A3",
+    oracle=None,  # HLL sketch values are engine-specific → rows-only check
+    doc="Approx distinct: the 100 TB path where exact distinct would shuffle every key.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_conditional",
+    survey_ref="A5,F3",
+    oracle=f"""
+        SELECT
+            CAST(year(o_orderdate) AS INT) AS order_year,
+            {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 'finished_value')},
+            {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END", 'urgent_value')},
+            COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+            COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY year(o_orderdate)
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation — one pass, no per-branch scans."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            dsum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0),
+                "finished_value",
+            ),
+            dsum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+                    0.0
+                ),
+                "urgent_value",
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    survey_ref="A4,J1,J4",
+    oracle="""
+        SELECT
+            r_name,
+            n_name,
+            CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+            COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the geography hierarchy; dims broadcast (25 + 5 rows)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "agg_cube_flags",
+    survey_ref="A4",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+            {sql_dsum('l_quantity', 'sum_qty')},
+            COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid"),
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    survey_ref="A6",
+    oracle="""
+        SELECT
+            l_orderkey,
+            string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+            COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded collect_list (≤7 line numbers per order), sorted then joined
+    to a string so the value is order-deterministic. The `% 100` filter
+    keeps the result set small; the aggregation itself is full-table."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber").cast("string").cast("int"))),
+                ",",
+            ).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_stats_manual",
+    survey_ref="A7",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            COUNT(l_quantity) AS n,
+            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+            sqrt(
+                (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity))
+                / (COUNT(l_quantity) - 1)
+            ) AS stddev_qty,
+            {sql_davg('l_quantity', 'avg_qty')}
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically deterministic stddev: built from exact decimal sums via
+    the textbook formula, so both engines compute identical doubles
+    (built-in stddev_samp uses engine-specific streaming algorithms whose
+    last-ulp results differ)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sum_q = F.sum(q.cast("decimal(28,6)")).cast("double")
+    sum_q2 = F.sum((q * q).cast("decimal(28,6)")).cast("double")
+    n = F.count(q)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.min(q).cast("double").alias("min_qty"),
+        F.max(q).cast("double").alias("max_qty"),
+        F.sqrt((sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))).alias("stddev_qty"),
+        davg("l_quantity", "avg_qty"),
+    )
+
+
+@query(
+    "agg_percentile_median",
+    survey_ref="A7",
+    oracle="""
+        SELECT
+            l_linestatus,
+            round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price,
+            round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+            round(CAST(median(l_discount) AS DOUBLE), 6) AS median_disc
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines); rounded
+    because the interpolation arithmetic ordering differs at the ulp level."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.median("l_discount"), 6).alias("median_disc"),
+    )
+
+
+@query(
+    "agg_pivot_status_priority",
+    survey_ref="A9",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for pivot
+    values at scale — that's an extra distinct job over the fact table)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )

@@ -1,0 +1,77 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+S1 parquet scan, S2 text/CSV, S3 JSON lines, S4 in-memory rows, S5 parquet
+sink. All loaders take explicit paths/schemas — schema inference is a
+full-scan trap at 100 TB (SURVEY.md §1.2), and the driver's test tables are
+parquet with embedded schemas so `spark.read.parquet` is already
+inference-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the ten driver tables (TESTDATA.md / FIXTURES.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: tiny dimension tables that should always broadcast in star joins
+#: (region=5, nation=25, supplier≈10·sf rows — FIXTURES.md)
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar parquet scan of one driver table.
+
+    Catalyst handles predicate pushdown / column pruning on top of this —
+    callers chain .select/.filter freely and the parquet reader only
+    materializes what the plan needs.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Expose every table as a temp view so operators can use spark.sql."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S5: parquet sink. At scale, partition by low-cardinality date/key
+    columns so downstream reads get static + dynamic partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """S2: CSV corpus load with an explicit schema (never inferSchema in
+    production — it triggers an extra full scan)."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S3: JSON-lines load with explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S2: raw text load — one row per line, column ``value``."""
+    return spark.read.text(path)
