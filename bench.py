@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Benchmark runner — driver contract (BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect — executor-complete wall time, the number that scales). One shared
+SparkSession for the whole run: JVM startup would otherwise dominate at
+sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.session import get_spark
+
+#: representative heavy queries across operator families (SURVEY.md §2)
+HEADLINE = [
+    "agg_pricing_summary",        # flagship scan+agg
+    "scan_parquet_checksum",      # raw scan throughput
+    "join_broadcast_star_revenue",  # star join, broadcast dims
+    "join_inner_revenue_by_customer",  # fact⋈fact shuffle join
+    "join_asof_purchase_last_click",   # as-of window emulation
+    "window_topn_revenue_per_segment",  # window group-limit
+    "dedup_exact_sha",            # hash dedup
+    "dedup_minhash_lsh",          # minhash LSH + jaccard verify
+    "sim_topk_bruteforce",        # exact vector search
+    "sim_ann_lsh_bucketed",       # ANN bucketed search
+    "text_tfidf_vocab",           # explode-heavy text agg
+    "text_lang_id_ngram",         # multi-stage text classifier
+    "stream_session_window_twin",  # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # JVM/codegen warmup on a trivial action so query 1 isn't billed for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = queries[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,333 @@
-"""Placeholder — populated in this round."""
+"""Join operators (SURVEY.md §2.3: J1–J8).
+
+Physical strategy notes for 100 TB:
+  * Fact⋈dim joins broadcast the dim side explicitly (region 5 rows,
+    nation 25, supplier/part O(sf)) — zero shuffle of the fact table.
+  * Fact⋈fact joins (orders⋈lineitem) shuffle both sides on the join key;
+    at scale these tables would be bucketed by orderkey at write time so
+    the join is co-located (sources/io.py write path supports it).
+  * The as-of join is a window emulation — no native Spark as-of —
+    shuffling once on (user_id) and sorting within partitions; semantics
+    pinned to DuckDB's ASOF JOIN (match: greatest ts <=, inner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import dsum, sql_dsum
+from pyspark_for_ebook_classification_spark.operators.scans import (
+    BANDS_SQL_VALUES,
+    price_bands_df,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "join_inner_revenue_by_customer",
+    survey_ref="J1",
+    oracle=f"""
+        SELECT
+            c_custkey,
+            c_name,
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+            COUNT(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey, c_name
+        HAVING COUNT(*) >= 30
+    """,
+)
+def join_inner_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact⋈dim inner join chain. lineitem⋈orders shuffles on
+    orderkey; customer is small relative to the facts and AQE promotes it
+    to broadcast at runtime."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") >= 30)
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    survey_ref="J2,F8",
+    oracle="""
+        SELECT
+            c_custkey,
+            CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+            CASE WHEN n_orders IS NULL THEN 'inactive' ELSE 'active' END AS status
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER preserving customers with zero orders. Aggregate-then-join
+    (not join-then-aggregate): the shuffle moves one row per customer, not
+    one per order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        F.when(F.col("n_orders").isNull(), "inactive").otherwise("active").alias("status"),
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent",
+    survey_ref="J3",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS. Only the key column of the right side crosses
+    the shuffle, and each left row is emitted at most once."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_parts_never_ordered",
+    survey_ref="J3",
+    oracle="""
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def join_anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "join_broadcast_star_revenue",
+    survey_ref="J4,J1,A1",
+    oracle=f"""
+        SELECT
+            r_name,
+            n_name,
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+            COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join with every dim explicitly broadcast: the
+    fact table is scanned exactly once with zero shuffle before the final
+    (tiny) aggregation — the canonical 100 TB star-join plan."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_range_price_bands",
+    survey_ref="J5,S4",
+    oracle=f"""
+        SELECT band, COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'band_value')}
+        FROM orders
+        JOIN {BANDS_SQL_VALUES}
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join against an in-memory band dim. Non-equi joins
+    can't hash-partition; broadcasting the 3-row band table makes it a
+    broadcast-nested-loop scan — the only sane physical plan at scale."""
+    o = load(spark, sf_dir, "orders")
+    bands = price_bands_df(spark)
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "band_value"))
+    )
+
+
+@query(
+    "join_cross_region_status",
+    survey_ref="J6",
+    oracle="""
+        SELECT r_name, o_orderstatus, COUNT(*) AS n_pairs
+        FROM region
+        CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        CROSS JOIN nation
+        WHERE n_regionkey = r_regionkey
+        GROUP BY r_name, o_orderstatus
+    """,
+)
+def join_cross_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — restricted to tiny dims (5 × 3 × 25); at scale
+    cross joins only ever appear LSH-pruned (see similarity.py)."""
+    r = load(spark, sf_dir, "region")
+    statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(statuses)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_self_supplier_pairs",
+    survey_ref="J8",
+    oracle="""
+        SELECT
+            a.l_suppkey AS supp_a,
+            b.l_suppkey AS supp_b,
+            COUNT(*) AS n_shared_orders
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    """,
+)
+def join_self_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: supplier co-occurrence within an order. Distinct-reduce
+    BEFORE the self-join so the join input is (order, supplier) pairs, not
+    raw line items — at scale this is the difference between joining 600M
+    and 150M rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_orders"))
+    )
+
+
+@query(
+    "join_asof_purchase_last_click",
+    survey_ref="J7,W2",
+    doc="As-of join: each purchase event matched to the user's latest click at-or-before it.",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_event_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        )
+        SELECT
+            p.event_id,
+            p.user_id,
+            p.ts,
+            c.ts AS click_ts,
+            c.click_event_id
+        FROM purchases p
+        ASOF JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join emulation (Spark has no native ASOF — SURVEY.md §4).
+
+    Semantics pinned to DuckDB ASOF JOIN: inner, match = greatest click.ts
+    with click.ts <= purchase.ts per user; clicks pre-deduped to one per
+    (user, ts) (max event_id) so ties are impossible.
+
+    Plan: union both sides tagged, one shuffle on user_id, in-partition
+    sort by (ts, is_purchase), last_value(ignorenulls) carries the latest
+    click onto each purchase row. O(n log n) per partition, single
+    shuffle — scales linearly with events, no range explosion.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_event_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    # clicks sort before purchases at equal ts (is_purchase 0 < 1), so a
+    # click at exactly purchase.ts IS matched — DuckDB ASOF `>=` semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_click_id", F.last("click_event_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_purchase") == 1) & F.col("last_click_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_click_ts").alias("click_ts"),
+            F.col("last_click_id").alias("click_event_id"),
+        )
+    )

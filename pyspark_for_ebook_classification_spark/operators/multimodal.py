@@ -1,1 +1,148 @@
-"""Placeholder — populated in this round."""
+"""Multimodal-column operators (SURVEY.md §2.9: L5).
+
+Design: non-relational payloads (text blobs, embeddings, JSON props, and
+binary image/audio/video) ride in typed columns of ordinary rows —
+Spark's nested types (binary / array / map / struct) cover the schema, so
+every relational operator composes with them unchanged.
+
+The decode/feature-extraction path is the real Spark plumbing
+(``mapInPandas`` over Arrow record batches with an explicit output
+schema); the codec itself is STUBBED with a deterministic fake — the
+image/audio libraries are not in this container. The stub's shape is the
+contract: swap ``_fake_decode`` for a real PIL/ffmpeg call and nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.vectors import spark_dot, sql_dot
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "multimodal_row_transport",
+    survey_ref="L5,J1,F6",
+    doc="Text + vector + JSON-ish payloads traveling through one relational plan.",
+    oracle=f"""
+        SELECT
+            d.doc_id,
+            d.lang,
+            d.n_chars,
+            CAST(e.label AS INT) AS label,
+            round(sqrt({sql_dot('e.embedding', 'e.embedding')}), 6) AS embedding_norm,
+            length(d.text) AS text_len
+        FROM documents d
+        JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.doc_id % 10 = 0
+    """,
+)
+def multimodal_row_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row carrying a text blob AND a 64-dim vector through a join +
+    projection — proving the multimodal row model needs no special engine
+    support. Only derived scalars are emitted (the hash gate can't compare
+    raw float arrays portably)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("label").cast("int").alias("label"),
+            F.round(F.sqrt(spark_dot("embedding", "embedding")), 6).alias(
+                "embedding_norm"
+            ),
+            F.length("text").alias("text_len"),
+        )
+    )
+
+
+# ------------------------------------------------------- decode stub (UF4)
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, byte_len int, width int, height int, "
+    "n_frames int, checksum string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/video codec.
+
+    Real deployment: replace with PIL.Image.open / av.open — the
+    surrounding Arrow plumbing (batch iterator, schema, partitioning) is
+    production-shaped already. Raises on empty payloads the way a codec
+    raises on truncated files.
+    """
+    if not payload:
+        raise ValueError("empty media payload")
+    # pseudo-dimensions derived from content bytes — stable across runs
+    width = 64 + payload[0] % 192
+    height = 64 + payload[-1] % 192
+    n_frames = 1 + len(payload) % 7
+    return width, height, n_frames
+
+
+def _make_decode_kernel():
+    """Build the mapInPandas kernel as a CLOSURE so cloudpickle serializes
+    it by value: Python workers must not need this package importable on
+    their sys.path (the driver's harness may run from any cwd). One Arrow
+    batch in, one decoded batch out — per-batch, never per-row, Python."""
+
+    def fake_decode(payload: bytes):
+        # by-value copy of _fake_decode (kept in sync; unit-tested there)
+        if not payload:
+            raise ValueError("empty media payload")
+        return 64 + payload[0] % 192, 64 + payload[-1] % 192, 1 + len(payload) % 7
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd  # noqa: F811  (worker-side import)
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": pdf["payload"].map(len),
+            }
+            dims = pdf["payload"].map(fake_decode)
+            out["width"] = dims.map(lambda d: d[0])
+            out["height"] = dims.map(lambda d: d[1])
+            out["n_frames"] = dims.map(lambda d: d[2])
+            out["checksum"] = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(out)
+
+    return decode_batches
+
+
+@query(
+    "multimodal_decode_stub",
+    survey_ref="L5,UF4",
+    oracle=None,  # decode runs in Python workers; checked by golden pytest instead
+    doc="Binary media column → mapInPandas(Arrow) decode → typed metadata rows.",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode pipeline with a deterministic fake codec:
+    documents.text is re-encoded as a binary payload column (standing in
+    for image/audio bytes), shipped through mapInPandas in Arrow batches,
+    and decoded into typed metadata. At 100 TB: repartition upstream so
+    batches are ~64-128 MB, and the decode parallelism is the executor
+    count — no driver involvement."""
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, "image").otherwise("audio").alias(
+            "media_type"
+        ),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return media.mapInPandas(_make_decode_kernel(), schema=DECODE_SCHEMA)

@@ -1,1 +1,307 @@
-"""Placeholder — populated in this round."""
+"""Scalar function families (SURVEY.md §2.8: F1–F8).
+
+Each family gets one declared query that exercises several functions over
+the relevant table. All expressions are built-in pyspark.sql.functions —
+JVM-side, whole-stage-codegen'd; no Python UDFs anywhere in these paths.
+
+Cross-engine numeric notes: sqrt/round/abs/floor/ceil are IEEE-exact and
+match DuckDB bit-for-bit; log/exp are libm-dependent and therefore always
+rounded before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import davg, sql_davg
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "fn_string_suite",
+    survey_ref="F1",
+    oracle="""
+        SELECT
+            doc_id,
+            upper(substring(text, 1, 10)) AS head_upper,
+            length(text) AS text_len,
+            CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+            concat_ws('|', lang, source) AS lang_source,
+            trim(regexp_replace(substring(text, 1, 30), '[aeiou]', '', 'g')) AS devoweled_head,
+            regexp_extract(text, '([a-z]+) sort', 1) AS before_sort,
+            levenshtein(string_split(text, ' ')[1], 'merge') AS lev_to_merge
+        FROM documents
+        WHERE doc_id % 20 = 0
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, split, concat_ws,
+    regexp_replace/extract, levenshtein."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return d.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.size(tokens).alias("n_tokens"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.trim(F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "")).alias(
+            "devoweled_head"
+        ),
+        F.regexp_extract("text", "([a-z]+) sort", 1).alias("before_sort"),
+        F.levenshtein(F.element_at(tokens, 1), F.lit("merge")).alias("lev_to_merge"),
+    )
+
+
+@query(
+    "fn_date_suite",
+    survey_ref="F2",
+    oracle="""
+        SELECT
+            o_orderkey,
+            CAST(year(o_orderdate) AS INT) AS y,
+            CAST(month(o_orderdate) AS INT) AS m,
+            CAST(day(o_orderdate) AS INT) AS d,
+            date_trunc('month', o_orderdate) AS month_start,
+            CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
+            CAST(date_part('epoch', o_orderdate) AS BIGINT) AS unix_sec,
+            CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, interval add, diff, epoch, cast."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        # DATE round-trip, emitted as midnight TIMESTAMP: pandas conversion
+        # of a bare DATE differs between engines (date object vs datetime64)
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("order_date"),
+    )
+
+
+@query(
+    "fn_math_suite",
+    survey_ref="F3",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            round(l_extendedprice * (1 - l_discount), 4) AS net_rounded,
+            abs(l_discount - l_tax) AS rate_gap,
+            CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+            sqrt(l_extendedprice) AS price_sqrt,
+            l_quantity * l_quantity AS qty_sq,
+            greatest(l_discount, l_tax) AS max_rate,
+            least(l_discount, l_tax) AS min_rate,
+            CASE WHEN l_discount > 0.05 THEN 'high' WHEN l_discount > 0.02 THEN 'mid'
+                 ELSE 'low' END AS disc_class
+        FROM lineitem
+        WHERE l_orderkey % 1000 = 0
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family — IEEE-exact ops only (sqrt not pow, x*x not pow(x,2)),
+    so values are bit-identical to the oracle with no rounding crutch
+    except the explicit round() under test."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 1000 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        # scale 4, NOT 2: the products have exactly 4 true decimal digits
+        # (2-digit prices × 2-digit rates), so scale-4 rounding is the
+        # identity in both engines, while scale-2 hits true x.xx5 ties where
+        # Spark (shortest-repr, half-up) and DuckDB (exact-expansion) split.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_rounded"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("rate_gap"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_class"),
+    )
+
+
+@query(
+    "fn_array_suite",
+    survey_ref="F4",
+    oracle="""
+        SELECT
+            vec_id,
+            CAST(length(embedding) AS INT) AS dim,
+            CAST(embedding[1] AS DOUBLE) AS first_val,
+            CAST(embedding[64] AS DOUBLE) AS last_val,
+            CAST(list_min(embedding) AS DOUBLE) AS min_val,
+            CAST(list_max(embedding) AS DOUBLE) AS max_val,
+            CAST(length(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+            CAST(list_sum(list_transform(embedding,
+                 x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6)))) AS DOUBLE)
+                AS sum_decimal
+        FROM embeddings
+        WHERE vec_id % 25 = 0
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, element_at,
+    array_min/max, filter, and a decimal-stable fold (F.aggregate)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.filter(F.col("vec_id") % 25 == 0).select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.element_at(emb, 64).cast("double").alias("last_val"),
+        F.array_min(emb).cast("double").alias("min_val"),
+        F.array_max(emb).cast("double").alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        # float → DOUBLE first (exact), THEN decimal: DuckDB's direct
+        # float→decimal cast rounds in float arithmetic and drifts 1 ulp.
+        F.aggregate(
+            emb,
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: (acc + x.cast("double").cast("decimal(38,6)")).cast(
+                "decimal(38,6)"
+            ),
+        )
+        .cast("double")
+        .alias("sum_decimal"),
+    )
+
+
+@query(
+    "fn_explode_tokens",
+    survey_ref="F4,L4",
+    oracle="""
+        SELECT token, COUNT(*) AS n
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id % 50 = 0
+        )
+        WHERE token <> ''
+        GROUP BY token
+    """,
+)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split()) — the row-generating path that feeds every text
+    operator; generator output never materializes, it streams straight
+    into the partial aggregation."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "fn_json_map_suite",
+    survey_ref="F5,F6",
+    oracle=f"""
+        SELECT
+            event_type,
+            COUNT(*) AS n_events,
+            {sql_davg("CAST(json_extract_string(props, '$.k') AS INT)", 'avg_k')},
+            CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+            CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: schema'd from_json over events.props (never
+    schema-inferring JSON at scale), then map access via getItem."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getItem("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("k", "avg_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "fn_hash_suite",
+    survey_ref="F7",
+    oracle="""
+        SELECT
+            doc_id,
+            md5(text) AS text_md5,
+            sha256(text) AS text_sha256,
+            md5(concat(lang, ':', text)) AS keyed_md5
+        FROM documents
+        WHERE doc_id % 50 = 0
+    """,
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2-256 hex digests are engine-portable (unlike
+    xxhash64, which is Spark-internal — used only for in-engine salting)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "lang", "text")).alias("keyed_md5"),
+    )
+
+
+@query(
+    "fn_null_suite",
+    survey_ref="F8",
+    oracle="""
+        SELECT
+            o_orderkey,
+            COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+            NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NULL AS is_unspecified,
+            CAST(COALESCE(CASE WHEN o_totalprice > 100000 THEN o_totalprice END, 0.0)
+                 AS DOUBLE) AS big_price_or_zero,
+            o_orderstatus IS NOT DISTINCT FROM 'F' AS is_finished_nullsafe,
+            isnan(CAST('NaN' AS DOUBLE) * o_totalprice) AS nan_detected
+        FROM orders
+        WHERE o_orderkey % 200 = 0
+    """,
+)
+def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL family: coalesce, nullif, null predicates, null-safe equality."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+        F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")).isNull().alias(
+            "is_unspecified"
+        ),
+        F.coalesce(
+            F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")), F.lit(0.0)
+        )
+        .cast("double")
+        .alias("big_price_or_zero"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_finished_nullsafe"),
+        F.isnan(F.lit(float("nan")) * F.col("o_totalprice")).alias("nan_detected"),
+    )

@@ -1,1 +1,279 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embeddings (SURVEY.md §2.9: L3; PAPERS.md top-k).
+
+Three tiers, mirroring how a 100 TB vector pipeline is actually built:
+
+  * brute-force top-k  — the exactness baseline: broadcast the (small)
+    query set against the full corpus, per-query top-k via window. Cost
+    O(|Q|·N); correct at any scale where |Q| is small.
+  * LSH-bucketed ANN   — random-hyperplane signatures (deterministic LCG
+    planes, functions/vectors.py) bucket the corpus; candidates join
+    within a bucket only. The bucket join is an equi-join — at scale this
+    is the standard shuffle join, never a cross join.
+  * cosine near-dup    — same bucket join used for pair generation, with a
+    cosine threshold — the embedding flavor of dedup.
+
+Norms are computed ONCE per vector before pairing (sqrt(dot(v,v)) as a
+column), so each candidate pair costs one dot product, not three.
+
+All dot-product math is decimal-stabilized (functions/vectors.py) —
+bit-identical across engines — so rankings with id tie-breaks hash-match
+the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.vectors import (
+    spark_dot,
+    spark_lsh_bucket,
+    sql_dot,
+    sql_lsh_bucket,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+
+#: oracle CTE: embeddings with their L2 norm precomputed
+_SQL_NORMED = f"""
+        normed AS (
+            SELECT vec_id, embedding, label,
+                   sqrt({sql_dot('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        )
+"""
+
+
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.sqrt(spark_dot("embedding", "embedding")).alias("nrm"),
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    survey_ref="L3,J6,W4,O3",
+    doc="Exact cosine top-k neighbors for each query vector (vec_id < 10).",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM normed
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id,
+                   e.vec_id AS neighbor_id,
+                   {sql_dot('qe', 'embedding')} / (qn * e.nrm) AS cos
+            FROM q JOIN normed e ON e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k: the query side (10 rows) broadcasts, the
+    corpus streams through one codegen'd stage scoring each (query, row)
+    pair, and a per-query window keeps k rows. No corpus self-shuffle."""
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+@query(
+    "sim_ann_lsh_bucketed",
+    survey_ref="L3,J1,W4",
+    doc="ANN via random-hyperplane LSH buckets; exact rerank inside the bucket.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        b AS (
+            SELECT vec_id, embedding, nrm, {sql_lsh_bucket('embedding')} AS bucket
+            FROM normed
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket FROM b
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {sql_dot('qe', 'embedding')} / (qn * e.nrm) AS cos
+            FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: signature once per row (one pass), equi-join on the
+    bucket, exact cosine only within buckets (~N/2^8 of the corpus per
+    query), per-query top-k. Recall < 1 by design — the trade the LSH
+    plane count controls."""
+    e = _normed(spark, sf_dir)
+    b = e.withColumn("bucket", spark_lsh_bucket("embedding"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    scored = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+@query(
+    "sim_cosine_neardup_pairs",
+    survey_ref="L2,L3",
+    doc="Embedding-cosine near-duplicate pairs via LSH bucket blocking.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        b AS (
+            SELECT vec_id, embedding, nrm, {sql_lsh_bucket('embedding')} AS bucket
+            FROM normed
+        )
+        SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+               round({sql_dot('a.embedding', 'e.embedding')} / (a.nrm * e.nrm), 6) AS cosine
+        FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+        WHERE {sql_dot('a.embedding', 'e.embedding')} / (a.nrm * e.nrm) >= 0.5
+    """,
+)
+def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining: bucket-blocked self-join (never O(n²)), cosine
+    threshold on the exact pre-rounding score in both engines, so the pair
+    set is identical."""
+    e = _normed(spark, sf_dir)
+    b = e.withColumn("bucket", spark_lsh_bucket("embedding"))
+    a = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    cos = spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.5)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_knn_label_vote",
+    survey_ref="L3,M7",
+    doc="1-NN cosine classifier over embeddings: predicted vs true label counts.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        test AS (
+            SELECT vec_id, embedding, nrm, label FROM normed WHERE vec_id % 20 = 0
+        ),
+        train AS (
+            SELECT vec_id, embedding, nrm, label FROM normed WHERE vec_id % 20 <> 0
+        ),
+        nn AS (
+            SELECT t.vec_id, t.label AS true_label, tr.label AS pred_label,
+                   row_number() OVER (
+                       PARTITION BY t.vec_id
+                       ORDER BY {sql_dot('t.embedding', 'tr.embedding')} / (t.nrm * tr.nrm)
+                                DESC, tr.vec_id
+                   ) AS rn
+            FROM test t CROSS JOIN train tr
+        )
+        SELECT CAST(true_label AS INT) AS true_label,
+               CAST(pred_label AS INT) AS pred_label,
+               COUNT(*) AS n
+        FROM nn WHERE rn = 1
+        GROUP BY true_label, pred_label
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN classification by cosine — the relational skeleton of an
+    embedding classifier (MLlib-free, fully oracle-checkable). Output is
+    the confusion-matrix counts. The test side broadcasts; the train
+    corpus never self-joins."""
+    e = _normed(spark, sf_dir)
+    test = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+        F.col("label").alias("true_label"),
+    )
+    train = e.filter(F.col("vec_id") % 20 != 0).select(
+        F.col("vec_id").alias("tr_id"),
+        F.col("embedding").alias("tr_emb"),
+        F.col("nrm").alias("tr_nrm"),
+        F.col("label").alias("pred_label"),
+    )
+    cos = spark_dot("t_emb", "tr_emb") / (F.col("t_nrm") * F.col("tr_nrm"))
+    w = Window.partitionBy("t_id").orderBy(F.desc(cos), F.asc("tr_id"))
+    return (
+        train.crossJoin(F.broadcast(test))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

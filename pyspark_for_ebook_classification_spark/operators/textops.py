@@ -1,1 +1,307 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators (SURVEY.md §2.9: L4, L6 — and the relational
+core of the reference's TF-IDF feature engineering, §2.12 M4/M5).
+
+Everything here is exploded-token relational algebra — built-in functions
+only, fully SQL-expressible, so the entire text pipeline is oracle-checked.
+The MLlib twin of this feature engineering lives in ml/pipeline.py; this
+module is the engine-native path that scales: explode → partial-aggregated
+groupBy, no Python in the loop, no driver-side vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import davg, sql_davg
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _tokens():
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@query(
+    "text_stats_by_lang",
+    survey_ref="L4,A1",
+    oracle=f"""
+        SELECT
+            lang,
+            COUNT(*) AS n_docs,
+            COUNT(DISTINCT source) AS n_sources,
+            {sql_davg('n_chars', 'avg_chars')},
+            {sql_davg(f'length({_SQL_TOKENS})', 'avg_tokens')},
+            CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_chars_mismatch
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per language, cross-checking the precomputed n_chars
+    column against length(text)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        davg("n_chars", "avg_chars"),
+        davg(F.size(_tokens()), "avg_tokens"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_mismatch"),
+    )
+
+
+@query(
+    "text_quality_score",
+    survey_ref="L4,F4",
+    doc="Heuristic doc-quality features: length, word-length, stopword ratio.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   {_SQL_TOKENS} AS tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(tokens) AS INT) AS n_tokens,
+               CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)
+                   / length(tokens) AS avg_word_len,
+               CAST(length(list_filter(tokens, t -> list_contains({_SQL_STOPLIST}, t)))
+                    AS DOUBLE) / length(tokens) AS stopword_ratio,
+               CASE
+                   WHEN length(tokens) < 20 THEN 'too_short'
+                   WHEN CAST(length(list_filter(tokens, t -> list_contains({_SQL_STOPLIST}, t)))
+                        AS DOUBLE) / length(tokens) > 0.5 THEN 'boilerplate'
+                   ELSE 'ok'
+               END AS quality_class
+        FROM feats
+        WHERE doc_id % 10 = 0 AND length(tokens) > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features — the pre-training filter primitive. One
+    projection pass; all ratios are int/int divisions (engine-exact)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = _tokens()
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size("tokens")
+    sum_len = F.aggregate(
+        "tokens", F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_stop = F.size(F.filter("tokens", lambda t: F.array_contains(stoplist, t)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tokens.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (sum_len.cast("double") / n_tokens).alias("avg_word_len"),
+            stop_ratio.alias("stopword_ratio"),
+            F.when(n_tokens < 20, "too_short")
+            .when(stop_ratio > 0.5, "boilerplate")
+            .otherwise("ok")
+            .alias("quality_class"),
+        )
+    )
+
+
+@query(
+    "text_token_count_subwords",
+    survey_ref="L4,F1",
+    doc="Token + BPE-ish subword counting (ceil(len/4) pieces per word).",
+    oracle=f"""
+        SELECT
+            doc_id,
+            CAST(length({_SQL_TOKENS}) AS INT) AS n_tokens,
+            CAST(list_sum(list_transform({_SQL_TOKENS},
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+            CAST(length(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+        FROM documents
+        WHERE doc_id % 10 = 0
+    """,
+)
+def text_token_count_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-count proxy for LLM budgeting: whitespace tokens
+    plus a BPE-like subword estimate (4 chars ≈ 1 piece) plus a regex
+    feature — all codegen'd, ~free at scan speed."""
+    d = load(spark, sf_dir, "documents")
+    tokens = _tokens()
+    return d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.aggregate(
+            tokens,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ).alias("n_subwords"),
+        F.expr("regexp_count(text, '[aeiou]+')").cast("int").alias("n_vowel_runs"),
+    )
+
+
+@query(
+    "text_fingerprint_shingle",
+    survey_ref="L4,F7",
+    doc="Rolling 5-gram fingerprint: min shingle hash per document (winnowing core).",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id,
+               CAST(length(tokens) - 4 AS INT) AS n_shingles,
+               list_min(list_transform(
+                   range(1, length(tokens) - 3),
+                   i -> md5(array_to_string(tokens[i:i+4], ' '))
+               )) AS min_shingle_hash
+        FROM toks
+        WHERE length(tokens) >= 5
+    """,
+)
+def text_fingerprint_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash every 5-token shingle, keep the minimum —
+    the core step of winnowing/MOSS-style fingerprinting. DuckDB's
+    ``tokens[i:i+4]`` slice is inclusive (5 elements), mirrored by Spark's
+    ``slice(tokens, i, 5)``."""
+    d = load(spark, sf_dir, "documents")
+    tokens = _tokens()
+    min_hash = F.expr(
+        "array_min(transform(sequence(1, size(tokens) - 4), "
+        "i -> md5(concat_ws(' ', slice(tokens, i, 5)))))"
+    )
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tokens.alias("tokens"))
+        .filter(F.size("tokens") >= 5)
+        .select(
+            "doc_id",
+            (F.size("tokens") - 4).cast("int").alias("n_shingles"),
+            min_hash.alias("min_shingle_hash"),
+        )
+    )
+
+
+@query(
+    "text_tfidf_vocab",
+    survey_ref="L6,F4,A1",
+    doc="Corpus vocabulary with tf/df/idf — the relational core of TF-IDF.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT token,
+               COUNT(*) AS tf,
+               COUNT(DISTINCT doc_id) AS df,
+               round(ln((n.n_docs + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0, 6) AS idf
+        FROM tok, n
+        GROUP BY token, n.n_docs
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def text_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: explode → one groupBy computing corpus tf and df
+    side by side; idf as a column expression against the broadcast doc
+    count. This is exactly HashingTF/IDF's statistics pass, kept relational
+    so it's oracle-checkable and shuffle-minimal (token-keyed partial aggs).
+    idf is rounded (ln is libm-dependent across engines)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+        ).alias("idf"),
+    )
+
+
+@query(
+    "text_lang_id_ngram",
+    survey_ref="L4,L6,W4",
+    doc="Language-ID heuristic: per-lang top-token vocabularies vote on each doc.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+                       AS token
+            FROM documents
+        ),
+        lang_vocab AS (
+            SELECT lang, token
+            FROM (
+                SELECT lang, token, COUNT(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY COUNT(*) DESC, token
+                       ) AS rn
+                FROM tok
+                GROUP BY lang, token
+            )
+            WHERE rn <= 20
+        ),
+        overlap AS (
+            SELECT t.doc_id, t.lang AS true_lang, v.lang AS cand_lang, COUNT(*) AS hits
+            FROM tok t JOIN lang_vocab v ON t.token = v.token
+            GROUP BY t.doc_id, t.lang, v.lang
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand_lang AS pred_lang
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+                ) AS rn
+                FROM overlap
+            )
+            WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+        FROM pred
+        GROUP BY true_lang, pred_lang
+    """,
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-style language ID without ML: build each language's top-20
+    token vocabulary from the corpus, classify each doc to the language
+    whose vocabulary it overlaps most (ties → lexicographic). Output is the
+    lang confusion matrix. Every stage is a keyed aggregate or broadcast
+    join — the whole classifier is ~4 shuffles regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    w_vocab = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    lang_vocab = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_vocab))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    overlap = (
+        tok.join(F.broadcast(lang_vocab), "token")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    pred = (
+        overlap.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,1 +1,224 @@
-"""Placeholder — populated in this round."""
+"""Window-function operators (SURVEY.md §2.5: W1–W4).
+
+Determinism rule: every ORDER BY inside a window ends with a unique key
+(orderkey / event_id), so rankings and frame contents never depend on
+partition-order tie-breaks — required for the order-insensitive hash gate
+and for run-to-run reproducibility on a cluster.
+
+Scale: one shuffle per distinct partitionBy clause; within-partition sort
+spills via UnsafeExternalSorter if a key is hot. None of these windows is
+unbounded-unpartitioned (the classic single-task trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "window_rank_orders",
+    survey_ref="W1",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        QUALIFY rn <= 5
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over each customer's orders by value."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_lag_lead_events",
+    survey_ref="W2,F2",
+    oracle="""
+        SELECT event_id, user_id,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               CAST(date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                              CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_seconds
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        QUALIFY user_id % 25 = 0
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline — the sessionization
+    primitive. (user_id % 25 trims the declared output, not the window.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+        .filter(F.col("user_id") % 25 == 0)
+    )
+
+
+@query(
+    "window_running_sum",
+    survey_ref="W3",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                    OVER (PARTITION BY l_suppkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_qty
+        FROM lineitem
+        WHERE l_suppkey % 10 = 0
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per supplier in ship order. The frame ORDER BY ends in
+    (orderkey, linenumber) so the prefix — and therefore every running
+    value — is uniquely determined; accumulation in DECIMAL keeps it
+    bit-stable across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 10 == 0)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(w).cast("double").alias(
+            "running_qty"
+        ),
+    )
+
+
+@query(
+    "window_moving_avg_range",
+    survey_ref="W3,F2",
+    oracle="""
+        SELECT o_custkey, o_orderkey, day_no,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS spend_30d
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS day_no
+            FROM orders
+        )
+        QUALIFY o_custkey % 25 = 0
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric day offset: trailing-30-day spend per
+    customer. RANGE (unlike ROWS) aggregates ALL peers at equal day_no, so
+    ties don't affect the value — no tie-break needed."""
+    o = load(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return (
+        o.withColumn("day_no", day_no)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day_no",
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .over(w)
+            .cast("double")
+            .alias("spend_30d"),
+        )
+        .filter(F.col("o_custkey") % 25 == 0)
+    )
+
+
+@query(
+    "window_topn_revenue_per_segment",
+    survey_ref="W4,J1,A1",
+    oracle="""
+        WITH seg_orders AS (
+            SELECT c_mktsegment, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rn
+            FROM seg_orders
+        )
+        WHERE rn <= 3
+    """,
+)
+def window_topn_revenue_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — Spark's WindowGroupLimit pushes the limit into
+    the sort so each partition keeps only N rows (no full per-group sort
+    materialization at scale)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return seg.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@query(
+    "window_first_last_value",
+    survey_ref="W2",
+    oracle="""
+        SELECT DISTINCT
+            l_suppkey,
+            first_value(l_orderkey) OVER w AS first_order,
+            last_value(l_orderkey) OVER (
+                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            ) AS last_order
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over the full partition frame, reduced with DISTINCT to
+    one row per supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order_cols)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        li.select(
+            "l_suppkey",
+            F.first("l_orderkey").over(w).alias("first_order"),
+            F.last("l_orderkey").over(w_full).alias("last_order"),
+        )
+        .distinct()
+    )

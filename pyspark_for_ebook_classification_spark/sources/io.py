@@ -38,10 +38,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst handles predicate pushdown / column pruning on top of this —
     callers chain .select/.filter freely and the parquet reader only
     materializes what the plan needs.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
+    Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it via
+    the ``nanosAsLong`` legacy conf and rebuild the column as a microsecond
+    timestamp with ``ts div 1000`` — floor division, byte-identical to
+    DuckDB's ns→µs cast truncation, so oracle parity holds.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

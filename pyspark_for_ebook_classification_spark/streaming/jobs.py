@@ -1,0 +1,139 @@
+"""Structured Streaming runners (SURVEY.md §2.10: ST1–ST7).
+
+Each runner drives the SAME transformation function as its declared batch
+twin (streaming/twins.py) through a real streaming query: parquet file
+source → transformation → memory sink, `availableNow` trigger (process
+everything, then stop — the batch-equivalent streaming mode). On a real
+deployment the source/sink swap for Kafka/Delta and the trigger for
+continuous micro-batches; the transformations are unchanged.
+
+Watermarks: every aggregation runner sets one. With availableNow over
+static files the watermark never drops rows (all data is "on time"), so
+stream output == batch twin exactly; the late-data *drop* behavior is
+exercised separately in tests/test_streaming.py with a two-batch file
+sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_for_ebook_classification_spark.streaming import twins
+
+#: parquet schema of events as read with nanosAsLong (sources/io.py)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a DIRECTORY; the driver tables
+    are single parquet files. Expose the file through a per-sf temp dir
+    with a symlink (no data copy)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        "/tmp", "spark_engine_streams", sf_dir.strip("/").replace("/", "_"), "events"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stream_dir
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: file-source stream of the events table with the same ns→µs
+    timestamp normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming frame to completion via availableNow + memory
+    sink; returns a batch DataFrame of the sink table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def run_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 + ST4: watermarked tumbling-window aggregation."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(twins.tumbling_hourly(ev))
+
+
+def run_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding-window aggregation."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(twins.sliding_hourly(ev))
+
+
+def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: session-window aggregation (stateful merge of gaps)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(twins.session_windows(ev))
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: stateful streaming dedup on event_id within the watermark."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    return _run_to_memory(deduped.select("event_id", "user_id", "event_type"), "append")
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: stream ⋈ static dim (the static side broadcasts per micro-batch)."""
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    customer = load(spark, sf_dir, "customer")
+    return _run_to_memory(twins.enrich_with_customer(ev, customer))
+
+
+def run_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: arbitrary stateful op via applyInPandasWithState — running max
+    event value per user, emitted once per user at stream end."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track_max(key, pdfs, state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "max_value": [mx], "n_events": [n]}
+        )
+
+    ev = events_stream(spark, sf_dir)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        track_max,
+        outputStructType="user_id long, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "update")

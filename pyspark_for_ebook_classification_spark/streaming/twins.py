@@ -1,1 +1,205 @@
-"""Placeholder — populated in this round."""
+"""Batch twins of the streaming operators (SURVEY.md §2.10: ST1–ST7).
+
+Each Structured Streaming job in streaming/jobs.py has a batch-mode twin
+declared here so the DuckDB oracle can check the *semantics* (bucket
+boundaries, session gaps, dedup keeps, join results); the streaming
+runners themselves are exercised by tests/test_streaming.py, which asserts
+stream output == batch twin on the same input.
+
+Window-boundary parity notes:
+  * Spark ``window('ts', '1 hour')`` buckets are epoch-aligned [start,end)
+    — identical to DuckDB ``date_trunc('hour', ts)``.
+  * Sliding windows (1h every 15min): each event belongs to exactly 4
+    windows whose starts are time_bucket(15min, ts) - {0,15,30,45}min —
+    both engines epoch-align, verified by the parity gate.
+  * Session windows: Spark merges an event into a session iff
+    ts < prev_end (= prev_ts + gap); equivalently a NEW session starts iff
+    µs(ts) - µs(prev_ts) >= gap. The twin implements exactly that with
+    lag + cumulative sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import dsum, sql_dsum
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """ST1 logic, shared by the batch twin and the streaming runner."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_hourly_twin",
+    survey_ref="ST1,A1",
+    oracle=f"""
+        SELECT
+            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+            event_type,
+            COUNT(*) AS n_events,
+            {sql_dsum('value', 'sum_value')}
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(load(spark, sf_dir, "events"))
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """ST2 logic: 1-hour windows sliding every 15 minutes."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_quarter_twin",
+    survey_ref="ST2",
+    oracle=f"""
+        WITH slid AS (
+            SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                       - offs.o * INTERVAL 15 MINUTE AS window_start,
+                   event_type, value
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(o)
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'sum_value')}
+        FROM slid
+        GROUP BY 1, 2
+    """,
+)
+def stream_sliding_quarter_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_hourly(load(spark, sf_dir, "events"))
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """ST3 logic: per-user session windows with a 30-minute gap."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window_twin",
+    survey_ref="ST3,W2",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        ),
+        marked AS (
+            SELECT *,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= {SESSION_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS sess_id
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'sum_value')}
+        FROM sess
+        GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load(spark, sf_dir, "events"))
+
+
+def dedup_first_event(events: DataFrame) -> DataFrame:
+    """ST5 batch semantics: earliest event per (user_id, event_type),
+    deterministic tie-break on event_id (dropDuplicates keeps an arbitrary
+    row — never acceptable in a reproducible pipeline)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@query(
+    "stream_dedup_twin",
+    survey_ref="ST5,P5",
+    oracle="""
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY CAST(ts AS TIMESTAMP), event_id
+        ) = 1
+    """,
+)
+def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_first_event(load(spark, sf_dir, "events"))
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """ST7 logic: stream-static dimension join (static side broadcasts)."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "stream_static_join_twin",
+    survey_ref="ST7,J1,J4",
+    oracle=f"""
+        SELECT c_mktsegment, event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'sum_value')}
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_with_customer(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )

@@ -1,0 +1,78 @@
+"""Golden tests for the MLlib parity surface (SURVEY.md §5.3): model
+training isn't oracle-checkable, so semantics are pinned with a frozen,
+clearly-separable tiny corpus plus determinism assertions on the driver
+tables.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark_for_ebook_classification_spark.ml.pipeline import (
+    TextClassifierConfig,
+    evaluate,
+    fit_text_classifier,
+    split_train_test,
+)
+
+# Frozen corpus: two "languages" with disjoint vocabularies.
+ALPHA = ["red green blue color paint %d" % i for i in range(8)]
+BETA = ["loud quiet sound music note %d" % i for i in range(8)]
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [(i, t, "alpha") for i, t in enumerate(ALPHA)] + [
+        (100 + i, t, "beta") for i, t in enumerate(BETA)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_nb_separates_disjoint_vocab(tiny_corpus):
+    model = fit_text_classifier(tiny_corpus, TextClassifierConfig(classifier="nb"))
+    preds = model.transform(tiny_corpus).select("lang", "label", "prediction").toPandas()
+    # alphabetAsc indexing: alpha → 0, beta → 1
+    assert (preds["prediction"] == preds["label"]).all()
+
+
+def test_lr_separates_disjoint_vocab(tiny_corpus):
+    model = fit_text_classifier(tiny_corpus, TextClassifierConfig(classifier="lr"))
+    preds = model.transform(tiny_corpus).toPandas()
+    assert (preds["prediction"] == preds["label"]).all()
+
+
+def test_evaluate_perfect_model(tiny_corpus):
+    model = fit_text_classifier(tiny_corpus)
+    metrics = evaluate(model.transform(tiny_corpus))
+    assert metrics["accuracy"] == 1.0
+    assert metrics["f1"] == 1.0
+
+
+def test_split_deterministic(spark, sf_dir):
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    t1a, t2a = split_train_test(docs)
+    t1b, t2b = split_train_test(docs)
+    assert t1a.count() == t1b.count()
+    assert t2a.count() == t2b.count()
+    ids_a = {r.doc_id for r in t2a.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in t2b.select("doc_id").collect()}
+    assert ids_a == ids_b
+
+
+def test_predictions_deterministic(spark, sf_dir):
+    from pyspark_for_ebook_classification_spark.ml.queries import ml_nb_text_predictions
+
+    a = ml_nb_text_predictions(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = ml_nb_text_predictions(spark, sf_dir).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_bigram_pipeline_runs(tiny_corpus):
+    cfg = TextClassifierConfig(use_bigrams=True)
+    model = fit_text_classifier(tiny_corpus, cfg)
+    out = model.transform(tiny_corpus)
+    assert out.count() == 16
+    assert "prediction" in out.columns

@@ -1,0 +1,61 @@
+"""Physical-plan assertions (SURVEY.md §4): the 100 TB-relevant plan shape
+is part of correctness here — a plan that reads all columns or shuffles a
+dim table would still pass the value gate but fail at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.plans.explain import audit
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") == 42).select(
+        "l_orderkey", "l_quantity"
+    )
+    rep = audit(li)
+    assert rep["pushed_filters"], rep["plan"]
+    assert rep["read_schema_columns"] == 2, rep["plan"]
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    q = all_queries()["agg_pricing_summary"]
+    rep = audit(q.fn(spark, sf_dir))
+    # 7 referenced columns of 11 in lineitem
+    assert rep["read_schema_columns"] == 7, rep["plan"]
+    assert rep["pushed_filters"], rep["plan"]
+    assert rep["codegen_stages"] >= 1
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    q = all_queries()["join_broadcast_star_revenue"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] == 3, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    q = all_queries()["topk_global_lineitems"]
+    plan = audit(q.fn(spark, sf_dir))["plan"]
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_query_plans_cartesian_product(spark, sf_dir):
+    """Cross joins must always have a broadcast side (BNLJ), never a
+    CartesianProduct over two big inputs."""
+    for name, q in all_queries().items():
+        rep = audit(q.fn(spark, sf_dir))
+        assert rep["cartesian"] == 0, f"{name} plans CartesianProduct:\n{rep['plan']}"
+
+
+def test_builtin_queries_stay_jvm_side(spark, sf_dir):
+    """Only the multimodal decode stub may cross into Python workers."""
+    for name, q in all_queries().items():
+        if name.startswith(("ml_", "multimodal_decode")):
+            continue
+        rep = audit(q.fn(spark, sf_dir))
+        assert rep["python_workers"] == 0, f"{name} runs Python in the hot path"

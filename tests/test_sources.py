@@ -1,0 +1,89 @@
+"""Source/sink round-trips (SURVEY.md §2.1 S2/S3/S5) and the multimodal
+decode stub — side-effecting paths the oracle can't check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_for_ebook_classification_spark.operators.multimodal import _fake_decode
+from pyspark_for_ebook_classification_spark.sources.io import (
+    load,
+    read_csv,
+    read_jsonl,
+    write_parquet,
+)
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = load(spark, sf_dir, "orders")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: reading one partition must not scan the others
+    one = back.filter(F.col("o_orderstatus") == "F")
+    plan = one.queryExecution if hasattr(one, "queryExecution") else None
+    assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "customer_csv")
+    customer = load(spark, sf_dir, "customer")
+    customer.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, out, schema)
+    assert back.count() == customer.count()
+    assert back.schema == schema
+    a = {r.c_custkey: r.c_acctbal for r in back.collect()}
+    b = {r.c_custkey: r.c_acctbal for r in customer.collect()}
+    assert a == b
+
+
+def test_jsonl_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_json")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    from pyspark_for_ebook_classification_spark.operators.multimodal import (
+        multimodal_decode_stub,
+    )
+
+    a = multimodal_decode_stub(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = multimodal_decode_stub(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert len(a) > 0
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+    # byte_len must equal the text length it was encoded from
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    lens = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    got = dict(zip(a["doc_id"], a["byte_len"]))
+    assert got == {k: v for k, v in lens.items() if k in got}
+
+
+def test_fake_decode_rejects_empty_payload():
+    with pytest.raises(ValueError, match="empty media payload"):
+        _fake_decode(b"")
+    w, h, f = _fake_decode(b"some media bytes")
+    assert 64 <= w < 256 and 64 <= h < 256 and 1 <= f <= 7

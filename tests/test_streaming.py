@@ -1,0 +1,134 @@
+"""Streaming semantics tests: (1) every streaming runner's output equals
+its declared batch twin on the same input; (2) watermark late-data drop
+behavior on a crafted two-batch file sequence (the one thing no batch twin
+can express).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark_for_ebook_classification_spark.sources.io import load
+from pyspark_for_ebook_classification_spark.streaming import jobs, twins
+from tests.compare import assert_frames_match
+
+
+@pytest.mark.parametrize(
+    "runner,twin",
+    [
+        (jobs.run_tumbling_stream, twins.stream_tumbling_hourly_twin),
+        (jobs.run_sliding_stream, twins.stream_sliding_quarter_twin),
+        (jobs.run_session_stream, twins.stream_session_window_twin),
+        (jobs.run_stream_static_join, twins.stream_static_join_twin),
+    ],
+    ids=["tumbling", "sliding", "session", "static_join"],
+)
+def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
+    stream_pdf = runner(spark, sf_dir).toPandas()
+    batch_pdf = twin(spark, sf_dir).toPandas()
+    assert_frames_match(stream_pdf, batch_pdf, runner.__name__)
+
+
+def test_dedup_stream_row_count(spark, sf_dir):
+    out = jobs.run_dedup_stream(spark, sf_dir)
+    n_events = load(spark, sf_dir, "events").count()
+    n_distinct = (
+        load(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert out.count() == n_distinct <= n_events
+
+
+def test_stateful_running_max(spark, sf_dir):
+    out = jobs.run_stateful_running_max(spark, sf_dir).toPandas()
+    import pyspark.sql.functions as F
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    # update-mode sink may emit several rows per user; the LAST per user is final
+    final = out.groupby("user_id").tail(1)
+    merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["max_value_s"] == merged["max_value_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST4: a row older than the advanced watermark must be dropped.
+
+    Note Spark's watermark propagation lag: the watermark filtering batch
+    N's input derives from event-time stats of earlier batches and becomes
+    effective one batch later (verified empirically on 4.1.2). Hence the
+    filler batches between the watermark-advancing event (12:00) and the
+    late row (10:06): by the time the late row arrives, the effective
+    watermark is 11:50, its [10:00, 11:00) window is closed, and it must
+    NOT be merged in.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pa_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),  # us: ns would trip nanosAsLong handling
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    seq = [0]
+
+    def write_file(timestamps):
+        seq[0] += 1
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(len(timestamps))),
+                "ts": pd.to_datetime(timestamps),
+                "user_id": [1] * len(timestamps),
+                "value": [1.0] * len(timestamps),
+            }
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=pa_schema), str(src / f"b{seq[0]}.parquet")
+        )
+        time.sleep(1.1)  # distinct mod-times -> deterministic batch order
+
+    write_file(["2024-01-01 10:05:00", "2024-01-01 10:20:00"])  # on time
+    write_file(["2024-01-01 12:00:00"])  # advances watermark to 11:50
+    write_file(["2024-01-01 12:10:00"])  # filler: watermark becomes effective
+    write_file(["2024-01-01 10:06:00", "2024-01-01 14:00:00"])  # LATE + on-time
+    write_file(["2024-01-01 14:10:00"])  # filler: evict + emit closed windows
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"].isoformat(): r["n"] for r in spark.table("wm_sink").collect()
+    }
+    # the [10:00, 11:00) window closed with ONLY the 2 on-time rows — the
+    # late 10:06 row was dropped, not merged; [12:00, 13:00) closed with 2.
+    assert got.get("2024-01-01T10:00:00") == 2, got
+    assert got.get("2024-01-01T12:00:00") == 2, got
