@@ -58,9 +58,15 @@ def dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ MinHash L2
 
 N_HASHES = 12
-BAND_ROWS = 3  # 4 bands × 3 rows: catches jaccard ≳ 0.5 pairs w.h.p.
+# 2 bands × 6 rows: P(collide) = 1-(1-j^6)^2 — 0.008 at j=0.4, 0.87 at
+# j=0.95 — so only true near-dups become candidates.
+BAND_ROWS = 6
 N_BANDS = N_HASHES // BAND_ROWS
-JACCARD_THRESHOLD = 0.3
+JACCARD_THRESHOLD = 0.7
+#: buckets larger than this are dropped from pair generation (boilerplate
+#: guard): a degenerate bucket of k docs would emit k²/2 pairs. The cap is
+#: mirrored in the oracle SQL, so both engines drop the same buckets.
+MAX_BUCKET = 100
 
 
 def _tokens_expr():
@@ -68,15 +74,59 @@ def _tokens_expr():
     return F.array_distinct(F.filter(F.split("text", " "), lambda t: t != ""))
 
 
+def _raw_tokens_expr():
+    """Non-empty tokens in ORIGINAL order — the shingling input. Never
+    shingle a distinct-ed list: dedup changes the sequence, and DuckDB's
+    list_distinct doesn't even preserve first-occurrence order (Spark's
+    array_distinct does), so the engines would shingle different sequences."""
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+def _shingles_expr():
+    """Distinct 3-token shingles over the raw sequence — the MinHash item set.
+
+    Shingles, NOT unigram tokens: the driver corpus draws from a tiny
+    vocabulary, so every pair of docs shares ~85% of its distinct TOKENS
+    (measured — unigram MinHash banded essentially all n² pairs, 8M at
+    sf0.1). Trigram shingles sample a ~vocab³ space, so random docs share
+    ≈0 shingles and only genuine near-duplicates collide. element_at is
+    1-based in both engines.
+    """
+    return F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 1)), "
+        "i -> concat_ws(' ', element_at(tokens, i), "
+        "element_at(tokens, least(i + 1, size(tokens))), "
+        "element_at(tokens, least(i + 2, size(tokens))))))"
+    )
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(length(tokens) - 2, 1) + 1), "
+    "i -> tokens[i] || ' ' || tokens[least(i + 1, length(tokens))] "
+    "|| ' ' || tokens[least(i + 2, length(tokens))]))"
+)
+
+
 def _minhash_signature(df: DataFrame) -> DataFrame:
-    """doc_id → one min-md5 per seed. Single explode + single groupBy;
-    the 12 mins are computed side by side in one partial aggregation."""
-    tok = df.select("doc_id", F.explode(_tokens_expr()).alias("token"))
+    """doc_id → one min-md5 per seed over the shingle set. Single explode +
+    single groupBy; the 12 mins are computed side by side in one partial
+    aggregation.
+
+    The repartition matters: the doc table arrives as few input splits
+    (one small parquet file locally), but explode amplifies work ~50×
+    (shingles × 12 hashes) — without it the whole minhash stage runs in
+    one task. Same principle at 100 TB: repartition BEFORE compute
+    amplification, sized to the amplified volume, not the input volume.
+    """
+    toks = df.repartition(32, "doc_id").select(
+        "doc_id", _raw_tokens_expr().alias("tokens")
+    )
+    sh = toks.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"h{i}")
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -98,9 +148,9 @@ def _bands(sig: DataFrame) -> DataFrame:
 
 
 def _sql_minhash_cte() -> str:
-    """Oracle-side rendering of the identical MinHash pipeline."""
+    """Oracle-side rendering of the identical shingle-MinHash pipeline."""
     mins = ",\n              ".join(
-        f"min(md5('{i}:' || token)) AS h{i}" for i in range(N_HASHES)
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
     )
     bands = "\n            UNION ALL\n            ".join(
         "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sig".format(
@@ -112,22 +162,34 @@ def _sql_minhash_cte() -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tokens
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
             FROM documents
         ),
-        tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+        shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
+        ),
+        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
         sig AS (
             SELECT doc_id,
               {mins}
-            FROM tok GROUP BY doc_id
+            FROM sh GROUP BY doc_id
         ),
         bands AS (
             {bands}
         ),
+        ok_buckets AS (
+            SELECT band_id, band_hash FROM bands
+            GROUP BY band_id, band_hash
+            HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        capped AS (
+            SELECT b.* FROM bands b
+            JOIN ok_buckets USING (band_id, band_hash)
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b
+            FROM capped a
+            JOIN capped b
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
         )
@@ -143,43 +205,57 @@ def _sql_minhash_cte() -> str:
         SELECT
             doc_a,
             doc_b,
-            round(CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)
-                  / length(list_distinct(ta.tokens || tb.tokens)), 6) AS jaccard
+            round(CAST(length(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                  / length(list_distinct(ta.shingles || tb.shingles)), 6) AS jaccard
         FROM cand
-        JOIN toks ta ON ta.doc_id = doc_a
-        JOIN toks tb ON tb.doc_id = doc_b
-        WHERE CAST(length(list_intersect(ta.tokens, tb.tokens)) AS DOUBLE)
-              / length(list_distinct(ta.tokens || tb.tokens)) >= {JACCARD_THRESHOLD}
+        JOIN shingled ta ON ta.doc_id = doc_a
+        JOIN shingled tb ON tb.doc_id = doc_b
+        WHERE CAST(length(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+              / length(list_distinct(ta.shingles || tb.shingles)) >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: shingle→minhash→band→bucket-join→exact-Jaccard.
+    """Near-dup pairs: shingle→minhash→band→bucket-group→exact-Jaccard.
 
-    The band self-join emits only same-bucket pairs; exact Jaccard then
-    verifies candidates (set intersection / union over distinct tokens).
-    Both engines compute the same integer set sizes, so the double division
-    and threshold agree exactly.
+    Candidate generation is a GROUP-BY over (band_id, band_hash) with
+    in-bucket pair expansion — not a self-join. A self-join of the band
+    frame would make Catalyst compute the whole minhash pipeline twice
+    (once per side); grouping computes signatures exactly once and emits
+    k·(k-1)/2 pairs per bucket locally. Oversized buckets (boilerplate
+    collisions) are dropped entirely under MAX_BUCKET — the same cap the
+    oracle applies — so pair counts stay ~linear in corpus size.
+
+    Exact Jaccard over the shingle sets then verifies candidates. Both
+    engines compute the same integer set sizes, so the double division and
+    threshold agree exactly.
     """
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens_expr().alias("tokens"))
+    shingled = d.select("doc_id", _raw_tokens_expr().alias("tokens")).select(
+        "doc_id", _shingles_expr().alias("shingles")
+    )
     bands = _bands(_minhash_signature(d))
 
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    # docs is sorted, so i<j expansion yields doc_a < doc_b directly
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(docs) - 1), "
+        "i -> transform(sequence(i + 1, size(docs)), "
+        "j -> struct(element_at(docs, i) AS doc_a, element_at(docs, j) AS doc_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tokens_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tokens_b"))
-    jac = F.size(F.array_intersect("tokens_a", "tokens_b")) / F.size(
-        F.array_union("tokens_a", "tokens_b")
+    ta = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    tb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
     )
     return (
         cand.join(ta, "doc_a")

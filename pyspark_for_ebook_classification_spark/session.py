@@ -42,7 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))
+        # 4g, deliberately NOT sized to the machine: with a 16g G1 heap the
+        # md5/explode-heavy queries showed erratic 20-60s GC spikes
+        # (measured); the sf0.1 working set is tens of MB and 4g is stable.
+        # Override with SPARK_GRAFT_DRIVER_MEMORY for bigger local runs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "4g"))
         .config("spark.ui.enabled", "false")
         # local mode: shuffle spills to local disk; keep broadcast threshold
         # generous so every dim table in the star schema broadcasts.
