@@ -1,0 +1,221 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11: UF1–UF6).
+
+Policy: the engine's hot paths never use Python — everything in
+operators/*.py is built-in Catalyst expressions. This module exists to
+prove the full UDF surface WORKS and is wired correctly (Arrow batching,
+grouped-map schemas, UDTF lateral joins), using semantics simple enough
+that a SQL oracle can still check the values:
+
+  * outputs are integer/exact arithmetic (rank, counts, integer sums) or
+    reuse the engine's deterministic float patterns — never pandas
+    mean/std, whose accumulation order differs from SQL engines;
+  * every kernel is a CLOSURE so cloudpickle ships it by value and Python
+    workers don't need this package on sys.path.
+
+At 100 TB: pandas UDFs move data JVM→Arrow→Python and back; each query
+notes the batch-shape consequence. Row-at-a-time F.udf (UF6) appears once,
+deliberately, on a 25-row dim — the anti-pattern kept out of hot paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+@query(
+    "udf_pandas_scalar_tier",
+    survey_ref="UF1",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice / 25000.0) * 5 + length(o_orderpriority) AS BIGINT)
+                   AS tier_code
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+    """,
+)
+def udf_pandas_scalar_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF1: vectorized scalar pandas UDF (Series → Series over Arrow
+    batches). Exact arithmetic (floor to integers), so the Python result
+    is bit-equal to the SQL twin."""
+
+    @F.pandas_udf(T.LongType())
+    def tier_code(price: pd.Series, priority: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return (np.floor(price / 25000.0) * 5 + priority.str.len()).astype("int64")
+
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", tier_code("o_totalprice", "o_orderpriority").alias("tier_code")
+    )
+
+
+@query(
+    "udf_grouped_map_rank",
+    survey_ref="UF2",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS price_rank,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS group_size
+        FROM orders
+        WHERE o_custkey % 20 = 0
+    """,
+)
+def udf_grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF2: grouped-map applyInPandas — whole group as one pandas frame.
+    Ranks within customer (integer outputs; total tie-break). At scale the
+    group is the memory unit: this pattern requires every single group to
+    fit in one Python worker's memory — use windows instead when it can't."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        pdf["price_rank"] = range(1, len(pdf) + 1)
+        pdf["group_size"] = len(pdf)
+        return pdf[["o_custkey", "o_orderkey", "price_rank", "group_size"]]
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    return o.groupBy("o_custkey").applyInPandas(
+        rank_group,
+        schema="o_custkey long, o_orderkey long, price_rank long, group_size long",
+    )
+
+
+@query(
+    "udf_grouped_agg_span",
+    survey_ref="UF3",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(MAX(l_orderkey) - MIN(l_orderkey) AS BIGINT) AS key_span,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_breadth
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF3: grouped-aggregate pandas UDAFs (Series → scalar), integer
+    semantics. Partial aggregation does NOT apply to pandas UDAFs — the
+    whole group's column ships to Python, another reason built-ins win at
+    scale."""
+
+    @F.pandas_udf(T.LongType())
+    def key_span(keys: pd.Series) -> int:
+        return int(keys.max() - keys.min())
+
+    @F.pandas_udf(T.LongType())
+    def breadth(vals: pd.Series) -> int:
+        return int(vals.nunique())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        key_span("l_orderkey").alias("key_span"),
+        breadth("l_suppkey").alias("supp_breadth"),
+    )
+
+
+@query(
+    "udf_iterator_partition_stats",
+    survey_ref="UF4",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def udf_iterator_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF4: iterator-of-batches mapInPandas with per-partition partial
+    aggregation in Python, finalized by a tiny JVM-side groupBy — the
+    shape used when an expensive per-partition init (model load, codec)
+    must amortize across batches."""
+
+    def partial_counts(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for lang, grp in pdf.groupby("lang"):
+                n, chars = acc.get(lang, (0, 0))
+                acc[lang] = (n + len(grp), chars + int(grp["n_chars"].sum()))
+        yield pd.DataFrame(
+            {
+                "lang": list(acc),
+                "n_docs": [v[0] for v in acc.values()],
+                "total_chars": [v[1] for v in acc.values()],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    partials = d.mapInPandas(
+        partial_counts, schema="lang string, n_docs long, total_chars long"
+    )
+    return partials.groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_chars").alias("total_chars")
+    )
+
+
+@query(
+    "udtf_chunk_documents",
+    survey_ref="UF5,L4",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id,
+               CAST(u.i - 1 AS INT) AS chunk_no,
+               array_to_string(tokens[(u.i - 1) * 20 + 1 : u.i * 20], ' ') AS chunk_text,
+               CAST(least(20, length(tokens) - (u.i - 1) * 20) AS INT) AS chunk_len
+        FROM toks,
+             (SELECT unnest(range(1, 100)) AS i) u
+        WHERE (u.i - 1) * 20 < length(tokens)
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF5: Python UDTF — one doc row in, N chunk rows out (the LLM
+    context-window chunker). 20-token chunks; lateral join via the UDTF
+    table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_no int, chunk_text string, chunk_len int")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            tokens = [t for t in text.split(" ") if t]
+            size = 20
+            for i in range(0, len(tokens), size):
+                chunk = tokens[i : i + size]
+                yield doc_id, i // size, " ".join(chunk), len(chunk)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    spark.udtf.register("chunk_docs", Chunker)
+    d.createOrReplaceTempView("docs_to_chunk")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_no, c.chunk_text, c.chunk_len "
+        "FROM docs_to_chunk, LATERAL chunk_docs(doc_id, text) c"
+    )
+
+
+@query(
+    "udf_plain_python_rowwise",
+    survey_ref="UF6",
+    oracle="""
+        SELECT n_name, CAST(length(n_name) % 7 AS INT) AS name_bucket
+        FROM nation
+    """,
+)
+def udf_plain_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF6: the row-at-a-time Python UDF — exists for surface parity,
+    demonstrated on a 25-row dim ONLY. Serde per row, no vectorization,
+    breaks pushdown: never in a fact-table path."""
+
+    @F.udf(T.IntegerType())
+    def name_bucket(name: str) -> int:
+        return len(name) % 7
+
+    return load(spark, sf_dir, "nation").select(
+        "n_name", name_bucket("n_name").alias("name_bucket")
+    )

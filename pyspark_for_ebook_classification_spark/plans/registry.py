@@ -37,6 +37,8 @@ _OPERATOR_MODULES = (
     "pyspark_for_ebook_classification_spark.operators.windows",
     "pyspark_for_ebook_classification_spark.operators.sets_sorts",
     "pyspark_for_ebook_classification_spark.operators.scalar_funcs",
+    "pyspark_for_ebook_classification_spark.operators.classics",
+    "pyspark_for_ebook_classification_spark.operators.udfs",
     "pyspark_for_ebook_classification_spark.operators.dedup",
     "pyspark_for_ebook_classification_spark.operators.similarity",
     "pyspark_for_ebook_classification_spark.operators.textops",

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyspark_for_ebook_classification_spark.plans.explain import audit
+from pyspark_for_ebook_classification_spark.plans.explain import (
+    audit,
+    executed_plan_string,
+)
 from pyspark_for_ebook_classification_spark.plans.registry import all_queries
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -27,7 +30,13 @@ def test_flagship_prunes_columns(spark, sf_dir):
     # 7 referenced columns of 11 in lineitem
     assert rep["read_schema_columns"] == 7, rep["plan"]
     assert rep["pushed_filters"], rep["plan"]
-    assert rep["codegen_stages"] >= 1
+    assert rep["partial_agg"], "no map-side combine before the shuffle"
+    # codegen only materializes in the FINAL adaptive plan, post-execution;
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    import re
+
+    final = executed_plan_string(q.fn(spark, sf_dir))
+    assert re.search(r"\*\(\d+\)", final), final
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):
@@ -53,9 +62,11 @@ def test_no_query_plans_cartesian_product(spark, sf_dir):
 
 
 def test_builtin_queries_stay_jvm_side(spark, sf_dir):
-    """Only the multimodal decode stub may cross into Python workers."""
+    """Only the explicitly-Python surface (UDF module, multimodal decode,
+    ML pipelines) may cross into Python workers; every other operator must
+    stay in JVM whole-stage codegen territory."""
     for name, q in all_queries().items():
-        if name.startswith(("ml_", "multimodal_decode")):
+        if name.startswith(("ml_", "multimodal_decode", "udf_", "udtf_")):
             continue
         rep = audit(q.fn(spark, sf_dir))
         assert rep["python_workers"] == 0, f"{name} runs Python in the hot path"
