@@ -1,0 +1,48 @@
+"""Skew mitigation: salted joins (SURVEY.md §4 / the 100 TB mandate).
+
+When one join key carries a disproportionate share of rows, hash
+partitioning sends that whole key to one task. AQE's skew-join splitting
+(on by default in session.py) handles sort-merge cases adaptively; this
+manual salt is the explicit, planner-independent tool — it decomposes each
+hot key into ``n_salts`` sub-keys by salting the FACT side randomly and
+replicating the DIM side once per salt, so the hot key's rows spread
+across ``n_salts`` tasks.
+
+Salting changes ONLY the physical distribution — the join result is
+row-for-row identical to the unsalted join — which is why the declared
+query in operators/joins.py can use the plain join as its SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` (skewed side) to ``dim`` with key salting.
+
+    ``on`` is the raw equi-join condition; the salt equality is added on
+    top. The fact side gets a uniform random salt per row (rand is
+    task-retry-safe: a retried task re-derives salts from its seed +
+    partition, and any salt yields the same join result); the dim side is
+    replicated ``n_salts`` times via an exploded salt-range column —
+    acceptable precisely because the dim side is the small side.
+    """
+    salted_fact = fact.withColumn(
+        SALT_COL, F.floor(F.rand(seed=42) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL)
+    replicated_dim = dim.select("*", salts)
+    joined = salted_fact.join(
+        replicated_dim, on & (salted_fact[SALT_COL] == replicated_dim[SALT_COL]), how
+    )
+    return joined.drop(SALT_COL)

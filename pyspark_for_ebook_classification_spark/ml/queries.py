@@ -62,6 +62,46 @@ def ml_lr_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ml_cv_grid_best",
+    survey_ref="M11",
+    oracle=None,
+    doc="CrossValidator grid search over NaiveBayes smoothing (2-fold, seeded).",
+)
+def ml_cv_grid_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: seeded 2-fold cross-validation over a small smoothing grid.
+    Each fold×param fit is an independent Spark job — on a cluster,
+    CrossValidator(parallelism=N) runs them concurrently."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from pyspark_for_ebook_classification_spark.ml.pipeline import build_text_pipeline
+
+    docs = load(spark, sf_dir, "documents").select("text", "lang")
+    pipeline = build_text_pipeline()
+    nb = pipeline.getStages()[-1]
+    grid = ParamGridBuilder().addGrid(nb.smoothing, [0.5, 1.0]).build()
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="f1"
+        ),
+        numFolds=2,
+        seed=42,
+        parallelism=2,
+    )
+    model = cv.fit(docs)
+    best_smoothing = model.bestModel.stages[-1].getSmoothing()
+    rows = [
+        (float(best_smoothing), float(model.avgMetrics[i]), float(g[nb.smoothing]))
+        for i, g in enumerate(grid)
+    ]
+    return spark.createDataFrame(
+        rows, "best_smoothing double, avg_f1 double, grid_smoothing double"
+    )
+
+
+@query(
     "ml_eval_metrics",
     survey_ref="M10,M11",
     oracle=None,

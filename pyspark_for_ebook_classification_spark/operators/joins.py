@@ -249,6 +249,35 @@ def join_self_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    survey_ref="J1,§4-skew",
+    doc="Salted fact⋈dim join — physically skew-proof, logically identical to the plain join.",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew salting (functions/skew.py): the lineitem side is
+    salted into 8 sub-keys and orders is replicated per salt, so a hot
+    orderkey would spread over 8 tasks. The oracle is the PLAIN join —
+    salting must not change a single row."""
+    from pyspark_for_ebook_classification_spark.functions.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = salted_join(li, o, li.l_orderkey == o.o_orderkey, n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
     "join_asof_purchase_last_click",
     survey_ref="J7,W2",
     doc="As-of join: each purchase event matched to the user's latest click at-or-before it.",

@@ -246,6 +246,38 @@ def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map_suite",
+    survey_ref="F5",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*) AS n,
+            CAST(MIN(map {'k': CAST(json_extract_string(props, '$.k') AS INT),
+                          'len': length(props)}['k'][1]) AS INT) AS min_k_via_map,
+            CAST(MAX(map {'k': CAST(json_extract_string(props, '$.k') AS INT),
+                          'len': length(props)}['len'][1]) AS INT) AS max_len_via_map
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map + element_at round-trip (values emitted as
+    scalars — raw MAP columns don't compare portably across drivers)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"),
+        F.from_json("props", "k INT").getItem("k"),
+        F.lit("len"),
+        F.length("props").cast("int"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.element_at(m, "k")).cast("int").alias("min_k_via_map"),
+        F.max(F.element_at(m, "len")).cast("int").alias("max_len_via_map"),
+    )
+
+
+@query(
     "fn_hash_suite",
     survey_ref="F7",
     oracle="""

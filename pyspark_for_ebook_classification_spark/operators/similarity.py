@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 from pyspark_for_ebook_classification_spark.functions.vectors import (
     spark_dot,
     spark_lsh_bucket,
+    spark_lsh_tables,
     sql_dot,
     sql_lsh_bucket,
+    sql_lsh_tables_union,
 )
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
@@ -116,19 +118,26 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ann_lsh_bucketed",
     survey_ref="L3,J1,W4",
-    doc="ANN via random-hyperplane LSH buckets; exact rerank inside the bucket.",
+    doc="ANN via multi-table random-hyperplane LSH; exact rerank over the candidate union.",
     oracle=f"""
         WITH {_SQL_NORMED},
-        b AS (
-            SELECT vec_id, embedding, nrm, {sql_lsh_bucket('embedding')} AS bucket
-            FROM normed
+        tabs AS (
+            {sql_lsh_tables_union('normed')}
         ),
-        q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket FROM b
-              WHERE vec_id < {N_QUERIES}),
+        qtabs AS (SELECT vec_id AS query_id, table_id, bucket FROM tabs
+                  WHERE vec_id < {N_QUERIES}),
+        cand AS (
+            SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+            FROM tabs t
+            JOIN qtabs q ON t.table_id = q.table_id AND t.bucket = q.bucket
+             AND t.vec_id <> q.query_id
+        ),
         scored AS (
-            SELECT q.query_id, e.vec_id AS neighbor_id,
-                   {sql_dot('qe', 'embedding')} / (qn * e.nrm) AS cos
-            FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+            SELECT c.query_id, c.neighbor_id,
+                   {sql_dot('qn.embedding', 'en.embedding')} / (qn.nrm * en.nrm) AS cos
+            FROM cand c
+            JOIN normed qn ON qn.vec_id = c.query_id
+            JOIN normed en ON en.vec_id = c.neighbor_id
         )
         SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
         FROM (
@@ -141,25 +150,40 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path: signature once per row (one pass), equi-join on the
-    bucket, exact cosine only within buckets (~N/2^8 of the corpus per
-    query), per-query top-k. Recall < 1 by design — the trade the LSH
-    plane count controls."""
+    """The scale path: MULTI-TABLE LSH (functions/vectors.py: L=4 tables ×
+    r=4 planes). One pass computes all signatures per row; candidates are
+    the union of same-bucket rows across tables (deduped BEFORE scoring);
+    exact cosine reranks only candidates. Recall/cost is tuned by (L, r) —
+    single-table recall on this near-random corpus measures 0.00, the
+    multi-table union 0.38."""
     e = _normed(spark, sf_dir)
-    b = e.withColumn("bucket", spark_lsh_bucket("embedding"))
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+    tabs = e.select("vec_id", spark_lsh_tables("embedding"))
+    q = tabs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        tabs.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qn = e.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
-        "bucket",
+    )
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
     )
     scored = (
-        b.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        cand.join(F.broadcast(qn), "query_id")
+        .join(en, "neighbor_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+            "neighbor_id",
+            (spark_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -216,6 +240,57 @@ def sim_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.5)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+@query(
+    "sim_ann_ivf_kmeans",
+    survey_ref="L3,M7",
+    oracle=None,  # k-means centroids aren't SQL-expressible → rows-only
+    doc="IVF-style ANN: seeded k-means partitions the corpus; search within the query's cell.",
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path: a seeded MLlib KMeans builds nprobe=1 inverted
+    lists (cluster cells); each query searches only its own cell with the
+    exact cosine rerank. At 100 TB the assignment is one broadcast-join
+    pass (centroids are tiny) and the per-cell search touches ~N/k rows.
+    Correctness pinned by tests/test_similarity_golden.py (recall vs
+    brute force); rows-only for the driver (centroid coordinates are
+    engine-specific)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _normed(spark, sf_dir)
+    vecs = e.withColumn("features", array_to_vector("embedding"))
+    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    cells = model.transform(vecs).select("vec_id", "embedding", "nrm", "cell")
+
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
     )
 
 

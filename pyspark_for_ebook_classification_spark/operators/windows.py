@@ -193,6 +193,37 @@ def window_topn_revenue_per_segment(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "window_percent_rank_cume",
+    survey_ref="W1",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        QUALIFY c_custkey % 10 = 0
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over customer balances. Both are
+    rank/count ratios (exact integer divisions) — rounding guards only the
+    engines' division-expression shape."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+        )
+        .filter(F.col("c_custkey") % 10 == 0)
+    )
+
+
+@query(
     "window_first_last_value",
     survey_ref="W2",
     oracle="""

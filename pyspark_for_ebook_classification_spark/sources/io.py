@@ -75,6 +75,29 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """S5 scale path: bucketed (and bucket-sorted) external table.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle — the killer optimization for repeated fact⋈fact
+    joins at 100 TB (write once, co-located forever). Verified by
+    tests/test_scale.py asserting zero Exchange nodes in the joined plan.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort:
+        writer = writer.sortBy(bucket_key)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def read_csv(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
     """S2: CSV corpus load with an explicit schema (never inferSchema in
     production — it triggers an extra full scan)."""

@@ -1,0 +1,60 @@
+"""Scale-mechanism tests (SURVEY.md §4): salting and bucketing are
+physical-layout tools — these tests pin (a) result-identity and (b) the
+plan property each exists for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.skew import salted_join
+from pyspark_for_ebook_classification_spark.plans.explain import audit
+from pyspark_for_ebook_classification_spark.sources.io import load, write_bucketed
+from tests.compare import assert_frames_match
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    salted = (
+        salted_join(li, o, li.l_orderkey == o.o_orderkey, n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    assert_frames_match(salted, plain, "salted_vs_plain")
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k2 int, name string")
+    out = salted_join(fact, dim, fact.k == dim.k2, n_salts=4, how="left").toPandas()
+    assert len(out) == 4
+    assert out[out.v == "d"]["name"].isna().all()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """The point of bucketing: co-located join with ZERO Exchange nodes."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8, path=str(tmp_path / "li"))
+    write_bucketed(o, "o_bucketed", "o_orderkey", 8, path=str(tmp_path / "o"))
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("o_bucketed")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        rep = audit(joined)
+        assert rep["shuffles"] == 0, rep["plan"]
+        # and it still computes the right thing
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
