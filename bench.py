@@ -51,7 +51,18 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # JVM/codegen warmup on a trivial action so query 1 isn't billed for it
+    # JVM warmup so query 1 isn't billed for interpreter/codegen/parquet
+    # reader initialization: exercise the same machinery (columnar parquet
+    # scan, decimal hash agg, shuffle) once on a small slice.
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    (
+        load(spark, sf_dir, "lineitem")
+        .limit(50_000)
+        .groupBy("l_returnflag")
+        .agg({"l_quantity": "sum"})
+        .collect()
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

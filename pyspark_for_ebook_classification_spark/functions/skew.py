@@ -41,7 +41,11 @@ def salted_join(
         SALT_COL, F.floor(F.rand(seed=42) * n_salts).cast("int")
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL)
-    replicated_dim = dim.select("*", salts)
+    # shuffle_hash hint: salting exists to spread a SHUFFLE join's hot key;
+    # letting Catalyst broadcast the n_salts-times-replicated dim instead
+    # would funnel the whole replica through the driver (measured 68s vs 4s
+    # at sf0.1) and make the salt pointless.
+    replicated_dim = dim.select("*", salts).hint("shuffle_hash")
     joined = salted_fact.join(
         replicated_dim, on & (salted_fact[SALT_COL] == replicated_dim[SALT_COL]), how
     )

@@ -1,0 +1,111 @@
+"""Property-based tests (SURVEY.md §5.4): scalar string/array functions
+cross-checked against plain-Python reference implementations on
+hypothesis-generated inputs. Each example ships a whole batch of strings
+through ONE Spark job (per-example jobs would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# ASCII-printable minus the quote-escaping troublemakers; unicode casing
+# rules differ between JVM and Python, which is a known non-goal here.
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=60,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _python_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@PROP_SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_string_functions_match_python(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    rows = df.select(
+        "i",
+        F.length("s").alias("ln"),
+        F.upper("s").alias("up"),
+        F.lower("s").alias("lo"),
+        F.reverse("s").alias("rev"),
+        F.substring("s", 2, 3).alias("sub"),
+        F.sha2("s", 256).alias("sha"),
+        F.md5("s").alias("md5"),
+    ).collect()
+    for r in rows:
+        s = strings[r["i"]]
+        assert r["ln"] == len(s)
+        assert r["up"] == s.upper()
+        assert r["lo"] == s.lower()
+        assert r["rev"] == s[::-1]
+        assert r["sub"] == s[1:4]
+        assert r["sha"] == hashlib.sha256(s.encode()).hexdigest()
+        assert r["md5"] == hashlib.md5(s.encode()).hexdigest()
+
+
+@PROP_SETTINGS
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=15))
+def test_levenshtein_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a string, b string"
+    )
+    rows = df.select("i", F.levenshtein("a", "b").alias("lev")).collect()
+    for r in rows:
+        a, b = pairs[r["i"]]
+        assert r["lev"] == _python_levenshtein(a, b)
+
+
+@PROP_SETTINGS
+@given(st.lists(st.lists(st.integers(-1000, 1000), max_size=30), min_size=1, max_size=20))
+def test_array_functions_match_python(spark, arrays):
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)], "i long, arr array<long>"
+    )
+    rows = df.select(
+        "i",
+        F.size("arr").alias("sz"),
+        F.sort_array("arr").alias("sorted"),
+        F.array_distinct("arr").alias("dedup"),
+        F.slice(F.col("arr"), 1, 5).alias("head5"),
+        F.array_max("arr").alias("mx"),
+        F.array_min("arr").alias("mn"),
+    ).collect()
+    for r in rows:
+        a = arrays[r["i"]]
+        assert r["sz"] == len(a)
+        assert r["sorted"] == sorted(a)
+        assert r["dedup"] == list(dict.fromkeys(a))  # first-occurrence order
+        assert r["head5"] == a[:5]
+        assert r["mx"] == (max(a) if a else None)
+        assert r["mn"] == (min(a) if a else None)
+
+
+@PROP_SETTINGS
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_split_tokenize_matches_python(spark, strings):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i long, s string")
+    rows = df.select(
+        "i", F.split("s", " ").alias("toks"), F.split("s", ",", 2).alias("lim")
+    ).collect()
+    for r in rows:
+        s = strings[r["i"]]
+        assert r["toks"] == s.split(" ")
+        assert r["lim"] == s.split(",", 1)  # Spark limit=2 ≡ Python maxsplit=1
