@@ -203,6 +203,27 @@ def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        {sql_dsum('l_extendedprice', 'sum_price')},
+        COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("agg_grouping_sets", survey_ref="A4", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) via the
+    SQL path — one Expand node feeds a single hash aggregate, not one scan
+    per set."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @query(
     "agg_collect_sorted",
     survey_ref="A6",

@@ -59,6 +59,24 @@ def test_stateful_running_max(spark, sf_dir):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
 
 
+def test_foreachbatch_sink_writes_epochs(spark, sf_dir, tmp_path):
+    """ST sink depth: foreachBatch — the custom/exactly-once sink hook —
+    writes each micro-batch as a parquet epoch; union of epochs == input."""
+    out = tmp_path / "epochs"
+    epochs = []
+
+    def write_epoch(batch_df, epoch_id: int):
+        epochs.append(epoch_id)
+        batch_df.write.mode("overwrite").parquet(str(out / f"epoch={epoch_id}"))
+
+    ev = jobs.events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = ev.writeStream.foreachBatch(write_epoch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert epochs, "no micro-batches ran"
+    back = spark.read.parquet(str(out / "epoch=*"))
+    assert back.count() == load(spark, sf_dir, "events").count()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """ST4: a row older than the advanced watermark must be dropped.
 
