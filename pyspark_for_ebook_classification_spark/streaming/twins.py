@@ -178,6 +178,30 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_event(load(spark, sf_dir, "events"))
 
 
+def stateful_runmax_final(events: DataFrame) -> DataFrame:
+    """ST6 batch semantics: the FINAL state of the running-max stateful op
+    (jobs.run_stateful_running_max) per user — max event value + event
+    count. max/count are order-independent, so the twin is an exact oracle
+    for the state the stream converges to regardless of micro-batching."""
+    return events.groupBy("user_id").agg(
+        F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "stream_stateful_runmax_twin",
+    survey_ref="ST6,A1",
+    doc="Batch twin of the applyInPandasWithState running-max (final state).",
+    oracle="""
+        SELECT user_id, max(value) AS max_value, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_stateful_runmax_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_runmax_final(load(spark, sf_dir, "events"))
+
+
 def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
     """ST7 logic: stream-static dimension join (static side broadcasts)."""
     return (

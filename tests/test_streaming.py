@@ -43,14 +43,8 @@ def test_dedup_stream_row_count(spark, sf_dir):
 
 def test_stateful_running_max(spark, sf_dir):
     out = jobs.run_stateful_running_max(spark, sf_dir).toPandas()
-    import pyspark.sql.functions as F
 
-    batch = (
-        load(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events"))
-        .toPandas()
-    )
+    batch = twins.stateful_runmax_final(load(spark, sf_dir, "events")).toPandas()
     # update-mode sink may emit several rows per user; the LAST per user is final
     final = out.groupby("user_id").tail(1)
     merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
