@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: join types for which dim-side replication is result-preserving. Anything
+#: that can emit UNMATCHED DIM rows (right / full outer) would emit each of
+#: them once per salt replica — n_salts duplicates — so those are rejected.
+_SUPPORTED_HOW = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+}
+
 
 def salted_join(
     fact: DataFrame,
@@ -36,7 +52,16 @@ def salted_join(
     partition, and any salt yields the same join result); the dim side is
     replicated ``n_salts`` times via an exploded salt-range column —
     acceptable precisely because the dim side is the small side.
+
+    Only fact-preserving join types are supported: with ``right`` or
+    ``full`` joins each unmatched dim row would surface once per salt
+    replica, breaking the row-for-row identity this function guarantees.
     """
+    if how.lower() not in _SUPPORTED_HOW:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched dim rows "
+            f"would be duplicated n_salts times; use one of {sorted(_SUPPORTED_HOW)}"
+        )
     salted_fact = fact.withColumn(
         SALT_COL, F.floor(F.rand(seed=42) * n_salts).cast("int")
     )

@@ -207,3 +207,200 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'discount', l_discount) AS (measure, value)"
         ),
     )
+
+
+#: TPC-H-Q5-shaped SQL (local supplier volume): six-table star join where
+#: the customer and supplier must share a nation — valid in both engines.
+_Q5_SQL = f"""
+    SELECT
+        n_name,
+        {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+@query("sql_local_supplier_volume_q5", survey_ref="J1,J4,A1,§3-EP3", oracle=_Q5_SQL)
+def sql_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the deepest join tree in the suite (6 tables).
+    Catalyst broadcast-joins the three dims (region 5 / nation 25 /
+    supplier ~100·sf rows) and shuffle-joins only the two fact tables —
+    exactly the plan a 1000-executor cluster wants, with the region filter
+    pruning nations before any fact row is touched."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
+@query(
+    "join_returned_items_q10",
+    survey_ref="J1,A1,O3",
+    oracle=f"""
+        SELECT
+            c_custkey, c_name, n_name,
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def join_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. The returnflag + date filters push to the scans; the limit is
+    deterministic (revenue DESC then unique custkey)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+#: Q14 numerator/denominator both decimal-accumulated; the final
+#: (100 * num) / den is one IEEE double expression, identical per engine.
+_PROMO_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))"
+
+
+@query(
+    "agg_promo_share_q14",
+    survey_ref="A1,A5,J1,F3",
+    oracle=f"""
+        SELECT
+            100 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_PROMO_DEC}
+                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                / CAST(SUM({_PROMO_DEC}) AS DOUBLE) AS promo_revenue_pct,
+            COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+    """,
+)
+def agg_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregate ratio
+    over a fact⋈dim join, date filter pushed to the fact scan."""
+    dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", dec).otherwise(F.lit(0).cast("decimal(28,6)"))
+    ).cast("double")
+    den = F.sum(dec).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100) * num / den).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+#: TPC-H-Q18-shaped SQL (large-volume orders), shared text for both engines.
+_Q18_SQL = """
+    SELECT
+        c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 180
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_big_order_customers_q18", survey_ref="J1,J3,A1,O3,§3-EP3", oracle=_Q18_SQL)
+def sql_big_order_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING — Catalyst plans
+    the subquery as a semi-join against the aggregated lineitem, so the
+    fact table is scanned twice but shuffled on the same key both times
+    (AQE reuses the exchange). Quantity sums accumulate in decimal so the
+    HAVING cut line is engine-exact."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q18_SQL)
+
+
+@query(
+    "filter_disjunctive_bands_q19",
+    survey_ref="P2,J1,A1,F3",
+    oracle=f"""
+        SELECT
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+            COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def filter_disjunctive_bands_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst's
+    CNF conversion extracts the common per-side conjuncts (brand ∈ {...},
+    quantity ≤ 30) below the join, so each scan is pre-filtered even though
+    the full predicate can only be evaluated after the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+
+    return j.filter(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -90,7 +90,10 @@ def _shingles_expr():
     (measured — unigram MinHash banded essentially all n² pairs, 8M at
     sf0.1). Trigram shingles sample a ~vocab³ space, so random docs share
     ≈0 shingles and only genuine near-duplicates collide. element_at is
-    1-based in both engines.
+    1-based in both engines. Callers must pre-filter ``size(tokens) >= 1``
+    (mirrored as ``length(tokens) >= 1`` in the SQL twin): a zero-token doc
+    would evaluate ``element_at(empty, 1)``, which throws under Spark 4
+    ANSI mode while DuckDB yields NULL — a crash/parity divergence.
     """
     return F.expr(
         "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 1)), "
@@ -118,8 +121,10 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
     one task. Same principle at 100 TB: repartition BEFORE compute
     amplification, sized to the amplified volume, not the input volume.
     """
-    toks = df.repartition(32, "doc_id").select(
-        "doc_id", _raw_tokens_expr().alias("tokens")
+    toks = (
+        df.repartition(32, "doc_id")
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
     )
     sh = toks.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
     aggs = [
@@ -161,9 +166,11 @@ def _sql_minhash_cte() -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
-            FROM documents
+            SELECT doc_id, tokens FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+                FROM documents
+            ) WHERE length(tokens) >= 1
         ),
         shingled AS (
             SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
@@ -230,8 +237,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold agree exactly.
     """
     d = load(spark, sf_dir, "documents")
-    shingled = d.select("doc_id", _raw_tokens_expr().alias("tokens")).select(
-        "doc_id", _shingles_expr().alias("shingles")
+    shingled = (
+        d.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr().alias("shingles"))
     )
     bands = _bands(_minhash_signature(d))
 

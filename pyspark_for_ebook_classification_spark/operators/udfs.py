@@ -171,7 +171,8 @@ def udf_iterator_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                array_to_string(tokens[(u.i - 1) * 20 + 1 : u.i * 20], ' ') AS chunk_text,
                CAST(least(20, length(tokens) - (u.i - 1) * 20) AS INT) AS chunk_len
         FROM toks,
-             (SELECT unnest(range(1, 100)) AS i) u
+             LATERAL (SELECT unnest(range(1,
+                 CAST(ceil(length(tokens) / 20.0) AS BIGINT) + 1)) AS i) u
         WHERE (u.i - 1) * 20 < length(tokens)
     """,
 )

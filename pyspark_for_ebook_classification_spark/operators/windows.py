@@ -253,3 +253,25 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "window_ntile_quartiles",
+    survey_ref="W1",
+    oracle="""
+        SELECT c_mktsegment, c_custkey,
+               CAST(ntile(4) OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ) AS INT) AS quartile
+        FROM customer
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles per market segment. The ordering ends in
+    the unique c_custkey so tile assignment is total-order deterministic in
+    both engines."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )

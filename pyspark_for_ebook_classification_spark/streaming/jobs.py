@@ -95,10 +95,50 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST5: stateful streaming dedup on event_id within the watermark."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
-    return _run_to_memory(deduped.select("event_id", "user_id", "event_type"), "append")
+    """ST5: stateful streaming dedup sharing stream_dedup_twin's batch
+    semantics — keep the EARLIEST event per (user_id, event_type) by
+    (ts, event_id) event-time order.
+
+    ``dropDuplicatesWithinWatermark`` can't express this: it keeps the
+    first-ARRIVING row, which across micro-batches (or shuffled file
+    splits) is arbitrary. Instead the dedup is an arbitrary-stateful op
+    (applyInPandasWithState) whose per-key state is the current minimum
+    (ts, event_id); update mode re-emits a key whenever a new minimum
+    arrives, so the last emission per key equals the batch twin exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def keep_earliest(key, pdfs, state: GroupState):
+        best_ts, best_eid = state.get if state.exists else (None, None)
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_ns = int(pdf["ts"].astype("int64").iloc[0])
+            eid = int(pdf["event_id"].iloc[0])
+            if best_ts is None or (ts_ns, eid) < (best_ts, best_eid):
+                best_ts, best_eid, changed = ts_ns, eid, True
+        if changed:
+            state.update((best_ts, best_eid))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "event_id": [best_eid],
+                    "ts": [pd.to_datetime(best_ts)],
+                }
+            )
+
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        keep_earliest,
+        outputStructType="user_id long, event_type string, event_id long, ts timestamp",
+        stateStructType="ts_ns long, event_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(deduped, "update")
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:

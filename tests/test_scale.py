@@ -5,6 +5,7 @@ plan property each exists for.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.skew import salted_join
@@ -39,6 +40,16 @@ def test_salted_join_left_outer_preserves_unmatched(spark):
     out = salted_join(fact, dim, fact.k == dim.k2, n_salts=4, how="left").toPandas()
     assert len(out) == 4
     assert out[out.v == "d"]["name"].isna().all()
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right / full joins would emit each unmatched dim row once per salt
+    replica — salted_join must refuse them rather than silently duplicate."""
+    fact = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "one"), (9, "nine")], "k2 int, name string")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(fact, dim, fact.k == dim.k2, n_salts=4, how=how)
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):

@@ -32,13 +32,17 @@ def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
     assert_frames_match(stream_pdf, batch_pdf, runner.__name__)
 
 
-def test_dedup_stream_row_count(spark, sf_dir):
-    out = jobs.run_dedup_stream(spark, sf_dir)
-    n_events = load(spark, sf_dir, "events").count()
-    n_distinct = (
-        load(spark, sf_dir, "events").select("event_id").distinct().count()
-    )
-    assert out.count() == n_distinct <= n_events
+def test_dedup_stream_equals_twin(spark, sf_dir):
+    """ST5: streaming keep-earliest dedup converges to the batch twin —
+    the last update-mode emission per (user_id, event_type) is the same
+    (event_id, ts) row stream_dedup_twin keeps."""
+    out = jobs.run_dedup_stream(spark, sf_dir).toPandas()
+    batch = twins.stream_dedup_twin(spark, sf_dir).toPandas()
+    final = out.groupby(["user_id", "event_type"]).tail(1)
+    merged = final.merge(batch, on=["user_id", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(final)
+    assert (merged["event_id_s"] == merged["event_id_b"]).all()
+    assert (merged["ts_s"] == merged["ts_b"]).all()
 
 
 def test_stateful_running_max(spark, sf_dir):
