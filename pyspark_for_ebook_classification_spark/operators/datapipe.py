@@ -1,0 +1,197 @@
+"""Training-data pipeline operators (SURVEY.md §2.9 north star: the ops a
+100 TB pre-training corpus build runs AFTER dedup/quality — sampling,
+mixing, packing, filtering).
+
+All four are pure relational algebra over built-in functions — no Python
+in the hot path, fully oracle-checked. Determinism is the design center:
+every sampling / ordering decision derives from md5(doc_id), never from
+``rand()``, so reruns (and retried tasks on a cluster) produce the same
+corpus byte-for-byte. The md5-prefix→BIGINT parse is engine-portable
+(Spark ``conv(…,16,10)`` == DuckDB ``('0x' || …)::BIGINT``, verified).
+
+Scale notes per operator in each docstring; none shuffles more than once
+beyond what its window/group semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+#: deterministic per-doc hash in [0, 100) — the sampling coin.
+_SPARK_PCT = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+)
+_SQL_PCT = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+)
+
+#: per-language sampling rates (percent) for the stratified sample: the
+#: "rebalance the corpus" primitive — downsample dominant languages.
+_STRATA_RATES = {"en": 40, "zh": 60, "de": 70, "fr": 70, "es": 90}
+_DEFAULT_RATE = 100
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@query(
+    "data_stratified_sample",
+    survey_ref="L4,P2,F7",
+    doc="Deterministic hash-based stratified sampling with per-language rates.",
+    oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_SQL_PCT} < {_rate_case_sql()}
+    """,
+)
+def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: keep a doc iff md5(doc_id) mod 100 falls
+    under its language's rate. Hash-based (not ``rand``) so the sample is
+    reproducible under task retries and across engines; a pure map-side
+    filter — zero shuffle at any scale, and the predicate pushes to the
+    scan's row groups when doc_id correlates with file layout."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return d.filter(F.expr(_SPARK_PCT) < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+#: per-source document budgets for the weighted mix (docs per source).
+#: driver corpus sources are src0..src19 (uniform); uneven budgets make
+#: the mix a real re-weighting.
+_MIX_BUDGETS = {"src0": 15, "src1": 10, "src2": 5}
+_DEFAULT_BUDGET = 8
+
+
+@query(
+    "data_mix_weighted_sources",
+    survey_ref="L4,W1,O3",
+    doc="Weighted dataset mixing: top-N docs per source in deterministic hash order.",
+    oracle="""
+        SELECT doc_id, source, mix_rank
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS mix_rank
+            FROM documents
+        )
+        WHERE mix_rank <= CASE source
+            WHEN 'src0' THEN 15 WHEN 'src1' THEN 10 WHEN 'src2' THEN 5
+            ELSE 8 END
+    """,
+)
+def data_mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by per-source budget: rank docs inside each source by
+    md5(doc_id) (a deterministic shuffle — every rerun picks the same
+    "random" subset) and keep the first N_source. One shuffle on source;
+    at 100 TB budgets are enforced the same way per partition-friendly
+    key, and the md5 order doubles as the training-shuffle order."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    budget = F.lit(_DEFAULT_BUDGET)
+    for k, v in _MIX_BUDGETS.items():
+        budget = F.when(F.col("source") == k, v).otherwise(budget)
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("mix_rank"))
+        .filter(F.col("mix_rank") <= budget)
+    )
+
+
+SEQ_LEN = 2048
+
+
+@query(
+    "data_pack_sequences",
+    survey_ref="L4,W3",
+    doc="Greedy sequence packing: assign docs to fixed-token training sequences.",
+    oracle=f"""
+        SELECT doc_id, lang, n_tokens,
+               CAST((cum_tokens - n_tokens) // {SEQ_LEN} AS BIGINT) AS pack_id,
+               CAST((cum_tokens - n_tokens) % {SEQ_LEN} AS BIGINT) AS pack_offset
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(length(list_filter(string_split(text, ' '), t -> t <> ''))
+                        AS BIGINT) AS n_tokens,
+                   SUM(CAST(length(list_filter(string_split(text, ' '), t -> t <> ''))
+                        AS BIGINT)) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM documents
+        )
+    """,
+)
+def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: per language, docs are laid end to
+    end in doc_id order and each doc is assigned the {SEQ_LEN}-token
+    sequence its first token lands in (pack_id) plus its offset inside it.
+    A running-sum window — integer arithmetic, engine-exact. At scale this
+    is the standard one-shuffle packing pass; the follow-on chunk step
+    (docs spanning a boundary) is udtf_chunk_documents."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start / SEQ_LEN).cast("bigint").alias("pack_id"),
+        (start % SEQ_LEN).cast("bigint").alias("pack_offset"),
+    )
+
+
+@query(
+    "data_quality_quantile_filter",
+    survey_ref="L4,W1,A7",
+    doc="Keep docs inside the per-language [P10, P90] length band.",
+    oracle="""
+        SELECT doc_id, lang, n_chars, round(len_pr, 6) AS len_percentile
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS len_pr
+            FROM documents
+        )
+        WHERE len_pr >= 0.1 AND len_pr <= 0.9
+    """,
+)
+def data_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band corpus filter: drop the shortest and longest 10% of
+    docs per language (the outlier-trim primitive of quality filtering).
+    percent_rank over (n_chars, doc_id) is a total order, so the band
+    membership is deterministic in both engines. One shuffle on lang; at
+    100 TB the same filter runs on approx quantile cut points instead
+    (computed once, broadcast), trading exactness for a scan-only plan."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        d.select("doc_id", "lang", "n_chars", pr.alias("len_pr"))
+        .filter((F.col("len_pr") >= 0.1) & (F.col("len_pr") <= 0.9))
+        .select(
+            "doc_id", "lang", "n_chars", F.round("len_pr", 6).alias("len_percentile")
+        )
+    )

@@ -4,8 +4,10 @@ Four dedup families over the ``documents`` corpus:
 
   * exact        — content hash (sha256) groupBy. One shuffle keyed by the
                    hash; survivors = min(doc_id).
-  * MinHash LSH  — deterministic MinHash signatures built from
-                   ``md5(seed || ':' || token)`` (portable across engines,
+  * MinHash LSH  — deterministic MinHash signatures: one md5 per shingle
+                   parsed to BIGINT, then a universal-hash family
+                   (A_i·h + B_i mod 2^31−1) derives all 12 signature
+                   values with integer math (portable across engines,
                    unlike MLlib's seeded MinHashLSH or xxhash64), banded
                    into buckets; candidate pairs only join within a bucket
                    — O(candidates), never the O(n²) cross join.
@@ -63,6 +65,16 @@ N_HASHES = 12
 BAND_ROWS = 6
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.7
+
+#: universal-hash family for the signatures: each shingle is md5'd ONCE
+#: (the dominant cost — the earlier per-seed ``md5(seed || shingle)``
+#: scheme paid N_HASHES md5s per shingle, ~60M digests at sf0.1), parsed
+#: to a BIGINT, then mixed per seed with (A_i·h + B_i) mod p — integer
+#: math both engines evaluate identically. p = 2^31−1 keeps every product
+#: under 2^62 (no overflow in either engine's BIGINT).
+MERSENNE_P = 2_147_483_647
+_LCG_A = [(1_103_515_245 * (i + 1)) % MERSENNE_P for i in range(N_HASHES)]
+_LCG_B = [(12_345 * (i + 1) + 7) % MERSENNE_P for i in range(N_HASHES)]
 #: buckets larger than this are dropped from pair generation (boilerplate
 #: guard): a degenerate bucket of k docs would emit k²/2 pairs. The cap is
 #: mirrored in the oracle SQL, so both engines drop the same buckets.
@@ -127,11 +139,20 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
         .filter(F.size("tokens") >= 1)
     )
     sh = toks.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+    hm = sh.select(
+        "doc_id",
+        (
+            F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
+            % MERSENNE_P
+        ).alias("hm"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.lit(_LCG_A[i]) * F.col("hm") + F.lit(_LCG_B[i])) % MERSENNE_P).alias(
+            f"h{i}"
+        )
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hm.groupBy("doc_id").agg(*aggs)
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -140,8 +161,12 @@ def _bands(sig: DataFrame) -> DataFrame:
         sig.select(
             "doc_id",
             F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)])
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                    for r in range(BAND_ROWS)
+                ],
             ).alias("band_hash"),
         )
         for b in range(N_BANDS)
@@ -155,12 +180,15 @@ def _bands(sig: DataFrame) -> DataFrame:
 def _sql_minhash_cte() -> str:
     """Oracle-side rendering of the identical shingle-MinHash pipeline."""
     mins = ",\n              ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES)
+        f"min(({_LCG_A[i]} * hm + {_LCG_B[i]}) % {MERSENNE_P}) AS h{i}"
+        for i in range(N_HASHES)
     )
     bands = "\n            UNION ALL\n            ".join(
-        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sig".format(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+            expr=" || '|' || ".join(
+                f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+            ),
         )
         for b in range(N_BANDS)
     )
@@ -176,10 +204,16 @@ def _sql_minhash_cte() -> str:
             SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
         ),
         sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+        hm AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                       % {MERSENNE_P} AS hm
+            FROM sh
+        ),
         sig AS (
             SELECT doc_id,
               {mins}
-            FROM sh GROUP BY doc_id
+            FROM hm GROUP BY doc_id
         ),
         bands AS (
             {bands}

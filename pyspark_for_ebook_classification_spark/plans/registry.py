@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "pyspark_for_ebook_classification_spark.operators.dedup",
     "pyspark_for_ebook_classification_spark.operators.similarity",
     "pyspark_for_ebook_classification_spark.operators.textops",
+    "pyspark_for_ebook_classification_spark.operators.datapipe",
     "pyspark_for_ebook_classification_spark.operators.multimodal",
     "pyspark_for_ebook_classification_spark.streaming.twins",
     "pyspark_for_ebook_classification_spark.ml.queries",
@@ -111,6 +112,11 @@ _PRIORITY: tuple[str, ...] = (
     "fn_map_suite",
     "fn_hash_suite",
     "fn_null_suite",
+    # — new in r2: training-data pipeline ops (never yet driver-verified) —
+    "data_stratified_sample",
+    "data_mix_weighted_sources",
+    "data_pack_sequences",
+    "data_quality_quantile_filter",
     # — new in r2: TPC-H classics + ntile (never yet driver-verified) —
     "sql_local_supplier_volume_q5",
     "join_returned_items_q10",
