@@ -141,6 +141,18 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "update")
 
 
+def run_dedup_by_id_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 primitive surface: ``dropDuplicatesWithinWatermark`` keyed on the
+    unique event_id — exactly-once-style dedup of a replayed/at-least-once
+    source. State for an id is evictable once the watermark passes it;
+    which physical row survives is arbitrary, so this runner keys on a
+    UNIQUE id (any surviving row is THE row) — for business-key dedup with
+    deterministic survivors use run_dedup_stream instead."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    return _run_to_memory(deduped.select("event_id", "user_id", "event_type"), "append")
+
+
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST7: stream ⋈ static dim (the static side broadcasts per micro-batch)."""
     from pyspark_for_ebook_classification_spark.sources.io import load
@@ -148,6 +160,67 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     customer = load(spark, sf_dir, "customer")
     return _run_to_memory(twins.enrich_with_customer(ev, customer))
+
+
+def run_tws_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (Spark 4.x API): ``transformWithStateInPandas`` — the successor
+    to applyInPandasWithState, with typed per-key state handles. Counts
+    events and sums values per (user_id, event_type); the final state per
+    key equals the batch groupBy, which is what the row-count test pins.
+
+    State is a single ValueState tuple; update-mode emissions per batch.
+    On a real cluster this runs on RocksDB state stores with changelog
+    checkpointing — nothing in the transformation changes.
+
+    Requires ``google.protobuf`` (the transformWithState state-server
+    wire protocol); raises ImportError with guidance where absent —
+    run_stateful_running_max is the dependency-free equivalent."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package for its "
+            "state-server protocol; use run_stateful_running_max "
+            "(applyInPandasWithState) in environments without it"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "acc", "n_events BIGINT, sum_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sv = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                sv += float(pdf["value"].sum())
+            self._state.update((n, sv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir)
+    result = ev.groupBy("user_id", "event_type").transformWithStateInPandas(
+        CountSum(),
+        outputStructType="user_id long, event_type string, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(result, "update")
 
 
 def run_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,14 @@ def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
     assert_frames_match(stream_pdf, batch_pdf, runner.__name__)
 
 
+def test_dedup_by_id_stream_row_count(spark, sf_dir):
+    """ST5 primitive: id-keyed dropDuplicatesWithinWatermark keeps exactly
+    one row per distinct event_id."""
+    out = jobs.run_dedup_by_id_stream(spark, sf_dir)
+    n_distinct = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_distinct
+
+
 def test_dedup_stream_equals_twin(spark, sf_dir):
     """ST5: streaming keep-earliest dedup converges to the batch twin —
     the last update-mode emission per (user_id, event_type) is the same
@@ -55,6 +63,27 @@ def test_stateful_running_max(spark, sf_dir):
     assert len(merged) == len(batch)
     assert (merged["max_value_s"] == merged["max_value_b"]).all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_tws_event_counts_matches_batch(spark, sf_dir):
+    """ST6 (transformWithStateInPandas): final per-key state equals the
+    batch groupBy counts/sums. The API's state-server protocol requires
+    google.protobuf, which this container lacks — skip there; the runner
+    itself is environment-gated the same way."""
+    pytest.importorskip("google.protobuf")
+
+    out = jobs.run_tws_event_counts(spark, sf_dir).toPandas()
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+    )
+    final = out.groupby(["user_id", "event_type"]).tail(1)
+    merged = final.merge(batch, on=["user_id", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(final)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
 
 
 def test_foreachbatch_sink_writes_epochs(spark, sf_dir, tmp_path):
