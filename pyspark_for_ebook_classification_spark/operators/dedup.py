@@ -398,17 +398,16 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ n-gram Jaccard L2
 
 
-@query(
-    "dedup_ngram_jaccard",
-    survey_ref="L2,F4",
-    doc="Word-trigram Jaccard over (lang, length-bucket)-blocked pairs.",
-    oracle="""
-        WITH toks AS (
+#: shared oracle CTE chain: blocked trigram-Jaccard candidate pairs at the
+#: 0.2 threshold — the final SELECT of dedup_ngram_jaccard and the edge
+#: set of dedup_connected_components.
+_NGRAM_PAIRS_CTES = """
+        toks AS (
             SELECT doc_id, lang,
                    list_filter(string_split(text, ' '), t -> t <> '') AS tokens
             FROM documents
         ),
-        shingled AS (
+        shingled3 AS (
             SELECT doc_id, lang,
                    CAST(length(tokens) // 10 AS INT) AS len_bucket,
                    list_distinct(list_transform(
@@ -421,19 +420,33 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sized AS (
             SELECT doc_id, lang, len_bucket, shingles,
                    CAST(length(shingles) AS INT) AS n_sh
-            FROM shingled
+            FROM shingled3
+        ),
+        ngram_pairs AS (
+            SELECT doc_a, doc_b, jac
+            FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / (a.n_sh + b.n_sh - length(list_intersect(a.shingles, b.shingles)))
+                           AS jac
+                FROM sized a
+                JOIN sized b
+                  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+                 AND a.doc_id < b.doc_id
+            )
+            WHERE jac >= 0.2
         )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    survey_ref="L2,F4",
+    doc="Word-trigram Jaccard over (lang, length-bucket)-blocked pairs.",
+    oracle=f"""
+        WITH {_NGRAM_PAIRS_CTES}
         SELECT doc_a, doc_b, round(jac, 6) AS trigram_jaccard
-        FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / (a.n_sh + b.n_sh - length(list_intersect(a.shingles, b.shingles)))
-                       AS jac
-            FROM sized a
-            JOIN sized b
-              ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        )
-        WHERE jac >= 0.2
+        FROM ngram_pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +454,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket of 10) — near-dups land in the same block, and block sizes stay
     bounded so the pair count grows ~linearly, not quadratically. The
     union size comes from |A|+|B|-|A∩B| (one set op per pair, not two)."""
+    return _ngram_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jac_raw", 6).alias("trigram_jaccard")
+    )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked trigram-Jaccard pairs ≥ 0.2: (doc_a, doc_b, jac_raw)."""
     d = load(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     # element_at is 1-based in both engines; transform over sequence(1, n-2)
@@ -475,6 +495,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round("jac_raw", 6).alias("trigram_jaccard"),
+            "jac_raw",
         )
     )
+
+
+# ------------------------------------- connected components (dedup clusters)
+
+
+@query(
+    "dedup_connected_components",
+    survey_ref="L2,L1",
+    doc="Transitive near-dup clusters: label propagation to a unique fixpoint.",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM ngram_pairs
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+        FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    trigram-Jaccard similarity graph via iterative min-label propagation.
+    Every doc's component_id converges to the minimum doc_id reachable
+    through near-dup edges — a unique fixpoint independent of iteration
+    order, which is why a DuckDB recursive CTE is an exact oracle for an
+    iterative Spark job.
+
+    Scale shape: the classic Spark CC loop. Edges are materialized once
+    with localCheckpoint (cutting the Jaccard pipeline out of every
+    iteration and keeping lineage flat); each round is one shuffle join +
+    min-aggregate; convergence is detected by the strictly-decreasing
+    label sum (decimal accumulator — no overflow at any corpus size).
+    Rounds grow with component diameter (~log n with doubling variants);
+    near-dup components are shallow, so this converges in a handful of
+    rounds even on huge corpora."""
+    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    label_sum = labels.agg(
+        F.sum(F.col("component_id").cast("decimal(38,0)"))
+    ).collect()[0][0]
+
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_min"))
+        )
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("neighbor_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(
+            F.sum(F.col("component_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if new_sum == label_sum:  # labels only decrease; equal sum == fixpoint
+            break
+        label_sum = new_sum
+
+    return labels

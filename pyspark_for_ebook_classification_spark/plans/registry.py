@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash_groups",
     "dedup_ngram_jaccard",
+    "dedup_connected_components",
     "sim_topk_bruteforce",
     "sim_ann_lsh_bucketed",
     "sim_cosine_neardup_pairs",
@@ -124,9 +125,8 @@ _PRIORITY: tuple[str, ...] = (
     "sql_big_order_customers_q18",
     "filter_disjunctive_bands_q19",
     "window_ntile_quartiles",
-    # — flagship relational set (re-verify every round) —
+    # — flagship (re-verify every round) —
     "agg_pricing_summary",
-    "join_broadcast_star_revenue",
     # — unverified in r1: ML surface (rows-only, §2.12) —
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
