@@ -53,6 +53,37 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q5_star_plan_broadcasts_every_dim(spark, sf_dir):
+    """TPC-H Q5 shape: all five dim joins broadcast; the only Exchange is
+    the final group-by — the plan a 1000-executor cluster needs (fact rows
+    shuffle once, dims never move)."""
+    q = all_queries()["sql_local_supplier_volume_q5"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] == 5, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["shuffles"] == 1, rep["plan"]
+
+
+def test_stratified_sample_is_scan_only(spark, sf_dir):
+    """Hash-stratified sampling must stay a pure map-side filter: zero
+    Exchange nodes, filter pushed to the scan, only referenced columns read."""
+    q = all_queries()["data_stratified_sample"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] == 0, rep["plan"]
+    assert rep["pushed_filters"], rep["plan"]
+    assert rep["read_schema_columns"] == 4, rep["plan"]
+
+
+def test_q19_disjunctive_join_broadcasts_part(spark, sf_dir):
+    """Q19 shape: the part side broadcasts and per-side conjuncts are
+    extracted below the join (pushed filters on the scans)."""
+    q = all_queries()["filter_disjunctive_bands_q19"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] == 1, rep["plan"]
+    assert rep["pushed_filters"], rep["plan"]
+    assert rep["cartesian"] == 0
+
+
 def test_no_query_plans_cartesian_product(spark, sf_dir):
     """Cross joins must always have a broadcast side (BNLJ), never a
     CartesianProduct over two big inputs."""
