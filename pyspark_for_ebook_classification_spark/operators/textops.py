@@ -305,3 +305,53 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("true_lang", F.col("cand_lang").alias("pred_lang"))
     )
     return pred.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "text_unigram_logprob",
+    survey_ref="L4,L6,A1,F3",
+    doc="Perplexity-style quality score: avg negative log-prob under the corpus unigram LM.",
+    oracle="""
+        WITH occ AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+            FROM documents
+        ),
+        vocab AS (SELECT t, COUNT(*) AS cnt FROM occ GROUP BY t),
+        tot AS (SELECT COUNT(*) AS total FROM occ)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CAST(-ln(CAST(cnt AS DOUBLE) / total) AS DECIMAL(28,6)))
+                    AS DOUBLE) / COUNT(*) AS avg_nll
+        FROM occ JOIN vocab USING (t) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity-filter primitive: score each doc by the average
+    negative log-probability of its tokens under the corpus-wide unigram
+    model (high avg_nll = rare-token-heavy = candidate for quality review).
+
+    Two aggregates over one exploded token stream: vocabulary counts, then
+    a broadcast join back onto the occurrences (small-vocab path; at 100 TB
+    with an open vocabulary this becomes a shuffle join on the token — same
+    plan shape Catalyst picks once the broadcast threshold is exceeded).
+    Each -ln(p) term is rounded to decimal(28,6) before the per-doc sum, so
+    the accumulation is order-independent and engine-exact (registry
+    determinism contract for libm-dependent values)."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(_tokens()).alias("t"))
+    vocab = occ.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = occ.agg(F.count(F.lit(1)).alias("total"))
+    nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (
+        occ.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(nll.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )

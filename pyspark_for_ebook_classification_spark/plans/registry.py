@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint_shingle",
     "text_tfidf_vocab",
     "text_lang_id_ngram",
+    "text_unigram_logprob",
     "multimodal_row_transport",
     "multimodal_decode_stub",
     # — unverified in r1: streaming batch twins (§2.10) —
@@ -110,7 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_above_avg_balance",
     "join_full_outer_nation_presence",
     "unpivot_lineitem_measures",
-    "fn_map_suite",
     "fn_hash_suite",
     "fn_null_suite",
     # — new in r2: training-data pipeline ops (never yet driver-verified) —
@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile_quartiles",
     # — flagship (re-verify every round) —
     "agg_pricing_summary",
+    # — F5 coverage dup of r1-verified fn_json_map_suite; rotates in r3 —
+    "fn_map_suite",
     # — unverified in r1: ML surface (rows-only, §2.12) —
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
