@@ -341,3 +341,36 @@ def agg_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["F", "O", "P"])
     )
+
+
+@query(
+    "agg_hll_mergeable_sketch",
+    survey_ref="A3",
+    oracle=None,  # sketch estimates are library-specific → rows-only
+    doc="DataSketches HLL: per-segment sketches merged into a global estimate.",
+)
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at 100 TB: the reason sketches beat exact count-distinct is
+    MERGEABILITY — per-partition/per-day sketches union in O(sketch size)
+    without re-touching the data. Shape here: one sketch per market
+    segment (first aggregate), then a union-merge to the global estimate
+    (second aggregate over 5 tiny sketch blobs). On a cluster the same two
+    levels are map-side sketch + reduce-side union; the estimate-vs-exact
+    check lives in tests (rows-only for the driver, like
+    agg_approx_count_distinct)."""
+    c = load(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        F.expr("hll_sketch_estimate(sk)").alias("est_distinct"),
+        "exact_distinct",
+    ).unionByName(
+        per_seg.agg(
+            F.lit("__ALL__").alias("c_mktsegment"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"),
+            F.sum("exact_distinct").alias("exact_distinct"),  # custkeys are segment-disjoint
+        )
+    )

@@ -275,3 +275,55 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_mktsegment", "c_custkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "window_funnel_conversion",
+    survey_ref="W2,A5,F2",
+    oracle="""
+        WITH stage AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+                       AS first_view,
+                   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                       AS first_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+                       AS first_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT
+            COUNT(*) AS n_users,
+            CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_viewed,
+            CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+            CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM stage
+    """,
+)
+def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view → click → purchase, time-ordered): per-user
+    first-touch timestamps via conditional MIN — one hash aggregate on
+    user_id, no window state, no self-joins (the n-stage funnel stays a
+    single shuffle at any scale). NULL semantics do the late-stage gating:
+    a missing earlier stage makes the > comparison NULL → not counted."""
+    ev = load(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stage = ev.groupBy("user_id").agg(
+        first_of("view").alias("first_view"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    as_cnt = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(name)
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_cnt(viewed, "n_viewed"),
+        as_cnt(clicked, "n_view_then_click"),
+        as_cnt(purchased, "n_full_funnel"),
+    )

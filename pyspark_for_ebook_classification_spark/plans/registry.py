@@ -112,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_full_outer_nation_presence",
     "unpivot_lineitem_measures",
     "fn_hash_suite",
-    "fn_null_suite",
+    "window_funnel_conversion",
     # — new in r2: training-data pipeline ops (never yet driver-verified) —
     "data_stratified_sample",
     "data_mix_weighted_sources",
@@ -127,8 +127,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile_quartiles",
     # — flagship (re-verify every round) —
     "agg_pricing_summary",
-    # — F5 coverage dup of r1-verified fn_json_map_suite; rotates in r3 —
+    # — coverage dups of r1-verified rows (F5/F8) + rows-only; rotate in r3 —
     "fn_map_suite",
+    "fn_null_suite",
+    "agg_hll_mergeable_sketch",
     # — unverified in r1: ML surface (rows-only, §2.12) —
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",

@@ -69,3 +69,14 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_hll_sketch_estimate_accuracy(spark, sf_dir):
+    """Merged HLL estimates stay within 5% of exact distinct counts (at
+    test scale they are typically exact — sparse-mode sketches)."""
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    pdf = all_queries()["agg_hll_mergeable_sketch"].fn(spark, sf_dir).toPandas()
+    assert (pdf["c_mktsegment"] == "__ALL__").sum() == 1
+    rel_err = (pdf["est_distinct"] - pdf["exact_distinct"]).abs() / pdf["exact_distinct"]
+    assert (rel_err < 0.05).all(), pdf
