@@ -360,3 +360,87 @@ def join_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("last_click_id").alias("click_event_id"),
         )
     )
+
+
+@query(
+    "join_asof_forward_next_error",
+    survey_ref="J7,W2",
+    doc="Forward as-of join: each purchase matched to the user's first error strictly after it.",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        errors AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(min(event_id) AS BIGINT) AS error_event_id
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        )
+        SELECT
+            p.event_id,
+            p.user_id,
+            p.ts,
+            e.ts AS error_ts,
+            e.error_event_id
+        FROM purchases p
+        ASOF JOIN errors e
+          ON p.user_id = e.user_id AND p.ts < e.ts
+    """,
+)
+def join_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (J7's other direction): first error STRICTLY after
+    each purchase per user — DuckDB ``ASOF JOIN ... ON p.ts < e.ts``.
+
+    Same union+window emulation as the backward as-of, mirrored: one
+    shuffle on user_id, in-partition sort by (ts, is_purchase), and
+    first_value(ignorenulls) over the FOLLOWING frame pulls the earliest
+    error onto each purchase. Errors sort before purchases at equal ts
+    (is_purchase 0 < 1), so an error at exactly purchase.ts is NOT in the
+    following frame — strict `<` semantics preserved."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("error_event_id"))
+    )
+
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("error_event_id"),
+        F.lit(None).cast("timestamp").alias("error_ts"),
+    ).unionByName(
+        errors.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            "error_event_id",
+            F.col("ts").alias("error_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_error_id", F.first("error_event_id", ignorenulls=True).over(w)
+        )
+        .withColumn("next_error_ts", F.first("error_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_purchase") == 1) & F.col("next_error_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("next_error_ts").alias("error_ts"),
+            F.col("next_error_id").alias("error_event_id"),
+        )
+    )

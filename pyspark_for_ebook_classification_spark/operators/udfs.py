@@ -220,3 +220,43 @@ def udf_plain_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "nation").select(
         "n_name", name_bucket("n_name").alias("name_bucket")
     )
+
+
+@query(
+    "udf_arrow_map_batches",
+    survey_ref="UF4",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_quantity * (1.0 - l_discount) AS eff_qty
+        FROM lineitem
+        WHERE l_orderkey % 500 = 0
+    """,
+)
+def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UF4 at the Arrow layer: ``mapInArrow`` hands the Python worker raw
+    pyarrow RecordBatches — no pandas conversion at all, the cheapest
+    possible Python boundary (columnar in, columnar out, zero-copy where
+    types allow). The arithmetic runs in Arrow compute kernels (C++), so
+    results are IEEE-identical to the JVM/DuckDB expressions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def eff_qty(batches):
+        for b in batches:
+            q = pc.multiply(
+                b.column("l_quantity"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), q],
+                names=["l_orderkey", "l_linenumber", "eff_qty"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+    return li.mapInArrow(
+        eff_qty, schema="l_orderkey long, l_linenumber int, eff_qty double"
+    )
