@@ -546,8 +546,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.localCheckpoint(eager=True)
 
+    # Iterate ONLY over docs that appear in the graph: a singleton's label
+    # never changes, so keeping the (at 100 TB, vastly larger) edge-free
+    # corpus out of the loop shrinks every per-round shuffle to the
+    # near-dup subgraph. Singletons rejoin after convergence.
     labels = (
-        load(spark, sf_dir, "documents")
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .localCheckpoint(eager=True)
     )
@@ -578,4 +583,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         label_sum = new_sum
 
-    return labels
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
