@@ -444,3 +444,35 @@ def join_asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_error_id").alias("error_event_id"),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    survey_ref="J1,F8",
+    doc="Null-safe equi-join (<=>): NULL keys match NULL keys instead of vanishing.",
+    oracle="""
+        WITH tagged AS (
+            SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+            FROM customer
+        ),
+        seg_counts AS (
+            SELECT nullif(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS seg_n
+            FROM customer GROUP BY 1
+        )
+        SELECT t.c_custkey, t.seg, s.seg_n
+        FROM tagged t JOIN seg_counts s ON t.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ``<=>`` (eqNullSafe) == SQL ``IS NOT DISTINCT FROM``: a plain
+    equi-join drops NULL keys on both sides; the null-safe variant keeps
+    them AND stays a hash-joinable equality (Catalyst plans
+    BroadcastHashJoin here, not a nested loop) — the difference between
+    losing every null-keyed row and a correct outer-dimension rollup."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    tagged = c.select("c_custkey", seg.alias("seg"))
+    seg_counts = c.groupBy(seg.alias("seg")).agg(F.count(F.lit(1)).alias("seg_n"))
+    return tagged.join(
+        F.broadcast(seg_counts), tagged.seg.eqNullSafe(seg_counts.seg)
+    ).select(tagged.c_custkey, tagged.seg, seg_counts.seg_n)

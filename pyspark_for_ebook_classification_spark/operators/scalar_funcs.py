@@ -337,3 +337,27 @@ def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_finished_nullsafe"),
         F.isnan(F.lit(float("nan")) * F.col("o_totalprice")).alias("nan_detected"),
     )
+
+
+@query(
+    "fn_posexplode_positions",
+    survey_ref="F4,L4",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents WHERE doc_id % 100 = 0
+        )
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tokens[u.i] AS token
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, length(tokens) + 1)) AS i) u
+    """,
+)
+def fn_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream WITH positions (0-based in both engines
+    after the oracle's i-1) — the chunker/windowing primitive that plain
+    explode loses."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select("doc_id", tokens.alias("tokens")).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
