@@ -374,3 +374,99 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("exact_distinct").alias("exact_distinct"),  # custkeys are segment-disjoint
         )
     )
+
+
+@query(
+    "agg_min_max_by",
+    survey_ref="A1,A5",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            arg_max(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+                                + o_orderkey) AS priciest_order,
+            arg_min(o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) * 100000000
+                                + o_orderkey) AS cheapest_order,
+            CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+            CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates). Ties on price are broken by
+    folding the orderkey into the ordering value (cents * 1e8 + key — an
+    exact BIGINT), because both engines pick an ARBITRARY row among equal
+    ordering values; floor() is IEEE-identical so the composed key is too."""
+    o = load(spark, sf_dir, "orders")
+    ordval = (
+        F.floor(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordval).alias("priciest_order"),
+        F.min_by("o_orderkey", ordval).alias("cheapest_order"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )
+
+
+@query(
+    "agg_corr_regr",
+    survey_ref="A7",
+    oracle="""
+        WITH s AS (
+            SELECT
+                l_returnflag,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+            FROM lineitem
+            GROUP BY l_returnflag
+        )
+        SELECT
+            l_returnflag,
+            n,
+            round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+            round((sxy - sx * sy / n)
+                  / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price,
+            round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS regr_slope_price_on_qty,
+            round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+                AS regr_intercept
+        FROM s
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / least-squares slope+intercept, built
+    from exact decimal co-moments (the built-in corr/covar_samp use
+    engine-specific streaming merges whose results vary with partition
+    order — by construction these do not). One map-side-combined hash
+    aggregate; the ratio math is per-group scalar work."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(x.cast("decimal(28,6)")).cast("double")
+    sy = F.sum(y.cast("decimal(28,6)")).cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,6)")).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,6)")).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,6)")).cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    cn, csx, csy = F.col("n"), F.col("sx"), F.col("sy")
+    csxx, csyy, csxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_num = csxy - csx * csy / cn
+    slope = cov_num / (csxx - csx * csx / cn)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (cn - 1), 4).alias("covar_qty_price"),
+        F.round(
+            cov_num / (F.sqrt(csxx - csx * csx / cn) * F.sqrt(csyy - csy * csy / cn)), 6
+        ).alias("corr_qty_price"),
+        F.round(slope, 4).alias("regr_slope_price_on_qty"),
+        F.round((csy - slope * csx) / cn, 4).alias("regr_intercept"),
+    )

@@ -404,3 +404,153 @@ def filter_disjunctive_bands_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+#: TPC-H-Q7-shaped SQL, valid in BOTH Spark SQL and DuckDB (the Spark side
+#: executes this text via spark.sql). Nation pair adapted to the driver's
+#: NATION_1/NATION_2; ship-year window 1995-1996 as in the spec.
+_Q7_SQL = f"""
+    SELECT
+        supp_nation,
+        cust_nation,
+        l_year,
+        {sql_dsum('volume', 'revenue')}
+    FROM (
+        SELECT
+            n1.n_name AS supp_nation,
+            n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS INT) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_volume_shipping_q7", survey_ref="J1,J4,J8,A1,§3-EP3", oracle=_Q7_SQL)
+def sql_volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joined TWICE under different
+    aliases (supplier's vs customer's nation) with a disjunctive pair
+    predicate — the self-aliased dim join Catalyst must keep separate.
+    Both nation sides broadcast; the fact path is one shuffle to the
+    group-by."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q7_SQL)
+
+
+#: TPC-H-Q8-shaped SQL (market share), shared text for both engines.
+#: Region AMERICA, part type ECONOMY, supplier nation NATION_3; the share
+#: is a ratio of two exact decimal sums so it is order-independent.
+_Q8_SQL = """
+    SELECT
+        o_year,
+        round(
+            CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                          AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE),
+            6) AS mkt_share
+    FROM (
+        SELECT
+            CAST(year(o_orderdate) AS INT) AS o_year,
+            l_extendedprice * (1 - l_discount) AS volume,
+            n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("sql_market_share_q8", survey_ref="J1,J4,A5,F3,§3-EP3", oracle=_Q8_SQL)
+def sql_market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: an 8-table star join (nation twice) feeding a
+    conditional-share aggregate. Every dim side broadcasts; lineitem is
+    the only shuffled input, and the share ratio divides two decimal-exact
+    sums per year."""
+    for t in ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q8_SQL)
+
+
+#: TPC-H-Q15-shaped SQL: quarterly per-supplier revenue CTE used twice —
+#: once as the join input, once under a scalar MAX subquery. Decimal-exact
+#: revenue makes the max equality deterministic.
+_Q15_SQL = f"""
+    WITH revenue AS (
+        SELECT
+            l_suppkey AS supplier_no,
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_top_supplier_q15", survey_ref="J1,A1,O3,§3-EP3", oracle=_Q15_SQL)
+def sql_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a grouped CTE consumed twice — as a join side and
+    inside a scalar MAX subquery. Catalyst evaluates the scalar subquery
+    as its own stage and broadcasts the single-row result into the filter;
+    the CTE's exact decimal revenue makes `= MAX(...)` well-defined over
+    doubles."""
+    for t in ("supplier", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q15_SQL)
+
+
+#: TPC-H-Q17-shaped SQL: correlated aggregate subquery (per-part average
+#: quantity threshold). The avg is decimal-exact so the 0.2·avg boundary
+#: comparison is engine-identical.
+_Q17_SQL = """
+    SELECT
+        round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 4)
+            AS avg_yearly,
+        COUNT(*) AS n_small_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.2 * (
+          SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@query("sql_small_qty_revenue_q17", survey_ref="J1,J3,A1,§3-EP3", oracle=_Q17_SQL)
+def sql_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part aggregate subquery. Catalyst
+    decorrelates it into an aggregate-then-join (one extra pass over
+    lineitem grouped by partkey) instead of a per-row subquery — the plan
+    that scales; the decimal-exact average keeps the `< 0.2·avg` boundary
+    bit-identical across engines."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SQL)

@@ -153,11 +153,13 @@ def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
     cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     start = F.col("cum_tokens") - F.col("n_tokens")
+    # `div`, not floor(/): double division would lose exactness once the
+    # running token offset passes 2^53 — real at corpus scale.
     return cum.select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.floor(start / SEQ_LEN).cast("bigint").alias("pack_id"),
+        F.expr(f"(cum_tokens - n_tokens) div {SEQ_LEN}").alias("pack_id"),
         (start % SEQ_LEN).cast("bigint").alias("pack_offset"),
     )
 
@@ -193,5 +195,41 @@ def data_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("len_pr") >= 0.1) & (F.col("len_pr") <= 0.9))
         .select(
             "doc_id", "lang", "n_chars", F.round("len_pr", 6).alias("len_percentile")
+        )
+    )
+
+
+@query(
+    "data_train_valid_split",
+    survey_ref="L4,F7,A1",
+    doc="Deterministic hash split into train/valid with per-source counts.",
+    oracle=f"""
+        SELECT
+            source,
+            CASE WHEN {_SQL_PCT} < 95 THEN 'train' ELSE 'valid' END AS split,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        FROM documents
+        GROUP BY source, CASE WHEN {_SQL_PCT} < 95 THEN 'train' ELSE 'valid' END
+    """,
+)
+def data_train_valid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid corpus split: md5(doc_id) mod 100 < 95 → train, else
+    valid — the held-out-set primitive. Hash-based (never ``randomSplit``,
+    which resamples on every task retry and is not reproducible across
+    engines or runs), and summarized per (source, split) so the declared
+    query verifies both membership AND the aggregate bookkeeping a corpus
+    build records. Map-side split + one hash aggregate; at 100 TB the same
+    expression becomes the partitionBy column of the output writer."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(F.expr(_SPARK_PCT) < 95, "train").otherwise("valid")
+    return (
+        d.select("source", split.alias("split"), "n_chars", "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )

@@ -361,3 +361,71 @@ def fn_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tokens.alias("tokens")).select(
         "doc_id", F.posexplode("tokens").alias("pos", "token")
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    survey_ref="F3,F7",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_orderkey & 255 AS key_and,
+            o_orderkey | 4096 AS key_or,
+            xor(o_orderkey, 1365) AS key_xor,
+            o_orderkey << 3 AS key_shl,
+            o_orderkey >> 2 AS key_shr,
+            CAST(bit_count(o_orderkey) AS INT) AS key_popcount,
+            ~o_orderkey AS key_not
+        FROM orders
+        WHERE o_orderkey % 500 = 0
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR/NOT, shifts, popcount — the primitives
+    behind bitmap indexes, bloom membership words, and simhash banding.
+    All integer-exact, hence bit-identical across engines."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.filter(k % 500 == 0).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("key_xor"),
+        F.shiftleft(k, 3).cast("bigint").alias("key_shl"),
+        F.shiftright(k, 2).cast("bigint").alias("key_shr"),
+        F.bit_count(k).alias("key_popcount"),
+        F.expr("~o_orderkey").alias("key_not"),
+    )
+
+
+@query(
+    "fn_struct_suite",
+    survey_ref="F5,F6",
+    oracle="""
+        SELECT
+            n_nationkey,
+            struct_pack(name := n_name, region := n_regionkey).name AS packed_name,
+            to_json(struct_pack(key := n_nationkey, name := n_name)) AS as_json,
+            CAST(struct_pack(a := n_nationkey, b := n_regionkey).b
+                 + struct_pack(a := n_nationkey, b := n_regionkey).a AS BIGINT) AS field_sum
+        FROM nation
+    """,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named_struct construction, field access, struct →
+    JSON serialization. Structs are how multimodal metadata rides along
+    relational rows (SURVEY §1.2); output is scalar fields/JSON strings so
+    the cross-engine hash compares primitives, not engine-native nesting."""
+    n = load(spark, sf_dir, "nation")
+    packed = F.struct(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+    )
+    ab = F.struct(F.col("n_nationkey").alias("a"), F.col("n_regionkey").alias("b"))
+    return n.select(
+        "n_nationkey",
+        F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
+        .getField("name")
+        .alias("packed_name"),
+        F.to_json(packed).alias("as_json"),
+        (ab.getField("b") + ab.getField("a")).cast("bigint").alias("field_sum"),
+    )

@@ -2,9 +2,11 @@
 
 S1 (parquet) is exercised by every other query; here it gets an explicit
 checksum-style declared query. S4 (in-memory VALUES) is declared. S2/S3
-(CSV/JSON round-trips) and S5/S6 (sinks, streams) are side-effecting, so
-they are covered by pytest golden tests (tests/test_sources.py) instead of
-oracle queries.
+are declared as sink→source ROUND-TRIPS (write CSV/JSON-lines to /tmp,
+read back with an explicit schema, oracle = the original table — the
+round-trip is the assertion), which also drives the S5 sink half; richer
+sink coverage (partitioned/bucketed parquet, streams) stays in pytest
+(tests/test_sources.py, tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -82,3 +84,64 @@ def scan_inline_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     configs, and test fixtures)."""
     bands = price_bands_df(spark)
     return bands.select("band", "lo", "hi", (F.col("hi") - F.col("lo")).alias("width"))
+
+
+@query(
+    "scan_csv_roundtrip",
+    survey_ref="S2,S5",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a driver-verified query: parquet → CSV sink → CSV source with
+    an explicit schema (never inferSchema — a second full scan at 100 TB)
+    must reproduce the table byte-for-byte, quoting/escaping included.
+    The oracle reads the original table: the round-trip IS the assertion."""
+    from pyspark_for_ebook_classification_spark.sources.io import read_csv
+
+    path = "/tmp/spark_graft_s2_nation_csv"
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_csv(spark, path, schema=schema, header=True).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    survey_ref="S3,S5",
+    oracle="""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+    """,
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 as a driver-verified query: parquet → JSON-lines sink → schema'd
+    JSON source round-trip on the supplier dim (strings + doubles). Double
+    round-trip is exact: Spark writes shortest-repr doubles and reads them
+    back to the identical bit pattern."""
+    from pyspark_for_ebook_classification_spark.sources.io import read_jsonl
+
+    path = "/tmp/spark_graft_s3_supplier_jsonl"
+    s = load(spark, sf_dir, "supplier")
+    s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return read_jsonl(spark, path, schema=schema).select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )

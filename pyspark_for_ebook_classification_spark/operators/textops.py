@@ -355,3 +355,82 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    survey_ref="L4,F1",
+    oracle=r"""
+        SELECT
+            doc_id,
+            regexp_replace(
+                regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                '\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g') AS scrubbed_head_pre,
+            CAST(length(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT)
+                AS n_emails,
+            CAST(length(regexp_extract_all(text, '\d{3}[- ]\d{3,4}[- ]\d{4}')) AS INT)
+                AS n_phones,
+            CAST(length(regexp_extract_all(text, '\d+')) AS INT) AS n_number_runs
+        FROM documents
+        WHERE doc_id % 25 = 0
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every pre-training corpus runs:
+    regexp_replace email/phone shapes with placeholder tags plus per-doc
+    redaction counts. Pure codegen'd regexp work on the scan, no shuffle;
+    at 100 TB this is the textbook map-only stage (predicate and the
+    doc_id sampling filter both push into the parquet scan)."""
+    d = load(spark, sf_dir, "documents")
+    email = r"[a-z0-9._]+@[a-z0-9.-]+"
+    phone = r"\d{3}[- ]\d{3,4}[- ]\d{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        scrubbed.alias("scrubbed_head_pre"),
+        F.regexp_count("text", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_count("text", F.lit(r"\d+")).cast("int").alias("n_number_runs"),
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    survey_ref="L4",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_SQL_TOKENS}) AS token
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS c
+            FROM tok GROUP BY doc_id, token
+        )
+        SELECT
+            doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(*) AS n_unique,
+            round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS unique_ratio,
+            round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_token_share
+        FROM tf
+        GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the 'gibberish / template spam'
+    detector): distinct-token ratio and the share of the single most
+    frequent token. Two-level aggregation — explode → (doc, token) counts
+    → per-doc rollup — both levels hash aggregates with map-side combine;
+    the (doc_id, token) key is near-unique so no skew at scale."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("bigint")
+    return tf.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(F.count(F.lit(1)) / total.cast("double"), 6).alias("unique_ratio"),
+        F.round(F.max("c") / total.cast("double"), 6).alias("top_token_share"),
+    )

@@ -327,3 +327,38 @@ def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_cnt(clicked, "n_view_then_click"),
         as_cnt(purchased, "n_full_funnel"),
     )
+
+
+@query(
+    "window_nth_value_frames",
+    survey_ref="W2,W3",
+    oracle="""
+        SELECT DISTINCT
+            l_suppkey,
+            nth_value(l_orderkey, 2) OVER (
+                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            ) AS second_order,
+            nth_value(l_orderkey, 3) OVER (
+                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            ) AS third_order
+        FROM lineitem
+        WHERE l_orderkey % 10 = 0
+    """,
+)
+def window_nth_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame (NULL when the partition is
+    shorter than n — identical NULL semantics in both engines), reduced
+    with DISTINCT to one row per supplier."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_suppkey",
+        F.nth_value("l_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("l_orderkey", 3).over(w).alias("third_order"),
+    ).distinct()

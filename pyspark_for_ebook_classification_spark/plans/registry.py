@@ -138,6 +138,17 @@ _PRIORITY: tuple[str, ...] = (
     "ml_eval_metrics",
 )
 
+# r3 rotation TODO: front these still-unverified names next round —
+# everything after position 50 above (fn_map_suite, fn_null_suite,
+# agg_hll_mergeable_sketch, ml_*), the r1 stragglers
+# (join_asof_forward_next_error, join_null_safe_eq,
+# fn_posexplode_positions, udf_arrow_map_batches), and the r2 additions
+# (fn_bitwise_suite, fn_struct_suite, agg_min_max_by, agg_corr_regr,
+# window_nth_value_frames, scan_csv_roundtrip, scan_jsonl_roundtrip,
+# text_pii_scrub, text_repetition_ratio, data_train_valid_split,
+# stream_stream_join_twin, sql_volume_shipping_q7, sql_market_share_q8,
+# sql_top_supplier_q15, sql_small_qty_revenue_q17).
+
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
     rank = {n: i for i, n in enumerate(_PRIORITY)}

@@ -250,3 +250,24 @@ def run_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "update")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8: watermarked stream-stream interval join — two streaming reads
+    of the events source (clicks, purchases), joined on user_id with a
+    30-minute event-time bound. Both sides carry watermarks, so the
+    symmetric hash join can evict click state at watermark − 30min and
+    purchase state at the watermark; without the interval predicate the
+    join would buffer both streams forever (the canonical unbounded-state
+    mistake). Append mode: matches emit once both watermarks pass."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+    )
+    return _run_to_memory(twins.click_purchase_pairs(clicks, purchases), "append")

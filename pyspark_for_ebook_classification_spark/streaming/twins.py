@@ -227,3 +227,73 @@ def stream_static_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_customer(
         load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
     )
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """ST8 logic (stream-stream interval join), shared by the batch twin
+    and the streaming runner: every (click, purchase) pair of the same
+    user where the purchase lands within 30 minutes of the click. The
+    interval bound is what makes this runnable as a stream-stream join —
+    it lets the engine evict click state once the watermark passes
+    click.ts + 30min."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("lag_us"),
+        )
+    )
+
+
+@query(
+    "stream_stream_join_twin",
+    survey_ref="ST7,J5,W2",
+    doc="Batch twin of the watermarked stream-stream interval join (click→purchase).",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+                   AS lag_us
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the stream-stream join: both sides are the same
+    events table filtered by type; the equi-key (user_id) plus the time
+    interval is exactly what Structured Streaming's symmetric hash join
+    keeps state for. At 100 TB the equi-key shuffles both sides once and
+    the interval predicate bounds state — no unbounded buffering."""
+    ev = load(spark, sf_dir, "events")
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -23,8 +23,9 @@ from tests.compare import assert_frames_match
         (jobs.run_sliding_stream, twins.stream_sliding_quarter_twin),
         (jobs.run_session_stream, twins.stream_session_window_twin),
         (jobs.run_stream_static_join, twins.stream_static_join_twin),
+        (jobs.run_stream_stream_join, twins.stream_stream_join_twin),
     ],
-    ids=["tumbling", "sliding", "session", "static_join"],
+    ids=["tumbling", "sliding", "session", "static_join", "stream_stream_join"],
 )
 def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
     stream_pdf = runner(spark, sf_dir).toPandas()
