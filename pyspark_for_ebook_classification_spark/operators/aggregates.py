@@ -14,7 +14,7 @@ Scale notes (the part the sf0.01 oracle can't see):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import (
@@ -469,4 +469,43 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round(slope, 4).alias("regr_slope_price_on_qty"),
         F.round((csy - slope * csx) / cn, 4).alias("regr_intercept"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    survey_ref="A5,W1,A1",
+    doc="Per-user modal event_type with a deterministic tie-break.",
+    oracle="""
+        SELECT user_id, event_type AS modal_event, cnt AS n_events
+        FROM (
+            SELECT user_id, event_type, COUNT(*) AS cnt,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY COUNT(*) DESC, event_type
+                   ) AS rn
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most-frequent value) per group, made deterministic: native
+    ``mode()`` in both engines picks an ARBITRARY value among tied counts,
+    so the engine surface instead composes count + row_number with the tie
+    broken lexicographically — same answer on every run, every engine,
+    every partitioning. Count first, THEN rank: the window runs over
+    user×type rows (bounded by the type vocabulary), never raw events."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("cnt").alias("n_events"),
+        )
     )

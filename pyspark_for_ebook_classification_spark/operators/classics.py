@@ -554,3 +554,33 @@ def sql_small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q17_SQL)
+
+
+#: TPC-H-Q13-shaped SQL: customer order-count distribution. The classic
+#: "left join then count, then histogram the counts" double aggregate;
+#: the priority filter stands in for Q13's comment-pattern exclusion
+#: (orders lacks o_comment in the driver schema).
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("sql_customer_distribution_q13", survey_ref="J2,A1,§3-EP3", oracle=_Q13_SQL)
+def sql_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserved under aggregation — customers
+    with zero qualifying orders must surface as c_count = 0, so the filter
+    lives in the JOIN condition, not WHERE (where it would turn the outer
+    join inner). Two aggregations: the first shuffles by custkey (already
+    the join key, so AQE coalesces join+agg into one exchange); the second
+    groups a histogram whose cardinality is tiny regardless of scale."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q13_SQL)

@@ -199,6 +199,100 @@ def data_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sources held out as the "benchmark / eval suite" for decontamination.
+_EVAL_SOURCES = ("src18", "src19")
+_NGRAM = 8
+
+
+@query(
+    "data_decontaminate_ngram",
+    survey_ref="L4,L1,J4,F4",
+    doc="Benchmark decontamination: 8-gram overlap of train docs vs eval set.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(tokens) - {_NGRAM} + 2),
+                       i -> array_to_string(tokens[i : i + {_NGRAM} - 1], ' ')
+                   ))) AS ngram
+            FROM toks WHERE length(tokens) >= {_NGRAM}
+        ), eval_grams AS (
+            SELECT DISTINCT ngram FROM grams
+            WHERE source IN {_EVAL_SOURCES}
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_ngrams,
+               CAST(SUM(CASE WHEN e.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               round(CAST(SUM(CASE WHEN e.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS contamination,
+               CAST(SUM(CASE WHEN e.ngram IS NOT NULL THEN 1 ELSE 0 END) > 0
+                    AS INT) AS is_contaminated
+        FROM grams g
+        LEFT JOIN eval_grams e USING (ngram)
+        WHERE g.source NOT IN {_EVAL_SOURCES}
+        GROUP BY g.doc_id
+    """,
+)
+def data_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the Dolma/FineWeb pre-training hygiene
+    pass): docs from the held-out eval sources define a distinct-8-gram
+    set; every training doc is scored by what fraction of ITS distinct
+    8-grams appear in that set. Random 8-grams from this vocab almost
+    never collide, so a nonzero score means genuinely shared passages.
+
+    Scale shape: the eval suite is tiny and fixed (benchmarks, not the
+    corpus), so its distinct-gram set is broadcast — the 100 TB train side
+    is scored in a single map-side pass with one final groupBy(doc_id)
+    whose width is bounded by docs, not grams. No shuffle ever carries the
+    eval side; dropping the broadcast would sort-merge 100 TB of grams."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    ).filter(F.size("tokens") >= _NGRAM)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(tokens) - {_NGRAM} + 1), "
+                f"i -> array_join(slice(tokens, i, {_NGRAM}), ' ')))"
+            )
+        ).alias("ngram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("source").isin(*_EVAL_SOURCES))
+        .select("ngram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return (
+        train.join(F.broadcast(eval_grams), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(hit).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_ngrams"), 6).alias(
+                "contamination"
+            ),
+            (F.col("n_hits") > 0).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
 @query(
     "data_train_valid_split",
     survey_ref="L4,F7,A1",

@@ -24,7 +24,7 @@ buckets (boilerplate docs) are handled by AQE skew-join splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.plans.registry import query
@@ -586,4 +586,96 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
+
+
+# ------------------------------------------------------- chunk-level L1/L2
+
+CHUNK_TOKENS = 16
+
+
+@query(
+    "dedup_chunk_global",
+    survey_ref="L1,L4,W1,F4",
+    doc="C4-style paragraph dedup: global keep-first over 16-token chunks.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ), chunks AS (
+            SELECT doc_id,
+                   CAST(u.i - 1 AS INT) AS chunk_no,
+                   array_to_string(
+                       tokens[(u.i - 1) * {CHUNK_TOKENS} + 1 : u.i * {CHUNK_TOKENS}],
+                       ' ') AS chunk_text
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1,
+                     CAST(ceil(length(tokens) / {CHUNK_TOKENS}.0) AS BIGINT) + 1))
+                     AS i) u
+            WHERE (u.i - 1) * {CHUNK_TOKENS} < length(tokens)
+        ), counted AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY doc_id) AS n_chunks
+            FROM chunks
+        ), kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk_text ORDER BY doc_id, chunk_no) AS rn
+                FROM counted)
+            WHERE rn = 1
+        )
+        SELECT doc_id,
+               CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+               COUNT(*) AS n_kept,
+               string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text
+        FROM kept
+        GROUP BY doc_id
+    """,
+)
+def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup, C4/RefinedWeb style: split every doc into
+    16-token chunks, keep each distinct chunk text only at its FIRST
+    corpus occurrence (ordered by doc_id, chunk_no — a total order, so
+    keep-first is deterministic in both engines), then reassemble the
+    surviving chunks per doc. Docs whose every chunk was seen earlier
+    vanish entirely — exactly the boilerplate-removal semantics.
+
+    Scale shape: the only wide exchange is the shuffle on chunk_text for
+    the keep-first window — the same key a groupBy dedup would need, and
+    chunks (not docs) are the natural skew-free unit. Reassembly shuffles
+    by doc_id with sort_array on bounded per-doc lists (docs / 16-token
+    chunks → list length is doc length / 16, never unbounded collect)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    ).filter(F.size("tokens") >= 1)
+    # n_chunks is the SIZE of the chunk array, computed before the explode —
+    # a per-doc window count after the explode would cost an extra doc_id
+    # shuffle for a number the row already knows.
+    chunked = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, CAST(ceil(size(tokens) / {CHUNK_TOKENS}.0) "
+            f"AS INT)), i -> array_join(slice(tokens, "
+            f"(i - 1) * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' '))"
+        ).alias("chunks"),
+    )
+    counted = chunked.select(
+        "doc_id",
+        F.size("chunks").cast("bigint").alias("n_chunks"),
+        F.posexplode("chunks").alias("chunk_no", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_no")
+    kept = counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.max("n_chunks").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk_text"))),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias("clean_text"),
     )

@@ -352,3 +352,84 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "sim_quantize_int8",
+    survey_ref="L3,F4,J4,A1",
+    doc="Per-dimension min/max int8 quantization of the embedding corpus.",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        ), stats AS (
+            SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM ex GROUP BY pos
+        ), q AS (
+            SELECT ex.vec_id, ex.label,
+                   CAST(coalesce(least(255, floor(
+                       (ex.v - s.dmin) * 255.0 / nullif(s.dmax - s.dmin, 0)
+                   )), 0) - 128 AS BIGINT) AS qv
+            FROM ex JOIN stats s USING (pos)
+        )
+        SELECT vec_id,
+               CAST(MAX(label) AS INT) AS label,
+               COUNT(*) AS n_dims,
+               CAST(SUM(qv) AS BIGINT) AS q_sum,
+               CAST(MIN(qv) AS BIGINT) AS q_min,
+               CAST(MAX(qv) AS BIGINT) AS q_max
+        FROM q
+        GROUP BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization — the compression pass in front of any
+    billion-vector ANN index: per-DIMENSION corpus min/max (64 rows, one
+    narrow aggregate over the exploded vectors), broadcast back, then each
+    component maps to floor((v−min)·255/(max−min))−128. floor, never
+    round: both engines floor identically on the same IEEE doubles, while
+    round() is half-up in Spark and half-even in DuckDB. The declared
+    query verifies per-vector digests (sum/min/max of the quantized
+    components) so the full codebook math is oracle-checked without
+    comparing array columns.
+
+    Scale shape: stats are dimension-count-sized (64 rows at any corpus
+    size) — computed in one partial-agg pass and broadcast; the quantize
+    itself is map-side. The groupBy(vec_id) digest exists only for the
+    verification surface; a production writer would emit the transformed
+    array per row with zero shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "fv"),
+    ).withColumn("v", F.col("fv").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    qv = (
+        F.coalesce(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("v") - F.col("dmin"))
+                    * 255.0
+                    / F.nullif(F.col("dmax") - F.col("dmin"), F.lit(0))
+                ),
+            ),
+            F.lit(0),
+        )
+        - 128
+    ).cast("bigint")
+    return (
+        ex.join(F.broadcast(stats), "pos")
+        .select("vec_id", "label", qv.alias("qv"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").cast("int").alias("label"),
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("qv").cast("bigint").alias("q_sum"),
+            F.min("qv").cast("bigint").alias("q_min"),
+            F.max("qv").cast("bigint").alias("q_max"),
+        )
+    )

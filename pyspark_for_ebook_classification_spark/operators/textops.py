@@ -434,3 +434,67 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / total.cast("double"), 6).alias("unique_ratio"),
         F.round(F.max("c") / total.cast("double"), 6).alias("top_token_share"),
     )
+
+
+@query(
+    "text_keyword_topk",
+    survey_ref="L6,W4,F4",
+    doc="Top-3 TF-IDF keywords per document (score desc, token asc).",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, rank
+        FROM (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                       AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                                DESC,
+                                tf.token
+                   ) AS rank
+            FROM tf JOIN df USING (token), n
+        )
+        WHERE rank <= 3
+    """,
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each doc's top-3 tokens by tf·idf, ties broken
+    by token text so the top-3 set is deterministic in both engines. The
+    declared output carries (doc_id, token, rank) but NOT the float score:
+    rank is an integer decided by an exact comparator over identical
+    doubles, so parity doesn't ride on 6-decimal rounding at the cut line.
+
+    Scale shape: tf is one (doc,token) aggregate; df derives from tf's
+    rows (token-sharded count of docs), never re-reads the corpus; n_docs
+    is a 1-row broadcast. The per-doc window ranks ≤ vocab-per-doc rows.
+    At 100 TB the df table is vocabulary-sized — broadcast it."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "token")
+    return (
+        tf.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "rank")
+    )

@@ -362,3 +362,47 @@ def window_nth_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("l_orderkey", 2).over(w).alias("second_order"),
         F.nth_value("l_orderkey", 3).over(w).alias("third_order"),
     ).distinct()
+
+
+@query(
+    "window_cohort_retention",
+    survey_ref="W1,F2,A2",
+    doc="Cohort retention: users active N days after their first-seen day.",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ), coh AS (
+            SELECT user_id, day,
+                   MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+            FROM days
+        )
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM coh
+        GROUP BY cohort_day, datediff('day', cohort_day, day)
+    """,
+)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: each user joins the
+    cohort of their first active day; the grid (cohort_day, day_offset)
+    counts distinct users still active at that offset.
+
+    Scale shape: the distinct (user, day) pass collapses raw events to at
+    most users × days rows BEFORE any window math (that's the 100 TB→GB
+    reduction); the min-over-user window and the distinct both shuffle on
+    user_id, so AQE reuses one exchange. Output is calendar-bounded
+    (days²), independent of event volume."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    coh = ev.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return coh.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))

@@ -147,7 +147,10 @@ _PRIORITY: tuple[str, ...] = (
 # window_nth_value_frames, scan_csv_roundtrip, scan_jsonl_roundtrip,
 # text_pii_scrub, text_repetition_ratio, data_train_valid_split,
 # stream_stream_join_twin, sql_volume_shipping_q7, sql_market_share_q8,
-# sql_top_supplier_q15, sql_small_qty_revenue_q17).
+# sql_top_supplier_q15, sql_small_qty_revenue_q17,
+# data_decontaminate_ngram, dedup_chunk_global,
+# sql_customer_distribution_q13, sim_quantize_int8,
+# window_cohort_retention, agg_mode_deterministic, text_keyword_topk).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
