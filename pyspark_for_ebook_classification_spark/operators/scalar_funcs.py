@@ -429,3 +429,45 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(packed).alias("as_json"),
         (ab.getField("b") + ab.getField("a")).cast("bigint").alias("field_sum"),
     )
+
+
+@query(
+    "fn_variant_suite",
+    survey_ref="F6,F5",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*) AS n_events,
+            CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+                AS min_k,
+            CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT) * 2) AS INT)
+                AS max_k2,
+            CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json`` into
+    an open VARIANT value (no up-front schema — the shredded binary
+    encoding scales to heterogeneous payloads where a fixed ``from_json``
+    struct can't), field access via ``variant_get`` with a target type,
+    and ``try_variant_get`` for absent paths (NULL, never an error). The
+    DuckDB twin expresses the same accesses over its native JSON type."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("missing"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max(F.col("k") * 2).cast("int").alias("max_k2"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+    )

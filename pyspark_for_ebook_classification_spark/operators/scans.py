@@ -145,3 +145,32 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, path, schema=schema).select(
         "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
     )
+
+
+@query(
+    "scan_partitioned_pruned_roundtrip",
+    survey_ref="S5,S1,P2",
+    oracle="""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY source
+    """,
+)
+def scan_partitioned_pruned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + partition pruning, driver-verified: documents written
+    ``partitionBy('lang')`` (the layout a 100 TB corpus store uses — one
+    directory per language), then read back with a ``lang = 'en'`` filter
+    that must prune to that single directory: the scan's PartitionFilters
+    carry the predicate, so the other languages' files are never opened
+    (asserted in tests/test_plans.py). The oracle reads the original
+    unpartitioned table — the round-trip plus pruning IS the assertion."""
+    path = "/tmp/spark_graft_s5_docs_partitioned"
+    d = load(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

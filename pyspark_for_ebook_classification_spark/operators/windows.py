@@ -406,3 +406,62 @@ def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("day", "cohort_day").alias("day_offset"),
     ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "window_gapfill_daily",
+    survey_ref="W3,F2,J2,J4",
+    doc="Zero-filled daily activity grid per user (calendar gap-fill).",
+    oracle="""
+        WITH cal AS (
+            SELECT unnest(generate_series(
+                (SELECT MIN(date_trunc('day', ts)) FROM events),
+                (SELECT MAX(date_trunc('day', ts)) FROM events),
+                INTERVAL 1 DAY)) AS day
+        ), users AS (
+            SELECT DISTINCT user_id FROM events
+        ), daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT u.user_id, c.day,
+               CAST(coalesce(d.cnt, 0) AS BIGINT) AS n_events
+        FROM users u
+        CROSS JOIN cal c
+        LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+    """,
+)
+def window_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill — the time-series prep step that turns sparse
+    event days into a dense per-user daily grid with explicit zeros (what
+    any rolling-average or retention model consumes). The calendar is ONE
+    row of sequence() exploded — generated, never scanned — and broadcast
+    to the user list; actual counts left-join onto the grid.
+
+    Scale shape: grid cardinality is users × days — linear in users,
+    independent of event volume; the only event-volume-sized work is the
+    daily pre-aggregate, which partial-aggregates map-side. Both the
+    calendar (≤ a few thousand rows for decades) and nothing else are
+    broadcast; the grid-to-daily join shuffles on (user_id, day), the
+    minimum possible key."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    cal = (
+        ev.agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy("user_id", day).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = users.crossJoin(F.broadcast(cal))
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+    )

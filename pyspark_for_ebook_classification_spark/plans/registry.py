@@ -150,7 +150,9 @@ _PRIORITY: tuple[str, ...] = (
 # sql_top_supplier_q15, sql_small_qty_revenue_q17,
 # data_decontaminate_ngram, dedup_chunk_global,
 # sql_customer_distribution_q13, sim_quantize_int8,
-# window_cohort_retention, agg_mode_deterministic, text_keyword_topk).
+# window_cohort_retention, agg_mode_deterministic, text_keyword_topk,
+# scan_partitioned_pruned_roundtrip, fn_variant_suite,
+# window_gapfill_daily).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -101,3 +101,52 @@ def test_builtin_queries_stay_jvm_side(spark, sf_dir):
             continue
         rep = audit(q.fn(spark, sf_dir))
         assert rep["python_workers"] == 0, f"{name} runs Python in the hot path"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-suite gram set must broadcast: sort-merging it would
+    shuffle the 100 TB train gram stream on a string key for nothing."""
+    q = all_queries()["data_decontaminate_ngram"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+
+
+def test_quantize_broadcasts_dim_stats(spark, sf_dir):
+    """Per-dimension codebook (64 rows at any corpus size) broadcasts;
+    the exploded vector stream joins it map-side."""
+    q = all_queries()["sim_quantize_int8"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+
+
+def test_chunk_dedup_shuffles_twice_only(spark, sf_dir):
+    """Keep-first needs the chunk_text exchange, reassembly the doc_id
+    exchange — anything more is waste (n_chunks must ride the explode,
+    not a third window shuffle)."""
+    q = all_queries()["dedup_chunk_global"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 2, rep["plan"]
+
+
+def test_keyword_topk_broadcasts_df_and_count(spark, sf_dir):
+    """df(token) is vocabulary-sized and n_docs is one row — both must
+    broadcast so tf rows shuffle only for the per-doc ranking window."""
+    q = all_queries()["text_keyword_topk"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["cartesian"] == 0, rep["plan"]
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    """lang=en filter over a partitionBy('lang') layout must land in
+    PartitionFilters (directory pruning), not post-scan filtering."""
+    from pyspark_for_ebook_classification_spark.plans.explain import formatted_plan
+
+    q = all_queries()["scan_partitioned_pruned_roundtrip"]
+    plan = formatted_plan(q.fn(spark, sf_dir))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
