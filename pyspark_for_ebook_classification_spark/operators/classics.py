@@ -584,3 +584,43 @@ def sql_customer_distribution_q13(spark: SparkSession, sf_dir: str) -> DataFrame
     for t in ("customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q13_SQL)
+
+
+#: TPC-H-Q22-shaped SQL: global-sales-opportunity — rich-balance customers
+#: with no URGENT orders, grouped by country (every driver-data
+#: customer has SOME order, so the classic no-orders predicate would be
+#: vacuously empty — the urgent variant keeps the anti-join non-trivial). The driver schema has no c_phone,
+#: so c_nationkey stands in for the country code prefix. The average
+#: threshold goes through the decimal-exact davg pattern so the
+#: `c_acctbal > avg` boundary is the identical double in both engines.
+_Q22_SQL = f"""
+    SELECT
+        c_nationkey AS cntrycode,
+        COUNT(*) AS numcust,
+        {sql_dsum('c_acctbal', 'totacctbal')}
+    FROM customer
+    WHERE c_nationkey < 13
+      AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(c_acctbal)
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey < 13
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+"""
+
+
+@query("sql_sales_opportunity_q22", survey_ref="J3,A1,F3,§3-EP3", oracle=_Q22_SQL)
+def sql_sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery as a filter threshold +
+    anti-join (NOT EXISTS). Catalyst evaluates the scalar subquery once
+    (one-row broadcast into the predicate) and plans the NOT EXISTS as a
+    left-anti hash join on o_custkey — at scale the orders side shuffles
+    once; no per-row subquery execution anywhere."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)

@@ -471,3 +471,40 @@ def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+@query(
+    "fn_try_suite",
+    survey_ref="F8,F3",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_totalprice / nullif(o_orderkey % 3, 0) AS safe_ratio,
+            TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+            TRY_CAST(o_orderstatus AS INT) IS NULL AS status_not_numeric,
+            TRY_CAST(o_orderpriority AS TIMESTAMP) IS NULL AS prio_not_ts
+        FROM orders
+        WHERE o_orderkey % 150 = 0
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` family — Spark 4 runs under ANSI mode, where a
+    bad cast or division by zero THROWS mid-job; at 100 TB one malformed
+    row a billion rows in must yield NULL, not kill the stage. try_divide
+    for /0, try_cast for lossy casts, try_to_timestamp for unparseable
+    dates. Per-row doubles are IEEE-identical cross-engine, so safe_ratio
+    needs no rounding."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 150 == 0).select(
+        "o_orderkey",
+        F.try_divide(
+            "o_totalprice", F.nullif(F.col("o_orderkey") % 3, F.lit(0))
+        ).alias("safe_ratio"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias(
+            "prio_digit"
+        ),
+        F.expr("try_cast(o_orderstatus AS INT)").isNull().alias(
+            "status_not_numeric"
+        ),
+        F.try_to_timestamp("o_orderpriority").isNull().alias("prio_not_ts"),
+    )

@@ -498,3 +498,40 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "rank")
     )
+
+
+@query(
+    "text_normalize_clean",
+    survey_ref="F1,L4",
+    doc="Canonical text normalization: case-fold, strip, collapse spaces.",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text,
+               CAST(length(list_filter(string_split(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')), ' '), t -> t <> '')) AS INT) AS n_tokens
+        FROM documents
+        WHERE doc_id % 40 = 0
+    """,
+)
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization pass every dedup/quality stage assumes: lower-
+    case, non-alphanumerics to spaces, runs of spaces collapsed, ends
+    trimmed. Pure map-side string kernels (zero shuffle at any scale).
+    DuckDB's regexp_replace needs the explicit 'g' flag; Spark's is global
+    by default — the twin spells both."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.filter(F.col("doc_id") % 40 == 0).select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.filter(F.split(norm, " "), lambda t: t != "")).alias("n_tokens"),
+    )

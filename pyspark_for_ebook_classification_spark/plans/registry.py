@@ -152,7 +152,8 @@ _PRIORITY: tuple[str, ...] = (
 # sql_customer_distribution_q13, sim_quantize_int8,
 # window_cohort_retention, agg_mode_deterministic, text_keyword_topk,
 # scan_partitioned_pruned_roundtrip, fn_variant_suite,
-# window_gapfill_daily).
+# window_gapfill_daily, sql_sales_opportunity_q22, fn_try_suite,
+# text_normalize_clean).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
