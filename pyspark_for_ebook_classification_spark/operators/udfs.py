@@ -260,3 +260,84 @@ def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         eff_qty, schema="l_orderkey long, l_linenumber int, eff_qty double"
     )
+
+
+@query(
+    "udf_cogrouped_merge_asof",
+    survey_ref="UF2,J7",
+    doc="Cogrouped applyInPandas: per-user pandas merge_asof (view ← signup).",
+    oracle="""
+        WITH views AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'
+        ),
+        signups AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   max(event_id) AS signup_event_id
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        )
+        SELECT v.event_id, v.user_id, v.ts, s.signup_event_id
+        FROM views v
+        ASOF JOIN signups s
+          ON v.user_id = s.user_id AND v.ts >= s.ts
+    """,
+)
+def udf_cogrouped_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED pandas surface — ``groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas``: both sides shuffle once on user_id, then each key's
+    two pandas frames arrive together in one Python call, where
+    ``pd.merge_asof`` implements the backward as-of match natively. This
+    is the escape hatch for per-key logic needing BOTH sides at once
+    (as-of, interval alignment, per-entity reconciliation) when no
+    relational rewrite fits.
+
+    Semantics pinned to DuckDB ASOF (inner, latest signup.ts <= view.ts;
+    signups pre-deduped per (user, ts) so ties are impossible) — the same
+    contract as the relational as-of emulation in joins.py, making the two
+    implementations mutually checking. Scale: one co-partitioned shuffle
+    per side, Arrow-batched transfer, per-key memory bounded by a user's
+    events."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "signup_event_id"]
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        if not len(right):
+            out = left.copy()
+            out["signup_event_id"] = pd.array([None] * len(out), dtype="Int64")
+        else:
+            out = pd.merge_asof(
+                left,
+                right.sort_values("ts", kind="mergesort")[
+                    ["ts", "signup_event_id"]
+                ],
+                on="ts",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        return out[["event_id", "user_id", "ts", "signup_event_id"]]
+
+    matched = (
+        views.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: merge(left, right),
+            "event_id bigint, user_id bigint, ts timestamp, signup_event_id bigint",
+        )
+    )
+    # ASOF is an INNER join: drop views with no signup at-or-before.
+    return matched.filter(F.col("signup_event_id").isNotNull())
