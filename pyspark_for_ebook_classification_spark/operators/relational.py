@@ -160,3 +160,60 @@ def dedup_by_key_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("first_orderdate"),
         )
     )
+
+
+@query(
+    "merge_upsert_emulation",
+    survey_ref="J2,F8,S5",
+    doc="MERGE INTO (upsert) emulated: updates win, inserts append.",
+    oracle="""
+        WITH updates AS (
+            SELECT o_orderkey, o_totalprice * 1.1 AS new_price
+            FROM orders WHERE o_orderkey % 100 = 0
+            UNION ALL
+            SELECT 900000000 + o_orderkey, 42.0
+            FROM orders WHERE o_orderkey % 1000 = 0
+        )
+        SELECT
+            coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+            coalesce(u.new_price, t.o_totalprice) AS o_totalprice,
+            CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                 WHEN u.o_orderkey IS NULL THEN 'carry'
+                 ELSE 'update' END AS merge_action
+        FROM orders t
+        FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on vanilla Spark (no Delta/Iceberg in this container):
+    target FULL OUTER JOIN updates on the key; matched rows take the
+    update's values, unmatched-target rows carry through, unmatched-update
+    rows insert. The per-row double arithmetic (×1.1) is IEEE-identical in
+    both engines, so no rounding is needed.
+
+    Scale shape: one shuffle on the merge key for each side (or zero for
+    the target if the table is bucketed by key — see write_bucketed); at
+    100 TB the same plan writes back with dynamic partition overwrite so
+    only partitions containing touched keys rewrite. The merge_action
+    column is the audit trail a CDC pipeline keeps."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("new_price"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+                F.lit(42.0).alias("new_price"),
+            )
+        )
+    )
+    t = o.alias("t")
+    u = updates.alias("u")
+    return t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full").select(
+        F.coalesce("u.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("u.new_price", "t.o_totalprice").alias("o_totalprice"),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("u.o_orderkey").isNull(), "carry")
+        .otherwise("update")
+        .alias("merge_action"),
+    )

@@ -465,3 +465,40 @@ def window_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "window_scd2_intervals",
+    survey_ref="W2,F2",
+    doc="SCD2 validity intervals: each event valid [ts, next event ts).",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS valid_from,
+               lead(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS valid_to,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) IS NULL AS is_current
+        FROM events
+        WHERE user_id % 10 = 0
+    """,
+)
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    state row is valid from its own timestamp until the user's next event
+    (NULL = still current) — lead() over a total order (ts, event_id), so
+    interval edges are deterministic even with equal timestamps. One
+    shuffle on user_id; interval width computation and as-of lookups then
+    become range predicates on (valid_from, valid_to)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -153,7 +153,8 @@ _PRIORITY: tuple[str, ...] = (
 # window_cohort_retention, agg_mode_deterministic, text_keyword_topk,
 # scan_partitioned_pruned_roundtrip, fn_variant_suite,
 # window_gapfill_daily, sql_sales_opportunity_q22, fn_try_suite,
-# text_normalize_clean, udf_cogrouped_merge_asof).
+# text_normalize_clean, udf_cogrouped_merge_asof,
+# merge_upsert_emulation, window_scd2_intervals).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
