@@ -433,3 +433,63 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("qv").cast("bigint").alias("q_max"),
         )
     )
+
+
+@query(
+    "sim_label_centroids",
+    survey_ref="L3,F4,A1",
+    doc="Per-label embedding centroids (the relational IVF training step).",
+    oracle="""
+        WITH ex AS (
+            SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        ), cent AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v)
+                       AS c
+            FROM ex GROUP BY label, pos
+        )
+        SELECT CAST(label AS INT) AS label,
+               COUNT(*) AS n_dims,
+               round(MIN(c), 6) AS c_min,
+               round(MAX(c), 6) AS c_max,
+               round(CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(c), 6) AS c_mean
+        FROM cent
+        GROUP BY label
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid computation — mean-pooling vectors per class: the training
+    step of an IVF index (k-means assignment phase) and of nearest-
+    centroid classifiers, done relationally: posexplode to (label, pos,
+    value), one grouped decimal-exact average per (label, pos). No vector
+    ever reaches the driver; centroids stay a DataFrame (labels × 64
+    rows) ready to broadcast into an assignment join. The declared output
+    digests each centroid (min/max/mean over its 64 components, rounded —
+    the decimal-exact per-component averages are identical before
+    rounding, so digests agree)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "fv")
+    ).withColumn("v", F.col("fv").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("v")).alias(
+            "c"
+        )
+    )
+    return cent.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(F.min("c"), 6).alias("c_min"),
+        F.round(F.max("c"), 6).alias("c_max"),
+        F.round(
+            F.sum(F.col("c").cast("decimal(28,6)")).cast("double") / F.count("c"), 6
+        ).alias("c_mean"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        "n_dims",
+        "c_min",
+        "c_max",
+        "c_mean",
+    )

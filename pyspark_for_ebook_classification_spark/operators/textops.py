@@ -535,3 +535,60 @@ def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.size(F.filter(F.split(norm, " "), lambda t: t != "")).alias("n_tokens"),
     )
+
+
+@query(
+    "text_bpe_pair_stats",
+    survey_ref="L6,F4,A1",
+    doc="BPE merge-step statistics: corpus-wide adjacent token-pair counts.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ), pairs AS (
+            SELECT doc_id,
+                   tokens[u.i] || ' ' || tokens[u.i + 1] AS pair
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, length(tokens))) AS i) u
+            WHERE length(tokens) >= 2
+        )
+        SELECT pair,
+               COUNT(*) AS pair_count,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM pairs
+        GROUP BY pair
+        HAVING COUNT(*) >= 10
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting core of BPE tokenizer training: frequency of every
+    ADJACENT token pair across the corpus (the pair argmax is what BPE
+    merges each iteration). transform(sequence) forms pairs in original
+    order; one explode + one hash aggregate with map-side combine — the
+    same shape at 100 TB, where each training iteration is one such pass
+    over the (re-tokenized) corpus. HAVING >= 10 bounds the declared
+    output to merge-worthy pairs, mirrored in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+    ).filter(F.size("tokens") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> concat_ws(' ', element_at(tokens, i), "
+                "element_at(tokens, i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("pair_count") >= 10)
+    )

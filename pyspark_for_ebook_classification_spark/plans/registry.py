@@ -154,7 +154,8 @@ _PRIORITY: tuple[str, ...] = (
 # scan_partitioned_pruned_roundtrip, fn_variant_suite,
 # window_gapfill_daily, sql_sales_opportunity_q22, fn_try_suite,
 # text_normalize_clean, udf_cogrouped_merge_asof,
-# merge_upsert_emulation, window_scd2_intervals).
+# merge_upsert_emulation, window_scd2_intervals,
+# text_bpe_pair_stats, sim_label_centroids).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
