@@ -155,7 +155,8 @@ _PRIORITY: tuple[str, ...] = (
 # window_gapfill_daily, sql_sales_opportunity_q22, fn_try_suite,
 # text_normalize_clean, udf_cogrouped_merge_asof,
 # merge_upsert_emulation, window_scd2_intervals,
-# text_bpe_pair_stats, sim_label_centroids).
+# text_bpe_pair_stats, sim_label_centroids,
+# stream_chained_window_twin).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -271,3 +271,11 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "10 minutes")
     )
     return _run_to_memory(twins.click_purchase_pairs(clicks, purchases), "append")
+
+
+def run_chained_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9: chained windowed aggregation — hourly counts re-aggregated to
+    daily peaks inside ONE streaming query (two stateful operators back to
+    back; the watermark threads through the first window's struct)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(twins.chained_daily_peak(ev), mode="append")

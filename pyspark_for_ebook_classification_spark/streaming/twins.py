@@ -297,3 +297,58 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+def chained_daily_peak(events: DataFrame) -> DataFrame:
+    """ST9 logic (chained time-window aggregation, Spark 3.4+): hourly
+    event counts per type, then per (day, type) the PEAK hourly count —
+    shared by the batch twin and the streaming runner. The second groupBy
+    windows over the first's ``window`` struct column, which is what makes
+    the chained-aggregation streaming plan legal (event-time lineage is
+    preserved through the struct)."""
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("hw"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        hourly.groupBy(F.window("hw", "1 day").alias("dw"), "event_type")
+        .agg(
+            F.max("n_events").alias("peak_hourly_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .select(
+            F.col("dw.start").alias("day_start"),
+            "event_type",
+            "peak_hourly_events",
+            "n_active_hours",
+        )
+    )
+
+
+@query(
+    "stream_chained_window_twin",
+    survey_ref="ST1,A1,W4",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT date_trunc('day', h) AS day_start,
+               event_type,
+               CAST(MAX(n_events) AS BIGINT) AS peak_hourly_events,
+               COUNT(*) AS n_active_hours
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+)
+def stream_chained_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 batch twin: two-level time aggregation (hourly → daily peak).
+    In streaming this is the CHAINED windowed aggregation Spark supports
+    from 3.4: the second agg consumes the first's window column and the
+    watermark propagates through both stateful stages; the run itself is
+    checked by tests/test_streaming.py against this twin. Both levels
+    partial-aggregate map-side; state per stage is bounded by (buckets ×
+    types), never raw events."""
+    return chained_daily_peak(load(spark, sf_dir, "events"))

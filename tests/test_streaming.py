@@ -178,3 +178,17 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # late 10:06 row was dropped, not merged; [12:00, 13:00) closed with 2.
     assert got.get("2024-01-01T10:00:00") == 2, got
     assert got.get("2024-01-01T12:00:00") == 2, got
+
+
+def test_chained_window_stream_matches_closed_days(spark, sf_dir):
+    """ST9: hourly→daily chained aggregation inside one streaming query.
+    Append mode only emits windows the watermark has closed, so the final
+    (still-open) day is withheld — the twin restricted to days before the
+    twin's own max day must match the stream output exactly."""
+    stream_pdf = jobs.run_chained_window_stream(spark, sf_dir).toPandas()
+    batch_pdf = twins.stream_chained_window_twin(spark, sf_dir).toPandas()
+    last_day = batch_pdf["day_start"].max()
+    closed = batch_pdf[batch_pdf["day_start"] < last_day].reset_index(drop=True)
+    assert_frames_match(stream_pdf, closed, "chained_window_closed_days")
+    # and the only difference is that withheld last day
+    assert set(batch_pdf["day_start"]) - set(stream_pdf["day_start"]) == {last_day}
