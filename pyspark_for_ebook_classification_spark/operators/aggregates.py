@@ -509,3 +509,44 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    survey_ref="A1,F3",
+    doc="Fixed-bin histogram of order totals via width_bucket.",
+    oracle="""
+        SELECT
+            CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 500000.0 THEN 21
+                 ELSE CAST(floor(o_totalprice / 25000.0) AS INT) + 1
+            END AS bucket,
+            COUNT(*) AS n_orders,
+            CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+            CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the profiling primitive behind optimizer
+    statistics and data-quality dashboards: width_bucket assigns each
+    price to one of 20 [0, 500k) bins (bin 21 = overflow), then one hash
+    aggregate counts per bin. DuckDB has no width_bucket, so the oracle
+    spells the equivalent floor(x / bin_width) formula — bin_width 25000
+    is integral (exact in binary), so the division and floor are the
+    identical IEEE operations Spark's WidthBucket performs. Output is
+    bin-count-bounded at any scale; the scan is the only full pass."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )

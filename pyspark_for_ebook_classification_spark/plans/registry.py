@@ -156,7 +156,7 @@ _PRIORITY: tuple[str, ...] = (
 # text_normalize_clean, udf_cogrouped_merge_asof,
 # merge_upsert_emulation, window_scd2_intervals,
 # text_bpe_pair_stats, sim_label_centroids,
-# stream_chained_window_twin).
+# stream_chained_window_twin, agg_histogram_width_bucket).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
