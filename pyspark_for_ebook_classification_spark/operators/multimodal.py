@@ -127,7 +127,24 @@ def _make_decode_kernel():
 @query(
     "multimodal_decode_stub",
     survey_ref="L5,UF4",
-    oracle=None,  # decode runs in Python workers; checked by golden pytest instead
+    # The fake codec is deterministic arithmetic over the payload bytes
+    # (documents.text is ASCII, so chars == bytes), so the Python-worker
+    # path gets a REAL value oracle, not just a rows-only check: a real
+    # codec swap would revert this to oracle=None.
+    oracle="""
+        SELECT
+            doc_id,
+            CASE WHEN doc_id % 20 = 0 THEN 'image' ELSE 'audio' END
+                AS media_type,
+            CAST(strlen(text) AS INT) AS byte_len,
+            CAST(64 + ascii(substring(text, 1, 1)) % 192 AS INT) AS width,
+            CAST(64 + ascii(substring(text, length(text), 1)) % 192 AS INT)
+                AS height,
+            CAST(1 + strlen(text) % 7 AS INT) AS n_frames,
+            md5(text) AS checksum
+        FROM documents
+        WHERE doc_id % 10 = 0
+    """,
     doc="Binary media column → mapInPandas(Arrow) decode → typed metadata rows.",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -156,7 +156,8 @@ _PRIORITY: tuple[str, ...] = (
 # text_normalize_clean, udf_cogrouped_merge_asof,
 # merge_upsert_emulation, window_scd2_intervals,
 # text_bpe_pair_stats, sim_label_centroids,
-# stream_chained_window_twin, agg_histogram_width_bucket).
+# stream_chained_window_twin, agg_histogram_width_bucket;
+# multimodal_decode_stub upgraded from rows-only to a value oracle).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
