@@ -493,3 +493,154 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_max",
         "c_mean",
     )
+
+
+_IVF_QUERY_MOD = 50  # every 50th vector is a query
+_IVF_TOP_K = 3
+
+_SQL_IVF_DIST2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (qvec[i] - cvec[i]) * (qvec[i] - cvec[i])))"
+)
+
+
+@query(
+    "sim_ann_ivf_label_cells",
+    survey_ref="L3,J4,W4",
+    doc="Oracle-checked IVF: label-cell coarse quantizer + in-cell exact top-k.",
+    oracle=f"""
+        WITH ex AS (
+            SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        ), cent_rows AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v) AS c
+            FROM ex GROUP BY label, pos
+        ), cent AS (
+            SELECT label AS cell, list(c ORDER BY pos) AS cvec
+            FROM cent_rows GROUP BY label
+        ), q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+            FROM embeddings WHERE vec_id % {_IVF_QUERY_MOD} = 0
+        ), assigned AS (
+            SELECT query_id, qvec, cell FROM (
+                SELECT q.query_id, q.qvec, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_SQL_IVF_DIST2}, c.cell
+                       ) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn = 1
+        ), cand AS (
+            SELECT a.query_id, a.cell,
+                   e.vec_id AS neighbor_id,
+                   {{dot}} / (sqrt({{qq}}) * sqrt({{ee}})) AS cos
+            FROM assigned a
+            JOIN embeddings e ON e.label = a.cell AND e.vec_id <> a.query_id
+        )
+        SELECT query_id, CAST(cell AS INT) AS cell, neighbor_id,
+               round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM cand
+        )
+        WHERE rn <= {_IVF_TOP_K}
+    """.format(
+        dot=(
+            "list_sum(list_transform(range(1, 65), "
+            "i -> qvec[i] * CAST(embedding[i] AS DOUBLE)))"
+        ),
+        qq="list_sum(list_transform(range(1, 65), i -> qvec[i] * qvec[i]))",
+        ee=(
+            "list_sum(list_transform(range(1, 65), "
+            "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+        ),
+    ),
+)
+def sim_ann_ivf_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search with a DETERMINISTIC coarse quantizer — the
+    oracle-checked twin of the kmeans IVF (sim_ann_ivf_kmeans stays
+    rows-only because MLlib's iterative float math isn't SQL-expressible).
+    Here the inverted lists are the label cells: centroids are the
+    decimal-exact per-label means (relational, see sim_label_centroids),
+    each query probes its nearest centroid by L2 (sequential-fold double
+    math, the same verified-bit-identical idiom as the dot products), and
+    exact cosine top-k runs only within that cell — the probe scans ~1/10
+    of the corpus.
+
+    Scale shape: centroids are cells × 64 doubles — broadcast; the
+    assignment is a map-side cross join against 10 rows; the in-cell
+    search shuffles candidates on cell only. Swapping labels for learned
+    kmeans cells changes none of the dataflow."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "fv")).select(
+        "label", "pos", F.col("fv").cast("double").alias("v")
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("v"))
+            .alias("c")
+        )
+        .groupBy(F.col("label").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c,
+            ).alias("cvec")
+        )
+    )
+    q = e.filter(F.col("vec_id") % _IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qvec"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(qvec, cvec, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(dist2, "cell")
+    assigned = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qvec", "cell")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qvec, embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    qq = F.expr(
+        "aggregate(zip_with(qvec, qvec, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    ee = F.expr(
+        "aggregate(zip_with(embedding, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = assigned.join(
+        e, (e.label == assigned.cell) & (e.vec_id != assigned.query_id)
+    ).select(
+        "query_id",
+        "cell",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (F.sqrt(qq) * F.sqrt(ee))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select(
+            "query_id",
+            F.col("cell").cast("int").alias("cell"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
