@@ -502,3 +502,65 @@ def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "window_anomaly_zscore",
+    survey_ref="A7,F2,W3",
+    doc="Daily-volume anomaly detection: z-score per (event_type, day).",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE) / COUNT(n)
+                       AS mu,
+                   sqrt((CAST(SUM(CAST(n * n AS DECIMAL(28,6))) AS DOUBLE)
+                         - CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE)
+                           * CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE)
+                           / COUNT(n))
+                        / (COUNT(n) - 1)) AS sigma
+            FROM daily GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.n AS n_events,
+               round((d.n - s.mu) / s.sigma, 6) AS zscore,
+               CAST(abs((d.n - s.mu) / s.sigma) > 2.0 AS INT) AS is_anomaly
+        FROM daily d JOIN stats s USING (event_type)
+    """,
+)
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection — the monitoring query every event
+    pipeline runs: daily counts per type, z-scored against that type's
+    own mean/stddev (textbook formula over decimal-exact sums, so both
+    engines produce identical doubles — built-in stddev_samp streams
+    engine-specifically and would diverge in the last ulp).
+
+    Scale shape: raw events collapse to (types × days) rows in one
+    partial-aggregated pass; the stats join is a broadcast of
+    types-many rows. Nothing downstream of the first aggregate scales
+    with event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    cnt = F.count("n")
+    s1 = F.sum(n.cast("decimal(28,6)")).cast("double")
+    s2 = F.sum((n * n).cast("decimal(28,6)")).cast("double")
+    stats = daily.groupBy("event_type").agg(
+        (s1 / cnt).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)).alias("sigma"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
+        )
+    )

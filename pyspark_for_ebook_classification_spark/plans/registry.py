@@ -158,7 +158,8 @@ _PRIORITY: tuple[str, ...] = (
 # text_bpe_pair_stats, sim_label_centroids,
 # stream_chained_window_twin, agg_histogram_width_bucket;
 # multimodal_decode_stub upgraded from rows-only to a value oracle;
-# sim_ann_ivf_label_cells gives the IVF scale path a full oracle).
+# sim_ann_ivf_label_cells gives the IVF scale path a full oracle;
+# window_anomaly_zscore).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
