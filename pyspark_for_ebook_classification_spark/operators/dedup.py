@@ -679,3 +679,71 @@ def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    survey_ref="L2,L1,W1",
+    doc="Canonical-doc selection: keep the longest doc per near-dup cluster.",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM ngram_pairs
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+            FROM reach GROUP BY doc_id
+        )
+        SELECT component_id, keep_doc_id, n_members,
+               CAST(n_members - 1 AS BIGINT) AS n_dropped
+        FROM (
+            SELECT c.component_id,
+                   d.doc_id AS keep_doc_id,
+                   COUNT(*) OVER (PARTITION BY c.component_id) AS n_members,
+                   row_number() OVER (
+                       PARTITION BY c.component_id
+                       ORDER BY d.n_chars DESC, d.doc_id
+                   ) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step that follows clustering: within each
+    transitive near-dup component, keep exactly one canonical document —
+    the longest (n_chars), doc_id as the deterministic tie-break — and
+    count what gets dropped. This is what a corpus build actually writes
+    out after MinHash/Jaccard/components; the cluster step reuses
+    dedup_connected_components' label-propagation fixpoint unchanged.
+
+    Scale: adds one broadcast-sized join (labels are (doc_id, component)
+    pairs, narrow) and one component-keyed window to the clustering cost;
+    the heavy text column is touched only to read n_chars, which is
+    already materialized."""
+    labels = dedup_connected_components(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(d, "doc_id")
+    w_cnt = Window.partitionBy("component_id")
+    w_rank = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
