@@ -476,3 +476,70 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.join(
         F.broadcast(seg_counts), tagged.seg.eqNullSafe(seg_counts.seg)
     ).select(tagged.c_custkey, tagged.seg, seg_counts.seg_n)
+
+
+@query(
+    "join_pit_scd2_state",
+    survey_ref="J5,J7,W2",
+    doc="Point-in-time join: each purchase matched to the user's SCD2 state interval.",
+    oracle="""
+        WITH states AS (
+            SELECT user_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS valid_from,
+                   lead(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS valid_to
+            FROM events
+            WHERE event_type <> 'purchase' AND user_id % 10 = 0
+        )
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               s.event_type AS state_at_purchase,
+               s.valid_from AS state_since
+        FROM events p
+        JOIN states s
+          ON s.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= s.valid_from
+         AND (s.valid_to IS NULL OR CAST(p.ts AS TIMESTAMP) < s.valid_to)
+        WHERE p.event_type = 'purchase' AND p.user_id % 10 = 0
+    """,
+)
+def join_pit_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store lookup pattern: probe
+    rows (purchases) land in exactly one validity interval of the SCD2
+    state table built from the user's OTHER events (lead() intervals
+    partition each user's timeline, so the match is unique and the range
+    predicate can't double-count). Equi-key on user_id carries the join;
+    the interval bounds are post-join filters — at 100 TB both sides
+    shuffle once on user_id and the per-user sort is bounded by that
+    user's history. Purchases before a user's first non-purchase event
+    have no state and drop out (inner semantics), identically in both
+    engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    states = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_type").alias("state_at_purchase"),
+            F.col("ts").alias("state_since"),
+            F.lead("ts").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return p.join(
+        states,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("purchase_ts") >= F.col("state_since"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to"))),
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "state_at_purchase",
+        "state_since",
+    )
