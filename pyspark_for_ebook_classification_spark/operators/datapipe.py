@@ -327,3 +327,38 @@ def data_train_valid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+@query(
+    "data_shuffle_deterministic",
+    survey_ref="L4,F7,O1,W1",
+    doc="Deterministic corpus shuffle: global position by md5(doc_id).",
+    oracle=f"""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS shuffle_pos
+        FROM documents
+        WHERE doc_id % 20 = 0
+    """,
+)
+def data_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data shuffle: examples get a pseudo-random but fully
+    REPRODUCIBLE global order — sort by md5(doc_id) (doc_id appended as
+    the tie-break against the measure-zero digest collision). Unlike
+    ``orderBy(rand())``, a retried task, a different engine, or next
+    month's rerun produces byte-identical epoch order.
+
+    Scale shape: a global sort = one range-partitioned exchange (Spark
+    samples digest boundaries automatically); the downstream writer emits
+    position-contiguous shards. The declared query samples 1-in-20 docs
+    only to bound the verified output — the operator itself is the full
+    sort."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h, "doc_id")
+    return (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "source")
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
+    )

@@ -159,7 +159,8 @@ _PRIORITY: tuple[str, ...] = (
 # stream_chained_window_twin, agg_histogram_width_bucket;
 # multimodal_decode_stub upgraded from rows-only to a value oracle;
 # sim_ann_ivf_label_cells gives the IVF scale path a full oracle;
-# window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state).
+# window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state,
+# data_shuffle_deterministic).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
