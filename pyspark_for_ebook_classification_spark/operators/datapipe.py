@@ -362,3 +362,49 @@ def data_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
     )
+
+
+@query(
+    "data_interleave_sources",
+    survey_ref="L4,W1,O1",
+    doc="Round-robin source interleaving for training-batch diversity.",
+    oracle="""
+        SELECT doc_id, source, src_rank,
+               CAST(row_number() OVER (ORDER BY src_rank, source, doc_id)
+                    AS BIGINT) AS feed_pos
+        FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS src_rank
+            FROM documents
+            WHERE doc_id % 20 = 0
+        )
+    """,
+)
+def data_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source interleaving — the anti-clumping pass a training feed runs
+    after mixing: docs are ranked inside their source (deterministic md5
+    order), then the global feed order is (rank, source) — one doc from
+    each source in turn, so no batch is dominated by a single source.
+    Both ranks are total orders; the interleave is reproducible anywhere.
+
+    Scale shape: per-source rank is one shuffle on source; the global
+    feed position is a range-partitioned sort on a two-int key (Spark
+    samples boundaries) — in production the writer consumes the sort
+    order directly and the row_number materializes per output shard. The
+    declared query samples 1-in-20 docs to bound verified output."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("bigint").alias("src_rank"),
+    )
+    w_feed = Window.orderBy("src_rank", "source", "doc_id")
+    return ranked.withColumn(
+        "feed_pos", F.row_number().over(w_feed).cast("bigint")
+    )

@@ -341,3 +341,52 @@ def udf_cogrouped_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ASOF is an INNER join: drop views with no signup at-or-before.
     return matched.filter(F.col("signup_event_id").isNotNull())
+
+
+@query(
+    "udtf_polymorphic_first_tokens",
+    survey_ref="UF5,F4",
+    doc="Polymorphic UDTF: output schema derived by analyze() from a constant arg.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents WHERE doc_id % 25 = 0
+        )
+        SELECT doc_id,
+               tokens[1] AS tok_0,
+               tokens[2] AS tok_1,
+               tokens[3] AS tok_2
+        FROM toks
+    """,
+)
+def udtf_polymorphic_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 POLYMORPHIC UDTF — the table function decides its own
+    output schema at PLAN time via the ``analyze()`` static method: the
+    constant width argument (here 3) becomes tok_0..tok_{n-1} columns.
+    This is the API for generic data-prep table functions (wide feature
+    expanders, configurable chunkers) where a fixed returnType can't
+    express the contract. Short docs pad with NULLs; DuckDB's
+    out-of-range list index yields the same NULLs."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument):
+            width = n.value
+            return AnalyzeResult(
+                schema=T.StructType(
+                    [T.StructField(f"tok_{i}", T.StringType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = [t for t in text.split(" ") if t]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    first_tokens = udtf(FirstTokens)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.lateralJoin(
+        first_tokens(F.col("text").outer(), lit(3))
+    ).select("doc_id", "tok_0", "tok_1", "tok_2")

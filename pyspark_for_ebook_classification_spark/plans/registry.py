@@ -160,7 +160,8 @@ _PRIORITY: tuple[str, ...] = (
 # multimodal_decode_stub upgraded from rows-only to a value oracle;
 # sim_ann_ivf_label_cells gives the IVF scale path a full oracle;
 # window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state,
-# data_shuffle_deterministic).
+# data_shuffle_deterministic, data_interleave_sources,
+# udtf_polymorphic_first_tokens).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
