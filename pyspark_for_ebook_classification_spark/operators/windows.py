@@ -564,3 +564,54 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "window_streak_islands",
+    survey_ref="W1,F2,A1",
+    doc="Gaps-and-islands: longest consecutive-day activity streak per user.",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ), islands AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INT) AS grp
+            FROM days
+        ), streaks AS (
+            SELECT user_id, grp, COUNT(*) AS streak_len
+            FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+               CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+               COUNT(*) AS n_streaks
+        FROM streaks
+        GROUP BY user_id
+    """,
+)
+def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the streak query: consecutive active days share
+    the invariant (day − row_number) because both advance by one per day,
+    so that difference keys each island; two aggregates later every user
+    has their longest streak. All date arithmetic is integer-exact.
+
+    Scale shape: raw events collapse to distinct (user, day) first — the
+    volume reduction — then every step shuffles on user_id only (AQE
+    reuses the exchange across the window and both groupBys)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    islands = days.withColumn("grp", F.date_sub("day", rn))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
