@@ -543,3 +543,52 @@ def join_pit_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_purchase",
         "state_since",
     )
+
+
+@query(
+    "join_basket_part_pairs",
+    survey_ref="J8,A1",
+    doc="Market-basket mining: part pairs co-occurring in the same order.",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders_together
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    """,
+)
+def join_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) mining: the self-join that powers
+    "frequently bought together" — distinct (order, part) pairs joined on
+    the order key with part_a < part_b so each unordered pair appears
+    once, then support counted. HAVING >= 3 keeps only pairs with real
+    support, mirrored in both engines.
+
+    Scale shape: the dedup and the self-join share the l_orderkey shuffle
+    (AQE reuses the exchange); per-order pair fan-out is quadratic in
+    ORDER SIZE (bounded, ~lines-per-order²), never in table size — the
+    same bound that makes per-bucket pair generation safe in the LSH
+    dedup path. Skewed mega-orders would be capped the same way
+    (MAX_BUCKET) before pairing."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 3)
+    )

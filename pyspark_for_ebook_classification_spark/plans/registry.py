@@ -161,7 +161,8 @@ _PRIORITY: tuple[str, ...] = (
 # sim_ann_ivf_label_cells gives the IVF scale path a full oracle;
 # window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state,
 # data_shuffle_deterministic, data_interleave_sources,
-# udtf_polymorphic_first_tokens, window_streak_islands).
+# udtf_polymorphic_first_tokens, window_streak_islands,
+# join_basket_part_pairs).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
