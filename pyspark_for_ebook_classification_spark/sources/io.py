@@ -39,11 +39,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     callers chain .select/.filter freely and the parquet reader only
     materializes what the plan needs.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the parquet footer, which
-    Spark's reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it via
-    the ``nanosAsLong`` legacy conf and rebuild the column as a microsecond
-    timestamp with ``ts div 1000`` — floor division, byte-identical to
-    DuckDB's ns→µs cast truncation, so oracle parity holds.
+    ``events.ts`` has shipped as two physical types across driver testdata
+    generations: INT64 TIMESTAMP(NANOS) — which Spark's reader rejects
+    outright (PARQUET_TYPE_ILLEGAL) unless read via the ``nanosAsLong``
+    legacy conf and rebuilt with ``ts div 1000`` (floor division,
+    byte-identical to DuckDB's ns→µs cast truncation) — and plain
+    ``timestamp[us]``, which Spark reads as TIMESTAMP_NTZ. We normalize
+    both to session-zoned TIMESTAMP (session TZ is pinned UTC, so the
+    NTZ→TZ cast is value-identity and oracle parity holds either way).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -51,10 +54,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -25,17 +25,12 @@ from pyspark.sql import types as T
 
 from pyspark_for_ebook_classification_spark.streaming import twins
 
-#: parquet schema of events as read with nanosAsLong (sources/io.py)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanoseconds
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming sources need an explicit schema; derive it from one batch
+    read so both testdata generations of ``events.ts`` (INT64-nanos via
+    nanosAsLong, or plain timestamp[us] → TIMESTAMP_NTZ) work unchanged."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def _as_stream_dir(sf_dir: str) -> str:
@@ -56,9 +51,11 @@ def _as_stream_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: file-source stream of the events table with the same ns→µs
     timestamp normalization as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_as_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = _events_raw_schema(spark, sf_dir)
+    raw = spark.readStream.schema(schema).parquet(_as_stream_dir(sf_dir))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
