@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "pyspark_for_ebook_classification_spark.operators.sets_sorts",
     "pyspark_for_ebook_classification_spark.operators.scalar_funcs",
     "pyspark_for_ebook_classification_spark.operators.classics",
+    "pyspark_for_ebook_classification_spark.operators.classics2",
     "pyspark_for_ebook_classification_spark.operators.udfs",
     "pyspark_for_ebook_classification_spark.operators.dedup",
     "pyspark_for_ebook_classification_spark.operators.similarity",
