@@ -150,3 +150,28 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan
+
+
+def test_q9_profit_star_broadcasts_all_dims(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast and orders' join is AQE-
+    broadcastable at test scale — lineitem shuffles exactly once (the
+    final nation×year group-by). No sort-merge anywhere."""
+    q = all_queries()["sql_product_profit_q9"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] == 4, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["shuffles"] == 1, rep["plan"]
+    assert rep["cartesian"] == 0
+
+
+def test_q21_semi_anti_share_orderkey_shuffle(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT EXISTS self-correlations must plan as
+    hash semi/anti joins on l_orderkey — never a per-row subquery or a
+    cartesian — and the dims stay broadcast."""
+    q = all_queries()["sql_waiting_suppliers_q21"]
+    rep = audit(q.fn(spark, sf_dir))
+    plan = rep["plan"]
+    assert rep["cartesian"] == 0, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert rep["broadcast_joins"] >= 3, plan
