@@ -163,3 +163,103 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return media.mapInPandas(_make_decode_kernel(), schema=DECODE_SCHEMA)
+
+
+# ------------------------------------------- frame-sample + resize (UF4)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "out_w int, out_h int, frame_checksum string"
+)
+
+
+def _make_frame_kernel():
+    """mapInPandas kernel: fake video payload → every-2nd-frame sample
+    rows, each with fit-to-64-wide integer resize dims and a per-frame
+    checksum. Row-expanding (one input → ⌈n_frames/2⌉ outputs) — the
+    Arrow batch shape a real ffmpeg frame sampler would use. Closure, so
+    cloudpickle ships it by value (workers never import this package)."""
+
+    def sample_batches(batches):
+        import hashlib
+
+        import pandas as pd  # noqa: F811  (worker-side import)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # same deterministic fake codec as the decode stub
+                width = 64 + payload[0] % 192
+                height = 64 + payload[-1] % 192
+                n_frames = 1 + len(payload) % 7
+                out_h = max(1, (height * 64) // width)
+                for i in range(0, n_frames, 2):
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            width,
+                            height,
+                            64,
+                            out_h,
+                            hashlib.md5(payload + b"#" + str(i).encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "out_w",
+                    "out_h",
+                    "frame_checksum",
+                ],
+            )
+
+    return sample_batches
+
+
+@query(
+    "multimodal_frame_sample",
+    survey_ref="L5,UF4",
+    # Deterministic fake codec again ⇒ full value oracle: frame dims are
+    # integer arithmetic over payload bytes, the checksum is md5 of
+    # payload + '#' + index. A real ffmpeg swap reverts this to rows-only.
+    oracle="""
+        WITH media AS (
+            SELECT
+                doc_id,
+                text,
+                64 + ascii(substring(text, 1, 1)) % 192 AS width,
+                64 + ascii(substring(text, length(text), 1)) % 192 AS height,
+                1 + strlen(text) % 7 AS n_frames
+            FROM documents
+            WHERE doc_id % 10 = 5
+        )
+        SELECT
+            doc_id,
+            CAST(f.frame_idx AS INT) AS frame_idx,
+            CAST(width AS INT) AS width,
+            CAST(height AS INT) AS height,
+            CAST(64 AS INT) AS out_w,
+            CAST(GREATEST(1, (height * 64) // width) AS INT) AS out_h,
+            md5(text || '#' || CAST(f.frame_idx AS VARCHAR)) AS frame_checksum
+        FROM media
+        CROSS JOIN unnest(generate_series(0, n_frames - 1, 2)) AS f(frame_idx)
+    """,
+    doc="Video frame-sampling + resize: row-expanding mapInPandas over binary payloads.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize over fake video payloads: every 2nd frame of
+    each media row becomes an output row with fit-to-width-64 integer
+    resize dimensions. At 100 TB the input is repartitioned so each Arrow
+    batch holds ~64-128 MB of payloads and expansion happens executor-side
+    with zero driver involvement; sampled frames land partitioned by
+    doc_id for the downstream feature-extract join."""
+    d = load(spark, sf_dir, "documents")
+    media = d.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return media.mapInPandas(_make_frame_kernel(), schema=FRAME_SCHEMA)
