@@ -174,3 +174,25 @@ def scan_partitioned_pruned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    survey_ref="S2,S5",
+    oracle="""
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5 third columnar format: parquet → ORC sink → ORC source must
+    reproduce the customer dim exactly (ORC is self-describing, so no
+    explicit schema needed — and like parquet it carries min/max stripe
+    stats, so the same predicate-pushdown guarantees hold at 100 TB)."""
+    path = "/tmp/spark_graft_s5_customer_orc"
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    c.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

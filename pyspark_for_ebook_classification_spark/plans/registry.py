@@ -163,7 +163,11 @@ _PRIORITY: tuple[str, ...] = (
 # window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state,
 # data_shuffle_deterministic, data_interleave_sources,
 # udtf_polymorphic_first_tokens, window_streak_islands,
-# join_basket_part_pairs).
+# join_basket_part_pairs; late-r2: sql_min_cost_supplier_q2,
+# sql_product_profit_q9, sql_important_stock_q11,
+# sql_ship_priority_split_q12, sql_parts_supplier_cnt_q16,
+# sql_excess_stock_suppliers_q20, sql_waiting_suppliers_q21,
+# multimodal_frame_sample, scan_orc_roundtrip).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
