@@ -196,3 +196,43 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "scan_python_datasource",
+    survey_ref="S1,S4",
+    oracle=f"""
+        SELECT
+            CAST(bucket AS BIGINT) AS bucket,
+            COUNT(*) AS n,
+            CAST(SUM(val) AS BIGINT) AS sum_val,
+            CAST(MIN(val) AS BIGINT) AS min_val,
+            CAST(MAX(val) AS BIGINT) AS max_val
+        FROM (
+            SELECT i % 10 AS bucket, (i * 2654435761) % 1000003 AS val
+            FROM generate_series(0, 4999) t(i)
+        )
+        GROUP BY bucket
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 API, sources/pyds.py): a
+    partition-parallel synthetic source planned as 8 independent splits,
+    aggregated downstream like any table. The oracle regenerates the same
+    integer hash math over generate_series — proving the connector's rows,
+    split boundaries included, are exactly the declared function of id."""
+    from pyspark_for_ebook_classification_spark.sources.pyds import register
+
+    register(spark)
+    src = (
+        spark.read.format("synth_corpus")
+        .option("rows", 5000)
+        .option("parts", 8)
+        .load()
+    )
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

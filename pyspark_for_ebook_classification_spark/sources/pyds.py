@@ -1,0 +1,77 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource`) —
+SURVEY.md §2.1 extension: the engine can mount arbitrary external systems
+as first-class, partition-parallel Spark sources in pure Python.
+
+The demo source is a deterministic synthetic corpus generator ("synth"):
+given `rows` and `parts` options it plans `parts` input partitions, each
+yielding its own contiguous id range executor-side — the exact shape a
+100 TB connector needs (driver plans splits; workers stream rows; no
+driver-side materialization). All emitted values are pure integer hash
+math, so a SQL oracle over generate_series reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Knuth's multiplicative-hash constant and a prime modulus — exact in
+#: int64 for every id this source can emit (id < ~3.4e9 keeps the product
+#: under 2^63; the driver tables stay far below that).
+_MULT = 2654435761
+_MOD = 1000003
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        """Driver-side split planning: contiguous id ranges, one per task.
+        At 100 TB-equivalent row counts this is the only driver work —
+        O(parts) split objects, never row data."""
+        step = max(1, -(-self.rows // self.parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition):
+        """Executor-side row stream for one split — pure generator, so
+        rows flow straight into Arrow batches without buffering the
+        partition in memory."""
+        for i in range(partition.start, partition.end):
+            yield (i, i % 10, (i * _MULT) % _MOD)
+
+
+class SynthCorpusDataSource(DataSource):
+    """`spark.read.format("synth_corpus").option("rows", N).load()`."""
+
+    @classmethod
+    def name(cls):
+        return "synth_corpus"
+
+    def schema(self):
+        return "id bigint, bucket bigint, val bigint"
+
+    def reader(self, schema):
+        return SynthCorpusReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the source, forcing this module to pickle BY VALUE: the
+    DataSource class ships inside the serialized plan, so Python workers
+    never need this package on their import path (the driver harness may
+    run from any cwd — same constraint the pandas-UDF closures solve)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(SynthCorpusDataSource)
