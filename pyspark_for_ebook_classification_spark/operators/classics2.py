@@ -283,3 +283,26 @@ def sql_waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     for determinism."""
     _views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     return spark.sql(_Q21_SQL)
+
+
+#: Correlated LATERAL subquery (top-2 customers per nation) — identical
+#: text in Spark SQL and DuckDB (comma-LATERAL syntax).
+_LATERAL_SQL = """
+    SELECT n_name, c.c_custkey, c.c_acctbal
+    FROM nation, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+"""
+
+
+@query("join_lateral_topn_per_nation", survey_ref="J1,J3,W4,O3,§3-EP3", oracle=_LATERAL_SQL)
+def join_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: a per-row dependent subquery with its own
+    ORDER BY + LIMIT. Catalyst rewrites it as a DomainJoin → window-rank
+    (the same plan as W4 top-N per group) rather than executing the inner
+    block per nation row — the only shape that survives a dim with 10^6
+    rows. Tie-broken by custkey so the LIMIT is deterministic."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

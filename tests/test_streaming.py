@@ -192,3 +192,32 @@ def test_chained_window_stream_matches_closed_days(spark, sf_dir):
     assert_frames_match(stream_pdf, closed, "chained_window_closed_days")
     # and the only difference is that withheld last day
     assert set(batch_pdf["day_start"]) - set(stream_pdf["day_start"]) == {last_day}
+
+
+def test_python_stream_source_replays_exactly(spark):
+    """Custom streaming Python Data Source (streaming/pysource.py): the
+    finite synthetic stream must deliver every offset-range row exactly
+    once across micro-batches — the at-least-once + replay-determinism
+    contract a checkpointed 100 TB ingest needs."""
+    import uuid
+
+    from pyspark_for_ebook_classification_spark.streaming.pysource import (
+        register,
+        synth_row,
+    )
+
+    register(spark)
+    src = (
+        spark.readStream.format("synth_stream")
+        .option("rows", 500)
+        .option("batch", 100)
+        .load()
+    )
+    name = "sink_" + uuid.uuid4().hex[:8]
+    q = src.writeStream.outputMode("append").format("memory").queryName(name).start()
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table(name).count() < 500:
+        time.sleep(0.5)
+    q.stop()
+    rows = sorted(tuple(r) for r in spark.table(name).collect())
+    assert rows == sorted(synth_row(i) for i in range(500))
