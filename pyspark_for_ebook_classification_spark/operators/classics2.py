@@ -306,3 +306,25 @@ def join_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Tie-broken by custkey so the LIMIT is deterministic."""
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+#: Modern-SQL GROUP BY ALL (Spark ≥3.4 and DuckDB agree on semantics:
+#: every non-aggregate select item becomes a grouping key).
+_GROUP_BY_ALL_SQL = """
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(year(l_shipdate) AS INT) AS ship_year,
+        COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+@query("agg_group_by_all", survey_ref="A1,F2,§3-EP3", oracle=_GROUP_BY_ALL_SQL)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: the analyzer derives the grouping keys from the
+    select list (every non-aggregate item). Same text, same inferred keys,
+    in both engines — physically identical to the explicit A1 group-by."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)

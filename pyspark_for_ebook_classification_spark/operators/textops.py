@@ -592,3 +592,89 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pair_count") >= 10)
     )
+
+
+@query(
+    "text_gopher_quality_rules",
+    survey_ref="L4,F1,F4",
+    doc="Published Gopher-style repetition/format quality rules as one declarative pass.",
+    oracle=f"""
+        WITH feat AS (
+            SELECT
+                doc_id,
+                length({_SQL_TOKENS}) AS word_count,
+                CAST(list_sum(list_transform({_SQL_TOKENS},
+                     t -> length(t))) AS DOUBLE)
+                  / length({_SQL_TOKENS}) AS mean_word_len,
+                CAST(length(regexp_extract_all(text, '[#.]{{3,}}|[0-9]'))
+                     AS DOUBLE)
+                  / length({_SQL_TOKENS}) AS symbol_per_word,
+                CAST(length(list_filter({_SQL_TOKENS},
+                     t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                  / length({_SQL_TOKENS}) AS alpha_word_ratio,
+                length(list_distinct(list_filter({_SQL_TOKENS},
+                     t -> list_contains({_SQL_STOPLIST}, t)))) AS n_distinct_stop
+            FROM documents
+            WHERE length({_SQL_TOKENS}) > 0 AND doc_id % 5 = 0
+        )
+        SELECT
+            doc_id,
+            CAST(word_count AS INT) AS word_count,
+            mean_word_len,
+            symbol_per_word,
+            alpha_word_ratio,
+            CAST(n_distinct_stop AS INT) AS n_distinct_stop,
+            (word_count BETWEEN 5 AND 100000
+             AND mean_word_len BETWEEN 2.0 AND 12.0
+             AND symbol_per_word < 0.3
+             AND alpha_word_ratio > 0.6
+             AND n_distinct_stop >= 1) AS keep
+        FROM feat
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021, Table A1 shape): word
+    count bounds, mean-word-length band, symbol-to-word ratio, alpha-word
+    ratio, and distinct-stopword floor, folded into one boolean `keep`.
+    One projection pass over the corpus — no shuffle, no Python; at 100 TB
+    this runs at parquet-scan speed and the predicate set is data-site
+    evaluable (thresholds are literals, so Catalyst constant-folds)."""
+    d = load(spark, sf_dir, "documents")
+    tokens = _tokens()
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS])
+    wc = F.size("tokens")
+    mean_len = (
+        F.aggregate("tokens", F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / wc
+    )
+    symbol_per_word = (
+        F.size(F.expr(r"regexp_extract_all(text, '[#.]{3,}|[0-9]', 0)")).cast("double")
+        / wc
+    )
+    alpha_ratio = (
+        F.size(F.filter("tokens", lambda t: t.rlike("[a-zA-Z]"))).cast("double") / wc
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter("tokens", lambda t: F.array_contains(stoplist, t)))
+    )
+    feat = (
+        d.filter((F.col("doc_id") % 5 == 0))
+        .select("doc_id", "text", tokens.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            wc.cast("int").alias("word_count"),
+            mean_len.alias("mean_word_len"),
+            symbol_per_word.alias("symbol_per_word"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            n_stop.cast("int").alias("n_distinct_stop"),
+        )
+    )
+    return feat.withColumn(
+        "keep",
+        F.col("word_count").between(5, 100000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("symbol_per_word") < 0.3)
+        & (F.col("alpha_word_ratio") > 0.6)
+        & (F.col("n_distinct_stop") >= 1),
+    )

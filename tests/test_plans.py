@@ -175,3 +175,26 @@ def test_q21_semi_anti_share_orderkey_shuffle(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert rep["broadcast_joins"] >= 3, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
+    """100 TB layout guarantee: a fact table partitioned on the join key
+    must get DYNAMIC partition pruning when joined to a filtered dim —
+    the scan's PartitionFilters carry a dynamicpruning subquery, so only
+    the dim-selected directories are ever listed."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    path = "/tmp/spark_graft_dpp_lineitem"
+    li = load(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")], "flag string, label string"
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(dim.hint("broadcast"), fact.l_returnflag == dim.flag).groupBy(
+        "label"
+    ).agg(F.sum("l_quantity").alias("qty"))
+    plan = joined._jdf.queryExecution().toString()
+    assert re.search(r"PartitionFilters: \[.*dynamicpruning", plan), plan[-3000:]
