@@ -198,3 +198,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
     ).agg(F.sum("l_quantity").alias("qty"))
     plan = joined._jdf.queryExecution().toString()
     assert re.search(r"PartitionFilters: \[.*dynamicpruning", plan), plan[-3000:]
+
+
+def test_topn_window_gets_group_limit_pushdown(spark, sf_dir):
+    """rank() <= N must plan as WindowGroupLimit on BOTH sides of the
+    exchange (partial before the shuffle, final after): each map task
+    keeps only its local top-N, so the shuffle moves O(N·groups) rows,
+    not the whole fact — the difference between a working and an OOM
+    top-N at 100 TB."""
+    q = all_queries()["window_topn_revenue_per_segment"]
+    plan = audit(q.fn(spark, sf_dir))["plan"]
+    assert plan.count("WindowGroupLimit") >= 2, plan

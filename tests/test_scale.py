@@ -80,3 +80,30 @@ def test_hll_sketch_estimate_accuracy(spark, sf_dir):
     assert (pdf["c_mktsegment"] == "__ALL__").sum() == 1
     rel_err = (pdf["est_distinct"] - pdf["exact_distinct"]).abs() / pdf["exact_distinct"]
     assert (rel_err < 0.05).all(), pdf
+
+
+def test_observe_metrics_ride_the_query(spark, sf_dir):
+    """Production instrumentation at scale: df.observe() collects named
+    accumulator metrics DURING the normal pass (no second scan — at
+    100 TB a separate count() for monitoring doubles the I/O bill).
+    The observed row count/sum must equal a direct aggregate."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    obs = Observation("ingest_health")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("qty_seen"),
+    )
+    out = li.groupBy("l_returnflag").count()
+    out.collect()  # materializes the pass; metrics become available
+    direct = load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("q"),
+    ).first()
+    got = obs.get
+    assert got["rows_seen"] == direct["n"]
+    assert got["qty_seen"] == direct["q"]
