@@ -76,3 +76,42 @@ def test_bigram_pipeline_runs(tiny_corpus):
     out = model.transform(tiny_corpus)
     assert out.count() == 16
     assert "prediction" in out.columns
+
+
+def test_mllib_idf_matches_relational_tfidf(spark, sf_dir):
+    """§2.12 M4/M5 ↔ L6 bridge: MLlib's CountVectorizer+IDF statistics
+    must agree exactly with the oracle-checked relational TF-IDF path
+    (text_tfidf_vocab): same per-term document frequency, and
+    MLlib idf == ln((N+1)/(df+1)) == relational idf − 1 (the relational
+    column adds sklearn's +1 smoothing term)."""
+    import math
+
+    from pyspark.ml.feature import IDF, CountVectorizer
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.textops import _tokens
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("tokens")
+    )
+    n_docs = docs.count()
+    cv_model = CountVectorizer(
+        inputCol="tokens", outputCol="tf", minDF=2.0, vocabSize=1 << 18
+    ).fit(docs)
+    tf = cv_model.transform(docs)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    mllib_idf = dict(zip(cv_model.vocabulary, idf_model.idf.toArray()))
+
+    native = {
+        r["token"]: r
+        for r in all_queries()["text_tfidf_vocab"].fn(spark, sf_dir).collect()
+    }
+    # identical vocabularies under the same df >= 2 cut
+    assert set(mllib_idf) == set(native)
+    for term, got in mllib_idf.items():
+        df = native[term]["df"]
+        expect = math.log((n_docs + 1.0) / (df + 1.0))
+        assert abs(got - expect) < 1e-9, term
+        assert abs((native[term]["idf"] - 1.0) - got) < 1e-6, term
