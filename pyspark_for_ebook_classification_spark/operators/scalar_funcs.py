@@ -508,3 +508,55 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_to_timestamp("o_orderpriority").isNull().alias("prio_not_ts"),
     )
+
+
+@query(
+    "fn_higher_order_suite",
+    survey_ref="F4,F1",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+            WHERE doc_id % 7 = 0
+        )
+        SELECT
+            doc_id,
+            CAST(length(list_filter(tokens, t -> length(t) > 5)) AS INT)
+                AS n_long,
+            length(list_filter(tokens, t -> t = 'the')) > 0 AS has_the,
+            length(list_filter(tokens, t -> NOT regexp_matches(t, '^[a-z]+$')))
+                = 0 AS all_lower_alpha,
+            array_to_string(list_transform(tokens[1:3], t -> upper(t)), '-')
+                AS sig3,
+            CAST(COALESCE(list_position(tokens, 'the'), 0) AS BIGINT)
+                AS pos_the
+        FROM tok
+        WHERE length(tokens) > 0
+    """,
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over token arrays: filter, exists,
+    forall, transform (on a slice), and array_position. All evaluate
+    inside codegen'd JVM expressions — the declarative alternative to a
+    Python UDF for per-element logic, which is exactly what keeps
+    per-token work scan-speed at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", tokens.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.size(F.filter("tokens", lambda t: F.length(t) > 5)).alias("n_long"),
+            F.exists("tokens", lambda t: t == "the").alias("has_the"),
+            F.forall("tokens", lambda t: t.rlike("^[a-z]+$")).alias(
+                "all_lower_alpha"
+            ),
+            F.concat_ws(
+                "-", F.transform(F.slice("tokens", 1, 3), lambda t: F.upper(t))
+            ).alias("sig3"),
+            F.array_position("tokens", "the").alias("pos_the"),
+        )
+    )
