@@ -93,11 +93,14 @@ def test_no_query_plans_cartesian_product(spark, sf_dir):
 
 
 def test_builtin_queries_stay_jvm_side(spark, sf_dir):
-    """Only the explicitly-Python surface (UDF module, multimodal decode,
-    ML pipelines) may cross into Python workers; every other operator must
-    stay in JVM whole-stage codegen territory."""
+    """Only the explicitly-Python surface (UDF module, multimodal codecs,
+    the Python Data Source connector, ML pipelines) may cross into Python
+    workers; every other operator must stay in JVM whole-stage codegen
+    territory."""
     for name, q in all_queries().items():
-        if name.startswith(("ml_", "multimodal_decode", "udf_", "udtf_")):
+        if name.startswith(
+            ("ml_", "multimodal_", "udf_", "udtf_", "scan_python_datasource")
+        ):
             continue
         rep = audit(q.fn(spark, sf_dir))
         assert rep["python_workers"] == 0, f"{name} runs Python in the hot path"
