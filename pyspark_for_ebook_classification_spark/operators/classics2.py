@@ -328,3 +328,27 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines — physically identical to the explicit A1 group-by."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+#: Boolean/conditional aggregate family — identical text in both engines.
+_BOOL_AGG_SQL = """
+    SELECT
+        o_orderstatus,
+        CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        bool_and(o_totalprice > 0) AS all_positive,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@query("agg_bool_count_if", survey_ref="A5,F8,§3-EP3", oracle=_BOOL_AGG_SQL)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (count_if / bool_and / bool_or): the
+    predicate-counting shortcuts a monitoring pipeline leans on. All are
+    single-pass partial-aggregable (each carries O(1) state), so the plan
+    is the same map-side-combined hash aggregate as any A1 sum."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_BOOL_AGG_SQL)

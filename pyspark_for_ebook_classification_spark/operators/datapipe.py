@@ -408,3 +408,81 @@ def data_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.withColumn(
         "feed_pos", F.row_number().over(w_feed).cast("bigint")
     )
+
+
+@query(
+    "data_e2e_prep_pipeline",
+    survey_ref="L1,L4,L7,W1,A1",
+    doc="End-to-end training-data prep: quality gate → exact dedup → hash sample → pack budget.",
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id, text, lang, source,
+                   length(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS word_count,
+                   length(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','of','and','a','to','in',
+                                           'is','it','on','for'], t)))
+                       AS n_stop
+            FROM documents
+        ),
+        gated AS (
+            SELECT * FROM feat WHERE word_count >= 5 AND n_stop >= 1
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id
+                ) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        sampled AS (
+            SELECT * FROM deduped
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 < 80
+        )
+        SELECT
+            source,
+            COUNT(*) AS n_docs,
+            CAST(SUM(word_count) AS BIGINT) AS total_tokens,
+            CAST((SUM(word_count) + 511) // 512 AS BIGINT) AS n_sequences
+        FROM sampled
+        GROUP BY source
+    """,
+)
+def data_e2e_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data prep pass — the pipeline a pre-training
+    corpus actually runs, as one declarative plan: (1) quality gate
+    (word-count floor + stopword presence), (2) exact dedup keep-first by
+    content hash, (3) deterministic 80% hash sample, (4) per-source
+    packing budget at 512-token sequences. Catalyst fuses 1+3 into the
+    scan-side filter stage; the only shuffles are the dedup window's
+    content-hash exchange and the final per-source aggregate — at 100 TB
+    that's two shuffles for a four-stage pipeline, with every stage
+    retry-safe (hash coins, no rand())."""
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stoplist = F.array(
+        *[F.lit(w) for w in ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")]
+    )
+    feat = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.size(tokens).alias("word_count"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(stoplist, t))).alias(
+            "n_stop"
+        ),
+    )
+    gated = feat.filter((F.col("word_count") >= 5) & (F.col("n_stop") >= 1))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sampled = deduped.filter(F.expr(_SPARK_PCT) < 80)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("word_count").cast("bigint").alias("total_tokens"),
+        F.expr("CAST((sum(word_count) + 511) div 512 AS BIGINT)").alias(
+            "n_sequences"
+        ),
+    )
