@@ -678,3 +678,57 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_word_ratio") > 0.6)
         & (F.col("n_distinct_stop") >= 1),
     )
+
+
+@query(
+    "text_inverted_index",
+    survey_ref="L6,F4,A6,W4",
+    doc="Inverted index build: token → capped, ordered posting list.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE doc_id % 4 = 0
+        ),
+        pos AS (
+            SELECT doc_id, tokens[i + 1] AS token, i AS pos
+            FROM tok, LATERAL unnest(range(length(tokens))) AS r(i)
+        )
+        SELECT
+            token,
+            COUNT(DISTINCT doc_id) AS df,
+            COUNT(*) AS tf,
+            list_sort(list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)))[1:20]
+                AS postings
+        FROM pos
+        GROUP BY token
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: posexplode tokens into (doc, position)
+    postings, group by token, and emit a BOUNDED, deterministically-ordered
+    posting list (sort_array + slice to 20 — the unbounded collect_list
+    is the classic 100 TB OOM, so the cap is part of the operator's
+    contract). Postings are 'doc:pos' strings so the list compares
+    identically across engines. One token-keyed shuffle; df/tf ride the
+    same aggregate."""
+    d = load(spark, sf_dir, "documents")
+    pos = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", F.posexplode(_tokens()).alias("pos", "token"))
+        .select(
+            "token",
+            "doc_id",
+            F.concat_ws(":", F.col("doc_id"), F.col("pos")).alias("posting"),
+        )
+    )
+    return (
+        pos.groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.slice(F.sort_array(F.collect_list("posting")), 1, 20).alias("postings"),
+        )
+        .filter(F.col("df") >= 3)
+    )

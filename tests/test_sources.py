@@ -87,3 +87,40 @@ def test_fake_decode_rejects_empty_payload():
         _fake_decode(b"")
     w, h, f = _fake_decode(b"some media bytes")
     assert 64 <= w < 256 and 64 <= h < 256 and 1 <= f <= 7
+
+
+def test_merge_schema_reads_evolved_layout(spark, sf_dir, tmp_path):
+    """Schema evolution across parquet batches (the normal state of a
+    long-lived 100 TB corpus store): an early batch without a column and
+    a later batch with it must read back as one table under
+    mergeSchema=true, with NULLs filling the pre-evolution rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    path = str(tmp_path / "evolved")
+    d = load(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", F.length("text").alias("text_len"))
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"doc_id", "lang", "text_len"}
+    assert back.count() == d.count()
+    # pre-evolution rows surface the new column as NULL
+    assert (
+        back.filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("text_len").isNotNull())
+        .count()
+        == 0
+    )
+    assert (
+        back.filter(F.col("doc_id") % 2 == 1)
+        .filter(F.col("text_len").isNull())
+        .count()
+        == 0
+    )
