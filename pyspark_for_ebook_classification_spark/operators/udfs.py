@@ -390,3 +390,55 @@ def udtf_polymorphic_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.lateralJoin(
         first_tokens(F.col("text").outer(), lit(3))
     ).select("doc_id", "tok_0", "tok_1", "tok_2")
+
+
+ARROW_GROUP_SCHEMA = "lang string, n_docs bigint, total_chars bigint, max_doc long"
+
+
+def _make_arrow_group_kernel():
+    """Grouped-map kernel in RAW Arrow (no pandas materialization): one
+    pa.Table per language in, one summary row out. Closure so cloudpickle
+    ships it by value (workers never import this package)."""
+
+    def summarize(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(table.column("n_chars")).as_py()],
+                "max_doc": [pc.max(table.column("doc_id")).as_py()],
+            }
+        )
+
+    return summarize
+
+
+@query(
+    "udf_arrow_grouped_summary",
+    survey_ref="UF3,UF4",
+    doc="groupBy().applyInArrow: grouped-map directly on Arrow tables, no pandas.",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def udf_arrow_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 ``groupBy(...).applyInArrow`` surface: each language's
+    rows arrive as ONE pyarrow.Table (zero pandas conversion — columnar
+    end to end), summarized with Arrow compute kernels. The relational
+    twin is a plain GROUP BY, which is what you'd write when the logic
+    fits SQL; applyInArrow is the escape hatch for per-group columnar
+    logic that doesn't, at the lowest serialization cost the Python
+    boundary allows. Grouping shuffles once on lang; per-group memory is
+    the group's columnar width, not a pandas copy."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return d.groupBy("lang").applyInArrow(
+        _make_arrow_group_kernel(), schema=ARROW_GROUP_SCHEMA
+    )

@@ -109,3 +109,59 @@ def test_split_tokenize_matches_python(spark, strings):
         s = strings[r["i"]]
         assert r["toks"] == s.split(" ")
         assert r["lim"] == s.split(",", 1)  # Spark limit=2 ≡ Python maxsplit=1
+
+
+# --- sparse shared-shingle Jaccard == brute-force set Jaccard ------------
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+DOC = st.lists(WORDS, min_size=3, max_size=12).map(lambda ws: " ".join(ws))
+
+
+def _brute_jaccard_pairs(texts):
+    """Reference: exact trigram-set Jaccard over same-(lang,len-bucket)
+    blocks, threshold 0.2 — the declared dedup_ngram_jaccard contract."""
+    docs = []
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        if len(toks) < 3:
+            continue
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        docs.append((i, int(len(toks) / 10), sh))
+    out = {}
+    for x in range(len(docs)):
+        for y in range(x + 1, len(docs)):
+            ia, ba, sa = docs[x]
+            ib, bb, sb = docs[y]
+            if ba != bb:
+                continue
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= 0.2:
+                out[(ia, ib)] = jac
+    return out
+
+
+@PROP_SETTINGS
+@given(st.lists(DOC, min_size=2, max_size=15))
+def test_sparse_jaccard_equals_bruteforce(spark, tmp_path_factory, texts):
+    """The sparse shared-shingle join (dedup.py _ngram_pairs) must emit
+    exactly the brute-force blocked Jaccard pairs — losslessness of the
+    ≥1-shared-shingle prune on arbitrary corpora, not just driver data."""
+    import os
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    tmp = tmp_path_factory.mktemp("jacprop")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(str(tmp), "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["trigram_jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard"].fn(spark, str(tmp)).collect()
+    }
+    want = _brute_jaccard_pairs(texts)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 6)) < 1e-9
