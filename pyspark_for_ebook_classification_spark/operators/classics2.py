@@ -352,3 +352,30 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same map-side-combined hash aggregate as any A1 sum."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_BOOL_AGG_SQL)
+
+
+#: Robust statistics: per-segment median + median-absolute-deviation
+#: against the global median (scalar-subquery CTE). median() interpolates
+#: identically in both engines (proved by agg_percentile_median).
+_MAD_SQL = """
+    WITH med AS (SELECT median(c_acctbal) AS m FROM customer)
+    SELECT
+        c_mktsegment,
+        median(c_acctbal) AS seg_median,
+        median(abs(c_acctbal - (SELECT m FROM med))) AS mad_vs_global,
+        COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+"""
+
+
+@query("agg_robust_median_mad", survey_ref="A7,A1,§3-EP3", oracle=_MAD_SQL)
+def agg_robust_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread statistics: per-segment exact median and
+    MAD relative to the global median. The global median is one scalar
+    subquery (evaluated once, broadcast into the projection); exact
+    medians need a per-group sort but the group count is fixed (5
+    segments), so at 100 TB this is one shuffle + bounded per-group
+    state — or swap to approx_percentile when a 1e-3 error is fine."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_MAD_SQL)

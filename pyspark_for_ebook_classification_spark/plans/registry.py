@@ -167,7 +167,10 @@ _PRIORITY: tuple[str, ...] = (
 # sql_product_profit_q9, sql_important_stock_q11,
 # sql_ship_priority_split_q12, sql_parts_supplier_cnt_q16,
 # sql_excess_stock_suppliers_q20, sql_waiting_suppliers_q21,
-# multimodal_frame_sample, scan_orc_roundtrip).
+# multimodal_frame_sample, scan_orc_roundtrip, scan_python_datasource,
+# join_lateral_topn_per_nation, agg_group_by_all, agg_bool_count_if,
+# text_gopher_quality_rules, fn_higher_order_suite, data_e2e_prep_pipeline,
+# text_inverted_index, udf_arrow_grouped_summary, agg_robust_median_mad).
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
