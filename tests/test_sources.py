@@ -124,3 +124,22 @@ def test_merge_schema_reads_evolved_layout(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_arrow_table_interchange_roundtrip(spark, sf_dir):
+    """S4 Arrow path both directions: DataFrame → pa.Table via toArrow()
+    and pa.Table → DataFrame via createDataFrame must preserve rows and
+    types exactly (this is the zero-copy boundary pandas/numpy tooling
+    plugs into at the driver — small frames only; big data never
+    collects)."""
+    import pyarrow as pa
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    n = load(spark, sf_dir, "nation")
+    tbl = n.toArrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == 25
+    back = spark.createDataFrame(tbl)
+    assert back.schema == n.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
