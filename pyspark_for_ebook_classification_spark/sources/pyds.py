@@ -12,7 +12,13 @@ math, so a SQL oracle over generate_series reproduces them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 #: Knuth's multiplicative-hash constant and a prime modulus — exact in
 #: int64 for every id this source can emit (id < ~3.4e9 keeps the product
@@ -75,3 +81,71 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SynthCorpusDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# ------------------------------------------------------------- write path
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Partition-parallel JSONL sink: each task streams its partition to
+    one part file and reports a commit message; the driver's commit()
+    writes the manifest LAST, so readers treat half-written jobs as
+    absent (the same publish-on-commit protocol every atomic 100 TB sink
+    uses)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonl_sink").option("path", dir).save()`."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonlSinkWriter(self.options)

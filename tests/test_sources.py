@@ -143,3 +143,25 @@ def test_arrow_table_interchange_roundtrip(spark, sf_dir):
     back = spark.createDataFrame(tbl)
     assert back.schema == n.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_python_datasource_jsonl_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Write half of the custom Python Data Source connector: the nation
+    dim goes out through the partition-parallel jsonl_sink (per-task part
+    files + publish-on-commit manifest) and must read back exactly."""
+    import json
+    import os
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+    from pyspark_for_ebook_classification_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_out")
+    n = load(spark, sf_dir, "nation")
+    n.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 25
+    assert all(os.path.exists(p) for p in manifest["parts"])
+    back = spark.read.json(out, schema=n.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
