@@ -14,7 +14,12 @@ iterator's serialized form.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 _MULT = 2654435761
 _MOD = 1000003
@@ -69,3 +74,77 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SynthStreamDataSource)
+    spark.dataSource.register(JsonlStreamSinkDataSource)
+
+
+# ---------------------------------------------------------- stream writer
+
+class _EpochCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming custom sink (`DataSourceStreamWriter`): one part file per
+    (epoch, partition), a per-epoch manifest written on commit — so a
+    restarted query that replays an epoch overwrites its manifest instead
+    of double-publishing (idempotent publish, the streaming analogue of
+    the batch sink's publish-on-commit)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_stream_sink requires a 'path' option")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _EpochCommit(part, n)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "parts": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    """`df.writeStream.format("jsonl_stream_sink").option("path", d)`."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_stream_sink"
+
+    def schema(self):
+        return "id bigint, bucket bigint, val bigint"
+
+    def streamWriter(self, schema, overwrite):
+        return JsonlStreamWriter(self.options)

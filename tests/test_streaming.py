@@ -270,3 +270,55 @@ def test_python_stream_source_checkpoint_resume(spark, tmp_path):
     run(stop_at=500)  # resume from the SAME checkpoint
     final = [r["id"] for r in spark.read.parquet(out).collect()]
     assert sorted(final) == [synth_row(i)[0] for i in range(500)]  # no dupes
+
+
+def test_python_stream_sink_epochs_and_manifests(spark, tmp_path):
+    """End-to-end custom Python connector: synth_stream source → custom
+    jsonl_stream_sink — every synthetic row lands exactly once across the
+    per-epoch part files, and each committed epoch published a manifest
+    whose row counts sum to the total."""
+    import glob
+    import json
+    import os
+
+    from pyspark_for_ebook_classification_spark.streaming.pysource import (
+        register,
+        synth_row,
+    )
+
+    register(spark)
+    out = str(tmp_path / "stream_out")
+    src = (
+        spark.readStream.format("synth_stream")
+        .option("rows", 300)
+        .option("batch", 100)
+        .load()
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .format("jsonl_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 120
+    def _rows():
+        return sum(
+            1
+            for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+            for _ in open(p)
+        )
+    while time.time() < deadline and _rows() < 300:
+        time.sleep(0.5)
+    q.stop()
+
+    ids = sorted(
+        json.loads(line)["id"]
+        for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+        for line in open(p)
+    )
+    assert ids == [synth_row(i)[0] for i in range(300)]
+    manifests = [
+        json.load(open(p)) for p in glob.glob(os.path.join(out, "_MANIFEST-*.json"))
+    ]
+    assert sum(m["rows"] for m in manifests) == 300
