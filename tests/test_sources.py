@@ -165,3 +165,39 @@ def test_python_datasource_jsonl_sink_roundtrip(spark, sf_dir, tmp_path):
     assert all(os.path.exists(p) for p in manifest["parts"])
     back = spark.read.json(out, schema=n.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_sql_ddl_dml_surface(spark, sf_dir, tmp_path):
+    """Catalog DDL/DML path: CTAS into a parquet-backed managed location,
+    INSERT INTO ... SELECT appends atomically, DESCRIBE sees the schema,
+    CACHE pins it. This is the spark-sql entry surface a warehouse user
+    drives the engine through."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    spark.sql("DROP TABLE IF EXISTS nation_ddl")
+    spark.sql(
+        f"CREATE TABLE nation_ddl USING parquet LOCATION '{tmp_path}/nation_ddl' "
+        "AS SELECT n_nationkey, n_name, n_regionkey FROM nation_v"
+    )
+    assert spark.table("nation_ddl").count() == 25
+
+    spark.sql(
+        "INSERT INTO nation_ddl "
+        "SELECT n_nationkey + 100, concat('COPY_', n_name), n_regionkey "
+        "FROM nation_v WHERE n_regionkey = 0"
+    )
+    t = spark.table("nation_ddl")
+    assert t.count() == 30
+    assert t.filter(F.col("n_name").startswith("COPY_")).count() == 5
+
+    cols = {r["col_name"] for r in spark.sql("DESCRIBE TABLE nation_ddl").collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+
+    spark.sql("CACHE TABLE nation_ddl")
+    assert spark.catalog.isCached("nation_ddl")
+    spark.sql("UNCACHE TABLE nation_ddl")
+    assert not spark.catalog.isCached("nation_ddl")
+    spark.sql("DROP TABLE nation_ddl")
