@@ -107,3 +107,57 @@ def test_observe_metrics_ride_the_query(spark, sf_dir):
     got = obs.get
     assert got["rows_seen"] == direct["n"]
     assert got["qty_seen"] == direct["q"]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER skew weapon (besides manual salting, test above): AQE
+    must detect the hot key's oversized shuffle partition at runtime and
+    split it across tasks — final plan shows SortMergeJoin(skew=true)
+    over an 'AQEShuffleRead coalesced and skewed'. At 100 TB this is the
+    no-code-change answer to organic key skew."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shrink thresholds so the hot key's ~3 MB partition counts as skewed
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(9_900).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), F.col("id")).alias("label"),
+        )
+        j = hot.unionAll(tail).join(dim, "k")
+        assert len(j.collect()) == 209_900
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"SortMergeJoin\(skew=true\)", plan), plan[:2000]
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
