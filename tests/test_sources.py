@@ -201,3 +201,73 @@ def test_sql_ddl_dml_surface(spark, sf_dir, tmp_path):
     spark.sql("UNCACHE TABLE nation_ddl")
     assert not spark.catalog.isCached("nation_ddl")
     spark.sql("DROP TABLE nation_ddl")
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Malformed-ingest policy — the difference between a 100 TB load
+    that quarantines bad rows and one that dies at hour 9: PERMISSIVE
+    captures the raw line in _corrupt_record, DROPMALFORMED silently
+    drops it, FAILFAST raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{bad json here}\n"
+        '{"id": 2, "v": "also ok"}\n'
+    )
+    schema = "id BIGINT, v STRING, _corrupt_record STRING"
+
+    perm = spark.read.schema(schema).json(str(p)).cache()
+    try:
+        assert perm.count() == 3
+        bad = perm.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert bad.first()["_corrupt_record"].startswith("{bad")
+    finally:
+        perm.unpersist()
+
+    dropped = spark.read.schema("id BIGINT, v STRING").option(
+        "mode", "DROPMALFORMED"
+    ).json(str(p))
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Exception):
+        spark.read.schema("id BIGINT, v STRING").option("mode", "FAILFAST").json(
+            str(p)
+        ).collect()
+
+
+def test_binaryfile_source_feeds_decode_kernel(spark, tmp_path):
+    """L5 ingest path: the binaryFile source mounts raw media blobs as
+    (path, length, content) rows — exactly what the multimodal decode
+    kernel consumes. Three fake payloads in, three decoded metadata rows
+    out, dims matching the deterministic codec math."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        _fake_decode,
+        _make_decode_kernel,
+    )
+
+    payloads = {0: b"aaa-media-bytes", 1: b"bb", 2: b"c" * 301}
+    for i, blob in payloads.items():
+        (tmp_path / f"{i}.bin").write_bytes(blob)
+
+    files = spark.read.format("binaryFile").load(str(tmp_path / "*.bin"))
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in media.mapInPandas(_make_decode_kernel(), schema=DECODE_SCHEMA).collect()
+    }
+    assert len(out) == 3
+    for i, blob in payloads.items():
+        w, h, nf = _fake_decode(blob)
+        assert (out[i]["width"], out[i]["height"], out[i]["n_frames"]) == (w, h, nf)
+        assert out[i]["byte_len"] == len(blob)
