@@ -271,3 +271,30 @@ def test_binaryfile_source_feeds_decode_kernel(spark, tmp_path):
         w, h, nf = _fake_decode(blob)
         assert (out[i]["width"], out[i]["height"], out[i]["n_frames"]) == (w, h, nf)
         assert out[i]["byte_len"] == len(blob)
+
+
+def test_sink_codecs_and_file_sizing(spark, sf_dir, tmp_path):
+    """S5 sink tuning knobs that matter at 100 TB: compression codec
+    (zstd/snappy both round-trip losslessly) and maxRecordsPerFile
+    (bounds file size so downstream scans parallelize — one giant file
+    is as bad as a million tiny ones)."""
+    import glob
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    c = load(spark, sf_dir, "customer")
+    n = c.count()
+    for codec in ("zstd", "snappy"):
+        path = str(tmp_path / f"cust_{codec}")
+        c.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == n
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, c.collect()))
+
+    sized = str(tmp_path / "cust_sized")
+    c.coalesce(1).write.mode("overwrite").option("maxRecordsPerFile", 400).parquet(
+        sized
+    )
+    parts = glob.glob(sized + "/part-*.parquet")
+    assert len(parts) >= n // 400, parts  # 1500 rows / 400 → ≥ 3 files
+    assert spark.read.parquet(sized).count() == n
