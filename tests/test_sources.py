@@ -298,3 +298,27 @@ def test_sink_codecs_and_file_sizing(spark, sf_dir, tmp_path):
     parts = glob.glob(sized + "/part-*.parquet")
     assert len(parts) >= n // 400, parts  # 1500 rows / 400 → ≥ 3 files
     assert spark.read.parquet(sized).count() == n
+
+
+def test_pandas_on_spark_api_delegates(spark, sf_dir):
+    """The pandas-API-on-Spark surface (pyspark.pandas): a user can drive
+    the same engine through pandas idioms — groupby/size here — and get
+    the identical distributed result the SQL path computes (it compiles
+    to the same Catalyst plans; no data leaves the cluster)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        pdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+        got = pdf.groupby("lang").size().to_dict()
+    want = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
