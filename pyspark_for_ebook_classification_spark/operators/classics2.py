@@ -379,3 +379,72 @@ def agg_robust_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — or swap to approx_percentile when a 1e-3 error is fine."""
     _views(spark, sf_dir, "customer")
     return spark.sql(_MAD_SQL)
+
+
+#: Year-over-year growth: window functions OVER an aggregate — the
+#: standard BI reporting shape (lag across ordered aggregate rows).
+_YOY_SQL = f"""
+    WITH yearly AS (
+        SELECT
+            n_name,
+            CAST(year(o_orderdate) AS INT) AS o_year,
+            {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+    )
+    SELECT
+        n_name,
+        o_year,
+        revenue,
+        lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS prev_revenue,
+        round(
+            100.0 * (revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year))
+                / lag(revenue) OVER (PARTITION BY n_name ORDER BY o_year),
+            4) AS yoy_pct
+    FROM yearly
+"""
+
+
+@query("window_yoy_revenue_growth", survey_ref="W2,A1,J1,§3-EP3", oracle=_YOY_SQL)
+def window_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: lag() across the rows of an AGGREGATE — the
+    canonical BI report. The window partitions by nation over a ~25-row
+    aggregate regardless of input scale, so the fact tables do all their
+    work in the decimal-exact groupBy and the window stage is trivial."""
+    _views(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return spark.sql(_YOY_SQL)
+
+
+#: Percent-of-total: an unpartitioned window sum over aggregate rows.
+_SHARE_SQL = f"""
+    WITH seg AS (
+        SELECT
+            c_mktsegment,
+            {sql_dsum('o_totalprice', 'segment_revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT
+        c_mktsegment,
+        segment_revenue,
+        round(100.0 * segment_revenue
+              / CAST(SUM(CAST(segment_revenue AS DECIMAL(28,6))) OVER () AS DOUBLE),
+              6) AS pct_of_total
+    FROM seg
+"""
+
+
+@query("window_pct_of_total_share", survey_ref="W3,A1,§3-EP3", oracle=_SHARE_SQL)
+def window_pct_of_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unpartitioned window over aggregate rows.
+    The empty OVER () is safe ONLY because its input is the 5-row segment
+    aggregate — on raw fact rows it would funnel everything to one task.
+    The window denominator accumulates in decimal (like every other sum
+    here) so its value is independent of the engines' frame iteration
+    order."""
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_SHARE_SQL)
