@@ -442,3 +442,46 @@ def udf_arrow_grouped_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").applyInArrow(
         _make_arrow_group_kernel(), schema=ARROW_GROUP_SCHEMA
     )
+
+
+@query(
+    "udtf_table_arg_longest_doc",
+    survey_ref="UF5,W4",
+    doc="SQL TABLE(...) PARTITION BY argument into a stateful per-partition UDTF.",
+    oracle="""
+        SELECT lang, doc_id AS longest_doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        ) = 1
+    """,
+)
+def udtf_table_arg_longest_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 TABLE-argument UDTF: the SQL text passes a whole relation
+    into the Python UDTF with `TABLE(docs) PARTITION BY lang`, so the
+    engine routes each language's rows through one stateful eval/terminate
+    cycle — per-partition Python logic addressable FROM SQL. The UDTF
+    keeps only O(1) state (the current argmax), the scale contract for
+    arbitrary-size partitions; the oracle is the equivalent window-rank."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, longest_doc_id long, n_chars bigint")
+    class LongestDoc:
+        def __init__(self):
+            self.best = None  # (neg n_chars ordering via compare)
+
+        def eval(self, row):
+            key = (-row["n_chars"], row["doc_id"])
+            if self.best is None or key < self.best:
+                self.best = key
+                self.row = (row["lang"], row["doc_id"], row["n_chars"])
+
+        def terminate(self):
+            if self.best is not None:
+                yield self.row
+
+    spark.udtf.register("longest_doc_udtf", LongestDoc)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT * FROM longest_doc_udtf(TABLE(docs_for_udtf) PARTITION BY lang)"
+    )
