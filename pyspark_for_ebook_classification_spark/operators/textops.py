@@ -732,3 +732,81 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    survey_ref="L4,L6,A1,F3,F4",
+    doc="Add-one-smoothed bigram LM: per-doc avg negative conditional log-prob.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE length({_SQL_TOKENS}) >= 2
+        ),
+        big AS (
+            SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2
+            FROM tok, LATERAL unnest(range(1, length(tokens))) AS r(i)
+        ),
+        big_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        left_cnt AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        vocab AS (
+            SELECT COUNT(DISTINCT t) AS v FROM (
+                SELECT unnest(tokens) AS t FROM tok
+            )
+        )
+        SELECT
+            doc_id,
+            COUNT(*) AS n_bigrams,
+            CAST(SUM(CAST(-ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(28,6)))
+                 AS DOUBLE) / COUNT(*) AS avg_nll
+        FROM big
+        JOIN big_cnt USING (w1, w2)
+        JOIN left_cnt USING (w1)
+        CROSS JOIN vocab
+        GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: each doc's average negative conditional
+    log-prob −ln p(w2|w1) under the corpus bigram model with add-one
+    smoothing — the next step up from the unigram perplexity filter
+    (catches scrambled/boilerplate text whose unigram stats look normal).
+
+    Plan shape mirrors text_unigram_logprob: one exploded bigram stream
+    aggregated twice (pair counts, left counts), joined back and reduced
+    per doc; the vocab size is a broadcast scalar. Each −ln term rounds
+    to decimal(28,6) pre-sum (libm-independence, order-independence)."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(element_at(tokens, i) AS w1, "
+                "element_at(tokens, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    big_cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_cnt = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    nll = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        big.join(F.broadcast(big_cnt), ["w1", "w2"])
+        .join(F.broadcast(left_cnt), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(nll.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
