@@ -322,3 +322,32 @@ def test_python_stream_sink_epochs_and_manifests(spark, tmp_path):
         json.load(open(p)) for p in glob.glob(os.path.join(out, "_MANIFEST-*.json"))
     ]
     assert sum(m["rows"] for m in manifests) == 300
+
+
+def test_rate_source_smoke(spark):
+    """S6's built-in load-generator source: rate emits (timestamp, value)
+    rows at a fixed rps — the standard synthetic-load harness for sizing
+    a streaming job before pointing it at real 100 TB/day traffic."""
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    import uuid
+
+    name = "sink_" + uuid.uuid4().hex[:8]
+    q = (
+        src.selectExpr("value", "value % 10 AS bucket")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 50:
+        time.sleep(0.5)
+    q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) >= 50
+    assert all(r["bucket"] == r["value"] % 10 for r in rows)
