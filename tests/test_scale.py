@@ -161,3 +161,27 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_count_min_sketch_is_merge_order_invariant(spark, sf_dir):
+    """Sketch aggregates are the 100 TB frequency-estimation workhorse;
+    their scale contract is that partial-aggregate MERGES commute. The
+    CMS counters are sums, so the serialized sketch must be byte-identical
+    no matter how the input is partitioned — verified across three
+    different partitionings (1, 7, 32)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    o = load(spark, sf_dir, "orders")
+    def sketch(df):
+        return df.agg(
+            F.count_min_sketch(
+                "o_orderpriority", F.lit(0.01), F.lit(0.95), F.lit(42)
+            ).alias("s")
+        ).first()["s"]
+
+    base = sketch(o.coalesce(1))
+    assert sketch(o.repartition(7)) == base
+    assert sketch(o.repartition(32, "o_orderkey")) == base
+    assert len(base) > 0
