@@ -448,3 +448,76 @@ def window_pct_of_total_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     _views(spark, sf_dir, "orders", "customer")
     return spark.sql(_SHARE_SQL)
+
+
+#: Share-within-group: each nation's fraction of ITS region's revenue —
+#: the partitioned variant of window_pct_of_total_share.
+_REGION_SHARE_SQL = f"""
+    WITH nat AS (
+        SELECT
+            r_name,
+            n_name,
+            {sql_dsum('o_totalprice', 'nation_revenue')}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT
+        r_name,
+        n_name,
+        nation_revenue,
+        round(100.0 * nation_revenue
+              / CAST(SUM(CAST(nation_revenue AS DECIMAL(28,6)))
+                     OVER (PARTITION BY r_name) AS DOUBLE),
+              6) AS pct_of_region
+    FROM nat
+"""
+
+
+@query("window_share_within_region", survey_ref="W3,A1,J4,§3-EP3", oracle=_REGION_SHARE_SQL)
+def window_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report shape: each nation's share of its region's revenue
+    via a PARTITION BY window over the 25-row aggregate. Decimal-exact
+    denominator per partition; the window stage is trivial at any input
+    scale because it runs on aggregate rows."""
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(_REGION_SHARE_SQL)
+
+
+#: Cumulative distinct users per day: first-seen flag + running sum — the
+#: scalable rewrite of COUNT(DISTINCT) OVER (ORDER BY ...) which neither
+#: engine supports directly.
+_CUM_USERS_SQL = """
+    WITH firsts AS (
+        SELECT
+            user_id,
+            CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    daily AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM firsts WHERE rn = 1
+        GROUP BY day
+    )
+    SELECT
+        day,
+        new_users,
+        CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumulative_users
+    FROM daily
+"""
+
+
+@query("window_cumulative_distinct_users", survey_ref="W1,W3,A1,§3-EP3", oracle=_CUM_USERS_SQL)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-dashboard staple.
+    COUNT(DISTINCT) OVER a running frame isn't supported by either engine
+    (and would be quadratic anyway); the scalable rewrite marks each
+    user's FIRST event (row_number = 1), aggregates new users per day,
+    and runs one tiny running sum over the 30-row daily series."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_CUM_USERS_SQL)
