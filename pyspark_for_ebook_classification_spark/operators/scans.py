@@ -236,3 +236,27 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    survey_ref="S2,S5",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5 fourth format, Spark-4 native XML: parquet → XML sink
+    (rowTag-per-record) → schema'd XML source must reproduce the table
+    exactly. Same explicit-schema rule as CSV/JSON — XML inference adds a
+    full extra scan at 100 TB."""
+    path = "/tmp/spark_graft_s5_nation_xml"
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).format("xml").save(path)
+    return (
+        spark.read.option("rowTag", "nation")
+        .schema(n.schema)
+        .format("xml")
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
