@@ -560,3 +560,45 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_position("tokens", "the").alias("pos_the"),
         )
     )
+
+
+@query(
+    "fn_xml_parse_suite",
+    survey_ref="F6,F1",
+    oracle="""
+        SELECT
+            s_suppkey,
+            '<supplier><k>' || CAST(s_suppkey AS VARCHAR) || '</k><n>'
+                || s_name || '</n><b>' || CAST(s_nationkey AS VARCHAR)
+                || '</b></supplier>' AS xml_doc,
+            s_suppkey AS parsed_key,
+            s_name AS parsed_name,
+            CAST(s_nationkey AS INT) AS parsed_nation
+        FROM supplier
+        WHERE s_suppkey % 4 = 0
+    """,
+)
+def fn_xml_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml (Spark-4 scalar XML parsing): rows are serialized to XML
+    strings in-plan, then parsed back with an explicit struct schema and
+    the fields re-extracted — the XML analogue of the from_json path for
+    feeds that arrive as markup. The oracle never touches XML: it knows
+    the parse must be the identity on what was serialized."""
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 4 == 0)
+    xml = F.concat(
+        F.lit("<supplier><k>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</k><n>"),
+        F.col("s_name"),
+        F.lit("</n><b>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</b></supplier>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, n STRING, b INT")
+    return s.select(
+        "s_suppkey",
+        xml.alias("xml_doc"),
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("n").alias("parsed_name"),
+        parsed.getField("b").alias("parsed_nation"),
+    )
