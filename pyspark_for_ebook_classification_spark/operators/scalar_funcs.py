@@ -602,3 +602,40 @@ def fn_xml_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("n").alias("parsed_name"),
         parsed.getField("b").alias("parsed_nation"),
     )
+
+
+@query(
+    "fn_explode_outer_preserves_rows",
+    survey_ref="F4,F8",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               t -> t <> '' AND length(t) >= 8) AS long_toks
+            FROM documents
+            WHERE doc_id % 6 = 0
+        )
+        SELECT doc_id, u.tok AS long_token
+        FROM docs
+        CROSS JOIN unnest(
+            CASE WHEN length(long_toks) = 0
+                 THEN [CAST(NULL AS VARCHAR)] ELSE long_toks END
+        ) AS u(tok)
+    """,
+)
+def fn_explode_outer_preserves_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is EMPTY survive with a NULL
+    element instead of vanishing — the null-preserving explode a
+    left-join-shaped pipeline needs (e.g. every doc keeps a row even
+    when it has no qualifying tokens, so downstream counts don't silently
+    drop docs). The oracle emulates it by substituting [NULL] for empty
+    lists before unnesting."""
+    d = load(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split("text", " "), lambda t: (t != "") & (F.length(t) >= 8)
+    )
+    return (
+        d.filter(F.col("doc_id") % 6 == 0)
+        .select("doc_id", long_toks.alias("long_toks"))
+        .select("doc_id", F.explode_outer("long_toks").alias("long_token"))
+    )
