@@ -639,3 +639,44 @@ def fn_explode_outer_preserves_rows(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", long_toks.alias("long_toks"))
         .select("doc_id", F.explode_outer("long_toks").alias("long_token"))
     )
+
+
+@query(
+    "fn_string_suite2",
+    survey_ref="F1",
+    oracle="""
+        SELECT
+            doc_id,
+            split_part(text, ' ', 2) AS second_token,
+            CAST(strpos(text, 'the') AS INT) AS first_the_pos,
+            left(text, 5) AS head5,
+            right(text, 5) AS tail5,
+            contains(text, 'data') AS has_data,
+            starts_with(text, 'the ') AS starts_the,
+            ends_with(text, '.') AS ends_period,
+            regexp_extract_all(text, '[0-9]+') AS numbers,
+            repeat('ab', 3) AS abab,
+            reverse(split_part(text, ' ', 1)) AS first_tok_rev
+        FROM documents
+        WHERE doc_id % 15 = 0
+    """,
+)
+def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: split_part, instr/strpos, left/right,
+    contains/starts_with/ends_with, regexp_extract_all (array-valued),
+    repeat, reverse. All JVM codegen; DuckDB names differ (instr→strpos)
+    but semantics are 1-based and identical."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 15 == 0).select(
+        "doc_id",
+        F.expr("split_part(text, ' ', 2)").alias("second_token"),
+        F.instr("text", "the").cast("int").alias("first_the_pos"),
+        F.expr("left(text, 5)").alias("head5"),
+        F.expr("right(text, 5)").alias("tail5"),
+        F.col("text").contains("data").alias("has_data"),
+        F.col("text").startswith("the ").alias("starts_the"),
+        F.col("text").endswith(".").alias("ends_period"),
+        F.expr("regexp_extract_all(text, '[0-9]+', 0)").alias("numbers"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+        F.reverse(F.expr("split_part(text, ' ', 1)")).alias("first_tok_rev"),
+    )
