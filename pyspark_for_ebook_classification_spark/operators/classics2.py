@@ -521,3 +521,50 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     and runs one tiny running sum over the 30-row daily series."""
     _views(spark, sf_dir, "events")
     return spark.sql(_CUM_USERS_SQL)
+
+
+#: Interval-overlap self-join: order "activity windows" (orderdate,
+#: orderdate + 30 days) that overlap for the SAME customer. Equi-key on
+#: custkey bounds the pair count per customer; the overlap predicate is
+#: the residual condition.
+_OVERLAP_SQL = """
+    WITH win AS (
+        SELECT
+            o_custkey,
+            o_orderkey,
+            o_orderdate AS start_ts,
+            o_orderdate + INTERVAL 30 DAY AS end_ts
+        FROM orders
+    )
+    SELECT
+        a.o_custkey AS custkey,
+        a.o_orderkey AS order_a,
+        b.o_orderkey AS order_b,
+        CAST(CASE WHEN a.end_ts < b.end_ts THEN a.end_ts
+                  ELSE b.end_ts END AS TIMESTAMP) AS overlap_end,
+        CAST(b.start_ts AS TIMESTAMP) AS overlap_start
+    FROM win a
+    JOIN win b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.start_ts <= b.end_ts
+     AND b.start_ts <= a.end_ts
+    WHERE a.o_custkey % 10 = 0
+"""
+
+
+@query("join_interval_overlap_windows", survey_ref="J5,J8,F2,§3-EP3", oracle=_OVERLAP_SQL)
+def join_interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join (ranges × ranges — harder than the
+    point-in-range J5 shapes): which of a customer's 30-day order windows
+    overlap. The custkey equi-key keeps it a hash join with the overlap
+    inequality as residual — pair count is bounded per customer, never
+    corpus-quadratic, exactly how a 100 TB interval join must be keyed.
+    b.start <= a.end uses the symmetric form so the predicate stays
+    sargable on both sides. The overlap window itself is emitted as
+    [overlap_start, overlap_end] (b starts second by the o_orderkey
+    ordering on same-day ties is irrelevant — start = b.start, end =
+    least of the ends — both pure CASE expressions that parse and
+    evaluate identically in the two engines)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_OVERLAP_SQL)
