@@ -568,3 +568,34 @@ def join_interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     evaluate identically in the two engines)."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_OVERLAP_SQL)
+
+
+#: Min-max feature normalization per group — window min/max are exact
+#: (no accumulation), so the scaled value is one IEEE division on
+#: identical operands in both engines.
+_MINMAX_SQL = """
+    SELECT
+        c_custkey,
+        c_mktsegment,
+        c_acctbal,
+        CASE WHEN MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                  = MIN(c_acctbal) OVER (PARTITION BY c_mktsegment)
+             THEN 0.0
+             ELSE (c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                  / (MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                     - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment))
+        END AS acctbal_scaled
+    FROM customer
+    WHERE c_custkey % 5 = 0
+"""
+
+
+@query("window_minmax_normalize", survey_ref="W3,F3,§3-EP3", oracle=_MINMAX_SQL)
+def window_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment min-max normalization — the distributed feature-scaling
+    primitive (MinMaxScaler's relational core). Window MIN/MAX carry no
+    accumulation error, so the scaled double is bit-identical across
+    engines with no rounding crutch; the degenerate all-equal partition
+    maps to 0. One shuffle on the partition key at any scale."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_MINMAX_SQL)
