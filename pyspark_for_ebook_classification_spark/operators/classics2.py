@@ -599,3 +599,32 @@ def window_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     maps to 0. One shuffle on the partition key at any scale."""
     _views(spark, sf_dir, "customer")
     return spark.sql(_MINMAX_SQL)
+
+
+#: Geometric mean via exp(avg(ln x)) — the log-domain aggregate trick
+#: (product of 60k doubles would overflow; the log sum doesn't). ln/exp
+#: are libm-dependent, so the log terms AND the final value are rounded
+#: per the registry determinism contract.
+_GEOMEAN_SQL = """
+    SELECT
+        l_returnflag,
+        COUNT(*) AS n_items,
+        round(
+            exp(CAST(SUM(CAST(round(ln(l_extendedprice), 9) AS DECIMAL(28,12)))
+                     AS DOUBLE) / COUNT(*)),
+            4) AS geomean_price
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+"""
+
+
+@query("agg_geometric_mean_log", survey_ref="A7,F3,§3-EP3", oracle=_GEOMEAN_SQL)
+def agg_geometric_mean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean in the log domain: exp(mean(ln x)) — the only shape
+    that survives 100 TB (a direct product overflows past ~300 values).
+    Each ln is rounded to 9 decimals before the decimal-exact sum (libm
+    independence), and the final exp is rounded to 4 — well above the
+    accumulated 1e-9·n error at any driver scale factor."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GEOMEAN_SQL)
