@@ -71,106 +71,112 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # — unverified in r1: LLM-data-pipeline ops (SURVEY §2.9) —
-    "dedup_exact_sha",
-    "dedup_minhash_lsh",
-    "dedup_simhash_groups",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_bucketed",
-    "sim_cosine_neardup_pairs",
-    "sim_knn_label_vote",
-    "sim_ann_ivf_kmeans",
-    "text_stats_by_lang",
-    "text_quality_score",
-    "text_token_count_subwords",
-    "text_fingerprint_shingle",
-    "text_tfidf_vocab",
-    "text_lang_id_ngram",
-    "text_unigram_logprob",
-    "multimodal_row_transport",
-    "multimodal_decode_stub",
-    # — unverified in r1: streaming batch twins (§2.10) —
-    "stream_tumbling_hourly_twin",
-    "stream_sliding_quarter_twin",
-    "stream_session_window_twin",
-    "stream_dedup_twin",
-    "stream_stateful_runmax_twin",
-    "stream_static_join_twin",
-    # — unverified in r1: UDF/UDTF surface (§2.11) —
-    "udf_pandas_scalar_tier",
-    "udf_grouped_map_rank",
-    "udf_grouped_agg_span",
-    "udf_iterator_partition_stats",
-    "udtf_chunk_documents",
-    "udf_plain_python_rowwise",
-    # — unverified in r1: SQL classics & remaining scalar suites —
-    "sql_shipping_priority_q3",
-    "agg_revenue_delta_q6",
-    "subquery_priority_counts_q4",
-    "subquery_above_avg_balance",
-    "join_full_outer_nation_presence",
-    "unpivot_lineitem_measures",
-    "fn_hash_suite",
-    "window_funnel_conversion",
-    # — new in r2: training-data pipeline ops (never yet driver-verified) —
-    "data_stratified_sample",
-    "data_mix_weighted_sources",
-    "data_pack_sequences",
-    "data_quality_quantile_filter",
-    # — new in r2: TPC-H classics + ntile (never yet driver-verified) —
-    "sql_local_supplier_volume_q5",
-    "join_returned_items_q10",
-    "agg_promo_share_q14",
-    "sql_big_order_customers_q18",
-    "filter_disjunctive_bands_q19",
-    "window_ntile_quartiles",
-    # — flagship (re-verify every round) —
-    "agg_pricing_summary",
-    # — coverage dups of r1-verified rows (F5/F8) + rows-only; rotate in r3 —
+    # ================= r3 front block: 50 oracle-checked queries =========
+    # never driver-verified in r1/r2; hand-picked so every SURVEY §2
+    # operator row still lacking a driver-green entry gets one this round.
+    # — sources & sinks (S2/S3/S5/S6) —
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_partitioned_pruned_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "scan_python_datasource",
+    # — join variants (J7 forward, null-safe eq) —
+    "join_asof_forward_next_error",
+    "join_null_safe_eq",
+    # — remaining aggregate surface (A7 robust/geo-mean) —
+    "agg_robust_median_mad",
+    "agg_geometric_mean_log",
+    # — scalar-function suites (F1/F4/F5/F6/F8) —
+    "fn_string_suite2",
+    "fn_higher_order_suite",
+    "fn_posexplode_positions",
+    "fn_explode_outer_preserves_rows",
     "fn_map_suite",
+    "fn_struct_suite",
+    "fn_variant_suite",
+    "fn_xml_parse_suite",
     "fn_null_suite",
+    "fn_try_suite",
+    # — LLM-data-pipeline additions (L1/L2/L3/L5/L6) —
+    "dedup_chunk_global",
+    "dedup_cluster_keep_best",
+    "sim_ann_ivf_label_cells",
+    "sim_quantize_int8",
+    "sim_label_centroids",
+    "multimodal_frame_sample",
+    "text_bpe_pair_stats",
+    "text_bigram_lm_score",
+    "text_inverted_index",
+    "text_keyword_topk",
+    # — UDF/UDTF surface (UF3/UF4/UF5/UF7) —
+    "udf_arrow_grouped_summary",
+    "udf_arrow_map_batches",
+    "udtf_polymorphic_first_tokens",
+    "udtf_table_arg_longest_doc",
+    "udf_cogrouped_merge_asof",
+    # — streaming beyond-survey twins (ST8/ST9) —
+    "stream_stream_join_twin",
+    "stream_chained_window_twin",
+    # — TPC-H classic sweep completion (13 remaining numbers) —
+    "sql_min_cost_supplier_q2",
+    "sql_volume_shipping_q7",
+    "sql_market_share_q8",
+    "sql_product_profit_q9",
+    "sql_important_stock_q11",
+    "sql_ship_priority_split_q12",
+    "sql_customer_distribution_q13",
+    "sql_top_supplier_q15",
+    "sql_parts_supplier_cnt_q16",
+    "sql_small_qty_revenue_q17",
+    "sql_excess_stock_suppliers_q20",
+    "sql_waiting_suppliers_q21",
+    "sql_sales_opportunity_q22",
+    # ================= r4 queue: remaining 32 oracle-checked =============
+    "merge_upsert_emulation",
+    "join_pit_scd2_state",
+    "join_basket_part_pairs",
+    "join_lateral_topn_per_nation",
+    "join_interval_overlap_windows",
+    "agg_min_max_by",
+    "agg_corr_regr",
+    "agg_mode_deterministic",
+    "agg_histogram_width_bucket",
+    "agg_group_by_all",
+    "agg_bool_count_if",
+    "window_nth_value_frames",
+    "window_cohort_retention",
+    "window_gapfill_daily",
+    "window_scd2_intervals",
+    "window_anomaly_zscore",
+    "window_streak_islands",
+    "window_yoy_revenue_growth",
+    "window_pct_of_total_share",
+    "window_share_within_region",
+    "window_cumulative_distinct_users",
+    "window_minmax_normalize",
+    "fn_bitwise_suite",
+    "text_pii_scrub",
+    "text_repetition_ratio",
+    "text_normalize_clean",
+    "text_gopher_quality_rules",
+    "data_decontaminate_ngram",
+    "data_train_valid_split",
+    "data_shuffle_deterministic",
+    "data_interleave_sources",
+    "data_e2e_prep_pipeline",
+    # — rows-only (no_oracle) — queue last so green-capable rows go first —
     "agg_hll_mergeable_sketch",
-    # — unverified in r1: ML surface (rows-only, §2.12) —
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",
     "ml_eval_metrics",
 )
 
-# r3 rotation TODO: front these still-unverified names next round —
-# everything after position 50 above (fn_map_suite, fn_null_suite,
-# agg_hll_mergeable_sketch, ml_*), the r1 stragglers
-# (join_asof_forward_next_error, join_null_safe_eq,
-# fn_posexplode_positions, udf_arrow_map_batches), and the r2 additions
-# (fn_bitwise_suite, fn_struct_suite, agg_min_max_by, agg_corr_regr,
-# window_nth_value_frames, scan_csv_roundtrip, scan_jsonl_roundtrip,
-# text_pii_scrub, text_repetition_ratio, data_train_valid_split,
-# stream_stream_join_twin, sql_volume_shipping_q7, sql_market_share_q8,
-# sql_top_supplier_q15, sql_small_qty_revenue_q17,
-# data_decontaminate_ngram, dedup_chunk_global,
-# sql_customer_distribution_q13, sim_quantize_int8,
-# window_cohort_retention, agg_mode_deterministic, text_keyword_topk,
-# scan_partitioned_pruned_roundtrip, fn_variant_suite,
-# window_gapfill_daily, sql_sales_opportunity_q22, fn_try_suite,
-# text_normalize_clean, udf_cogrouped_merge_asof,
-# merge_upsert_emulation, window_scd2_intervals,
-# text_bpe_pair_stats, sim_label_centroids,
-# stream_chained_window_twin, agg_histogram_width_bucket;
-# multimodal_decode_stub upgraded from rows-only to a value oracle;
-# sim_ann_ivf_label_cells gives the IVF scale path a full oracle;
-# window_anomaly_zscore, dedup_cluster_keep_best, join_pit_scd2_state,
-# data_shuffle_deterministic, data_interleave_sources,
-# udtf_polymorphic_first_tokens, window_streak_islands,
-# join_basket_part_pairs; late-r2: sql_min_cost_supplier_q2,
-# sql_product_profit_q9, sql_important_stock_q11,
-# sql_ship_priority_split_q12, sql_parts_supplier_cnt_q16,
-# sql_excess_stock_suppliers_q20, sql_waiting_suppliers_q21,
-# multimodal_frame_sample, scan_orc_roundtrip, scan_python_datasource,
-# join_lateral_topn_per_nation, agg_group_by_all, agg_bool_count_if,
-# text_gopher_quality_rules, fn_higher_order_suite, data_e2e_prep_pipeline,
-# text_inverted_index, udf_arrow_grouped_summary, agg_robust_median_mad).
+# Rotation bookkeeping: r1 verified 50 queries, r2 a disjoint 50 (see
+# CORRECTNESS_r0{1,2}.json). The 87 names above are exactly the remainder;
+# after r3 verifies the first 50, promote the r4 queue (and any queries
+# added during r3, which register after the listed names) to the front.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
