@@ -84,10 +84,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """
     if not payload:
         raise ValueError("empty media payload")
-    # pseudo-dimensions derived from content bytes — stable across runs
-    width = 64 + payload[0] % 192
-    height = 64 + payload[-1] % 192
-    n_frames = 1 + len(payload) % 7
+    # pseudo-dimensions derived from the decoded text's first/last CODE
+    # POINTS (not raw bytes): DuckDB's ascii() returns code points, so this
+    # stays engine-portable even if testdata ever ships non-ASCII text.
+    text = payload.decode("utf-8")
+    width = 64 + ord(text[0]) % 192
+    height = 64 + ord(text[-1]) % 192
+    n_frames = 1 + len(payload) % 7  # byte length, = DuckDB strlen()
     return width, height, n_frames
 
 
@@ -101,7 +104,8 @@ def _make_decode_kernel():
         # by-value copy of _fake_decode (kept in sync; unit-tested there)
         if not payload:
             raise ValueError("empty media payload")
-        return 64 + payload[0] % 192, 64 + payload[-1] % 192, 1 + len(payload) % 7
+        t = payload.decode("utf-8")
+        return 64 + ord(t[0]) % 192, 64 + ord(t[-1]) % 192, 1 + len(payload) % 7
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -127,10 +131,11 @@ def _make_decode_kernel():
 @query(
     "multimodal_decode_stub",
     survey_ref="L5,UF4",
-    # The fake codec is deterministic arithmetic over the payload bytes
-    # (documents.text is ASCII, so chars == bytes), so the Python-worker
-    # path gets a REAL value oracle, not just a rows-only check: a real
-    # codec swap would revert this to oracle=None.
+    # The fake codec is deterministic arithmetic over the decoded text's
+    # code points + byte length — portable to DuckDB's ascii()/strlen()
+    # for ANY UTF-8 text — so the Python-worker path gets a REAL value
+    # oracle, not just a rows-only check: a real codec swap would revert
+    # this to oracle=None.
     oracle="""
         SELECT
             doc_id,
@@ -188,9 +193,12 @@ def _make_frame_kernel():
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                # same deterministic fake codec as the decode stub
-                width = 64 + payload[0] % 192
-                height = 64 + payload[-1] % 192
+                # same deterministic fake codec as the decode stub:
+                # code-point math on decoded text (ascii()-portable),
+                # byte length for frame count (strlen()-portable)
+                t = payload.decode("utf-8")
+                width = 64 + ord(t[0]) % 192
+                height = 64 + ord(t[-1]) % 192
                 n_frames = 1 + len(payload) % 7
                 out_h = max(1, (height * 64) // width)
                 for i in range(0, n_frames, 2):

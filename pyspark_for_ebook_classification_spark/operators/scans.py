@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyspark_for_ebook_classification_spark.plans.registry import query
-from pyspark_for_ebook_classification_spark.sources.io import load
+from pyspark_for_ebook_classification_spark.sources.io import load, scratch_dir
 
 
 @query(
@@ -98,7 +98,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reads the original table: the round-trip IS the assertion."""
     from pyspark_for_ebook_classification_spark.sources.io import read_csv
 
-    path = "/tmp/spark_graft_s2_nation_csv"
+    path = scratch_dir("s2_nation_csv")
     n = load(spark, sf_dir, "nation")
     n.write.mode("overwrite").option("header", True).csv(path)
     schema = T.StructType(
@@ -129,7 +129,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the identical bit pattern."""
     from pyspark_for_ebook_classification_spark.sources.io import read_jsonl
 
-    path = "/tmp/spark_graft_s3_supplier_jsonl"
+    path = scratch_dir("s3_supplier_jsonl")
     s = load(spark, sf_dir, "supplier")
     s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").write.mode(
         "overwrite"
@@ -166,7 +166,7 @@ def scan_partitioned_pruned_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     carry the predicate, so the other languages' files are never opened
     (asserted in tests/test_plans.py). The oracle reads the original
     unpartitioned table — the round-trip plus pruning IS the assertion."""
-    path = "/tmp/spark_graft_s5_docs_partitioned"
+    path = scratch_dir("s5_docs_partitioned")
     d = load(spark, sf_dir, "documents")
     d.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
@@ -190,7 +190,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the customer dim exactly (ORC is self-describing, so no
     explicit schema needed — and like parquet it carries min/max stripe
     stats, so the same predicate-pushdown guarantees hold at 100 TB)."""
-    path = "/tmp/spark_graft_s5_customer_orc"
+    path = scratch_dir("s5_customer_orc")
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
     )
@@ -248,7 +248,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rowTag-per-record) → schema'd XML source must reproduce the table
     exactly. Same explicit-schema rule as CSV/JSON — XML inference adds a
     full extra scan at 100 TB."""
-    path = "/tmp/spark_graft_s5_nation_xml"
+    path = scratch_dir("s5_nation_xml")
     n = load(spark, sf_dir, "nation")
     n.write.mode("overwrite").option("rootTag", "nations").option(
         "rowTag", "nation"

@@ -32,6 +32,21 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+def scratch_dir(label: str) -> str:
+    """Per-process-unique scratch directory for sink round-trips.
+
+    Keyed by pid so concurrent runs (two driver harnesses, pytest + bench)
+    never collide on a shared path, yet stable within a process so a lazy
+    reader returned by a round-trip query still sees the files its own run
+    wrote when the driver later triggers the action.
+    """
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.getpid()}", label)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar parquet scan of one driver table.
 
@@ -52,11 +67,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
+        from pyspark.errors import AnalysisException
 
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # Foreign session (e.g. the driver's own) reading the INT64
+            # TIMESTAMP(NANOS) generation: the legacy conf is the only way
+            # in, and it must stay set for the session because the lazy
+            # scan consults it again at execution. get_spark() sessions set
+            # it at build time and never reach this branch.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -99,10 +99,23 @@ class JsonlSinkWriter(DataSourceWriter):
     absent (the same publish-on-commit protocol every atomic 100 TB sink
     uses)."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite=False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires a 'path' option")
+        if overwrite:
+            # Runs driver-side at plan time (writer() instantiation), once
+            # per job: clear prior part files so mode("overwrite") cannot
+            # silently append — spark.read.json(dir) globs the directory,
+            # not the manifest, so stale parts would otherwise survive.
+            import glob
+            import os
+
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(stale)
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(manifest):
+                os.remove(manifest)
 
     def write(self, iterator):
         import json
@@ -148,4 +161,4 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite):
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite=overwrite)

@@ -87,6 +87,10 @@ def test_fake_decode_rejects_empty_payload():
         _fake_decode(b"")
     w, h, f = _fake_decode(b"some media bytes")
     assert 64 <= w < 256 and 64 <= h < 256 and 1 <= f <= 7
+    # non-ASCII: dims come from code points (ascii()-portable), not raw
+    # UTF-8 bytes — 'é' is code point 233, bytes C3 A9
+    w2, h2, _ = _fake_decode("émeuté".encode())
+    assert w2 == 64 + 233 % 192 and h2 == 64 + 233 % 192
 
 
 def test_merge_schema_reads_evolved_layout(spark, sf_dir, tmp_path):
