@@ -542,7 +542,8 @@ _OVERLAP_SQL = """
         b.o_orderkey AS order_b,
         CAST(CASE WHEN a.end_ts < b.end_ts THEN a.end_ts
                   ELSE b.end_ts END AS TIMESTAMP) AS overlap_end,
-        CAST(b.start_ts AS TIMESTAMP) AS overlap_start
+        CAST(CASE WHEN a.start_ts > b.start_ts THEN a.start_ts
+                  ELSE b.start_ts END AS TIMESTAMP) AS overlap_start
     FROM win a
     JOIN win b
       ON a.o_custkey = b.o_custkey
@@ -562,10 +563,10 @@ def join_interval_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus-quadratic, exactly how a 100 TB interval join must be keyed.
     b.start <= a.end uses the symmetric form so the predicate stays
     sargable on both sides. The overlap window itself is emitted as
-    [overlap_start, overlap_end] (b starts second by the o_orderkey
-    ordering on same-day ties is irrelevant — start = b.start, end =
-    least of the ends — both pure CASE expressions that parse and
-    evaluate identically in the two engines)."""
+    [overlap_start, overlap_end] = [greatest of the starts, least of
+    the ends] — symmetric CASE expressions that parse and evaluate
+    identically in the two engines. (o_orderkey order does NOT imply
+    date order, so the start must be computed, not taken from b.)"""
     _views(spark, sf_dir, "orders")
     return spark.sql(_OVERLAP_SQL)
 
@@ -628,3 +629,47 @@ def agg_geometric_mean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated 1e-9·n error at any driver scale factor."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_GEOMEAN_SQL)
+
+
+#: Recursive-CTE month spine (Spark 4 WITH RECURSIVE — SPARK-24497) with a
+#: monthly order rollup left-joined on: the gap-preserving report shape.
+#: The text runs UNCHANGED on DuckDB; decimal sum keeps revenue exact.
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE spine AS (
+        SELECT CAST('1995-01-01' AS DATE) AS month_start
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE) AS month_start
+        FROM spine WHERE month_start < CAST('2000-12-01' AS DATE)
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+    )
+    SELECT CAST(spine.month_start AS TIMESTAMP) AS month_start,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(revenue, 0.0) AS DOUBLE) AS revenue
+    FROM spine LEFT JOIN monthly ON monthly.m = spine.month_start
+"""
+
+
+@query(
+    "sql_recursive_month_spine",
+    survey_ref="F2,A1,J2,§3-EP3",
+    oracle=_RECURSIVE_SPINE_SQL,
+    doc="WITH RECURSIVE month spine LEFT JOIN monthly order rollup (gap-preserving).",
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): a 72-month date spine generated by
+    recursion — no table scan, no sequence()+explode — left-joined to the
+    monthly order rollup so empty months survive with zero rows, the shape
+    sequence-gap reports need. The recursion is driver-cheap (UnionLoop of
+    72 one-row steps); the only real work is the orders group-by, which
+    aggregates BEFORE the join so the spine join moves one row per month.
+    Identical SQL text runs on DuckDB — recursion syntax, interval month
+    arithmetic, and date_trunc agree across engines."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)
