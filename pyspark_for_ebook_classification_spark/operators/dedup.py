@@ -362,7 +362,12 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit contributions computed ONCE per distinct token (the vocabulary is
     # tiny relative to token occurrences — md5 + 32 nibble tests per vocab
     # entry instead of per occurrence; measured 13s → ~2s at sf0.1), then
-    # broadcast-joined back onto the occurrence stream.
+    # joined back onto the occurrence stream. Deliberately NO broadcast
+    # hint: vocabulary cardinality is corpus-dependent and unbounded (a
+    # web-scale corpus has 1e8-1e9 distinct tokens), so a mandatory
+    # broadcast is a driver/executor OOM at 100 TB. AQE promotes the join
+    # to broadcast at runtime exactly when the vocab side measures under
+    # the threshold — small-corpus speed, large-corpus safety.
     vocab = tok.select("t").distinct().select(
         "t",
         *[
@@ -375,7 +380,7 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sums = (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(vocab, "t")
         .groupBy("doc_id")
         .agg(
             *[
@@ -771,4 +776,46 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
         )
+    )
+
+
+# ------------------------------------------------- incremental-ingest L1
+
+
+@query(
+    "dedup_incremental_exact",
+    survey_ref="L1,J3,F7",
+    doc="Ingest-time dedup: new batch anti-joined against the standing corpus by content hash.",
+    oracle="""
+        WITH corpus AS (
+            SELECT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 0
+        ),
+        batch AS (
+            SELECT doc_id, source, n_chars, sha256(text) AS h
+            FROM documents WHERE doc_id % 4 = 0
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the shape every CONTINUOUS ingest
+    pipeline runs: an arriving batch (doc_id % 4 = 0 stands in for it) is
+    admitted only where its content hash is absent from the standing
+    corpus. LEFT ANTI join on sha256, so (a) only 64-char hashes shuffle,
+    never document text, and (b) the corpus side is at rest in production
+    — written bucketed by hash (sources/io.write_bucketed), the daily
+    batch joins it with zero corpus-side shuffle forever. The batch is
+    typically 1e-3 of the corpus, so AQE broadcast-promotes the BATCH side
+    of the anti join when it fits."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0).select(
+        F.sha2("text", 256).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", "source", "n_chars", F.sha2("text", 256).alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
