@@ -29,6 +29,7 @@ from pyspark.ml.feature import (
     StringIndexer,
 )
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 SEED = 42
 
@@ -74,11 +75,33 @@ def build_text_pipeline(cfg: TextClassifierConfig = TextClassifierConfig()) -> P
 
 
 def split_train_test(
-    df: DataFrame, weights=(0.8, 0.2), seed: int = SEED
+    df: DataFrame, weights=(0.8, 0.2), seed: int = SEED, key_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
-    """M9: seeded split (stable given fixed input partitioning)."""
-    train, test = df.randomSplit(list(weights), seed=seed)
-    return train, test
+    """M9: deterministic hash split — md5(key # seed) mod 10000 under the
+    train fraction → train, else test.
+
+    Membership is a pure function of the row key, NOT of partitioning:
+    unlike ``randomSplit`` (whose sample changes with file layout and task
+    retries at scale), the same row lands in the same split on any cluster,
+    any partition count, any engine — the same primitive as the declared
+    ``data_train_valid_split`` query (operators/datapipe.py).
+    """
+    lo, hi = weights
+    cut = int(round(lo / (lo + hi) * 10000))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col(key_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    cond = bucket < cut
+    return df.filter(cond), df.filter(~cond)
 
 
 def fit_text_classifier(

@@ -51,6 +51,11 @@ def get_spark(
         # local mode: shuffle spills to local disk; keep broadcast threshold
         # generous so every dim table in the star schema broadcasts.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # some driver testdata generations ship events.ts as INT64
+        # TIMESTAMP(NANOS), which the parquet reader rejects without this;
+        # set once at session build so sources/io.load never has to mutate
+        # session conf mid-query (foreign sessions get a guarded fallback).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -60,6 +60,15 @@ def test_split_deterministic(spark, sf_dir):
     ids_a = {r.doc_id for r in t2a.select("doc_id").collect()}
     ids_b = {r.doc_id for r in t2b.select("doc_id").collect()}
     assert ids_a == ids_b
+    # hash split is partition-layout invariant (randomSplit is NOT): the
+    # same rows land in the same split under any repartitioning
+    _, t2c = split_train_test(docs.repartition(7))
+    ids_c = {r.doc_id for r in t2c.select("doc_id").collect()}
+    assert ids_c == ids_a
+    # and the two splits partition the input (disjoint, exhaustive)
+    t1_ids = {r.doc_id for r in t1a.select("doc_id").collect()}
+    assert not (t1_ids & ids_a)
+    assert len(t1_ids) + len(ids_a) == docs.count()
 
 
 def test_predictions_deterministic(spark, sf_dir):
