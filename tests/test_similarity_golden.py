@@ -37,6 +37,48 @@ def test_ann_variants_recall_vs_bruteforce(spark, sf_dir):
         assert recall >= 0.2, f"{name} recall {recall:.2f} suspiciously low"
 
 
+def test_ivf_label_cells_recall_floor(spark, sf_dir):
+    """Mirror of the kmeans-IVF recall floor for the oracle-checked IVF:
+    against a numpy-exact full-corpus top-k (same query set, same k), the
+    single-probe label-cell IVF must be deterministic and keep recall
+    above the floor — it may miss out-of-cell neighbors, never invent."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _IVF_QUERY_MOD,
+        _IVF_TOP_K,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    qs = all_queries()
+    approx_pdf = qs["sim_ann_ivf_label_cells"].fn(spark, sf_dir).toPandas()
+    again_pdf = qs["sim_ann_ivf_label_cells"].fn(spark, sf_dir).toPandas()
+    approx = _topk_sets(approx_pdf)
+    assert approx == _topk_sets(again_pdf), "label-cell IVF is nondeterministic"
+
+    emb = load(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    exact = {}
+    for qi in np.flatnonzero(ids % _IVF_QUERY_MOD == 0):
+        cos = mat @ mat[qi]
+        cos[qi] = -np.inf  # exclude self
+        top = np.argsort(-cos, kind="stable")[:_IVF_TOP_K]
+        exact[ids[qi]] = set(ids[top])
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in approx)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # Measured 0.10 at sf0.001: the label cells are NOT embedding-geometry
+    # clusters (labels ≈ random w.r.t. cosine neighbors here), so single-
+    # probe recall sits at the 1/n_cells chance line — the variant exists
+    # to oracle-check the IVF *dataflow* (assign → probe one cell → exact
+    # in-cell top-k). Retrieval quality comes from LEARNED cells: the
+    # kmeans IVF above carries the 0.2 floor (measured 0.38).
+    assert recall >= 0.05, f"label-cell IVF recall {recall:.2f} below chance floor"
+
+
 def test_cosine_scores_bounded(spark, sf_dir):
     pdf = all_queries()["sim_topk_bruteforce"].fn(spark, sf_dir).toPandas()
     assert ((pdf["cosine"] <= 1.000001) & (pdf["cosine"] >= -1.000001)).all()

@@ -33,6 +33,18 @@ def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
     assert_frames_match(stream_pdf, batch_pdf, runner.__name__)
 
 
+def test_stream_stream_join_runner_at_oracle_scale(spark):
+    """ST8 at the driver's oracle scale (sf0.01, 10× the default test sf):
+    the stream-stream interval join's state handling must not diverge when
+    batches carry 10× the keys — runner output equals the batch twin."""
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 testdata not present")
+    stream_pdf = jobs.run_stream_stream_join(spark, sf01).toPandas()
+    batch_pdf = twins.stream_stream_join_twin(spark, sf01).toPandas()
+    assert_frames_match(stream_pdf, batch_pdf, "run_stream_stream_join@sf0.01")
+
+
 def test_dedup_by_id_stream_row_count(spark, sf_dir):
     """ST5 primitive: id-keyed dropDuplicatesWithinWatermark keeps exactly
     one row per distinct event_id."""
