@@ -314,13 +314,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 32
 _HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
-
-@query(
-    "dedup_simhash_groups",
-    survey_ref="L2,F7",
-    doc="32-bit SimHash fingerprint per doc; identical fingerprints form near-dup groups.",
-    oracle="""
-        WITH tok AS (
+#: shared oracle CTE chain: per-doc 32-bit SimHash fingerprint — the FROM
+#: of dedup_simhash_groups and the input of dedup_simhash_hamming_pairs.
+_SIMHASH_FP_CTES = """
+        tok AS (
             SELECT doc_id, md5(unnest(
                 list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
             )) AS h
@@ -330,31 +327,28 @@ _HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
             SELECT doc_id,
                    {sums}
             FROM tok GROUP BY doc_id
-        )
-        SELECT {fingerprint} AS simhash,
-               COUNT(*) AS n_docs,
-               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
-        FROM sums
-        GROUP BY simhash
-    """.format(
-        sums=",\n                   ".join(
-            "SUM(CASE WHEN substring(h, {j}, 1) IN ('8','9','a','b','c','d','e','f') "
-            "THEN 1 ELSE -1 END) AS s{j}".format(j=j)
-            for j in range(1, SIMHASH_BITS + 1)
         ),
-        fingerprint="concat("
-        + ", ".join(
-            f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(1, SIMHASH_BITS + 1)
+        fp AS (
+            SELECT doc_id, {fingerprint} AS simhash FROM sums
         )
-        + ")",
+""".format(
+    sums=",\n                   ".join(
+        "SUM(CASE WHEN substring(h, {j}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS s{j}".format(j=j)
+        for j in range(1, SIMHASH_BITS + 1)
     ),
+    fingerprint="concat("
+    + ", ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(1, SIMHASH_BITS + 1)
+    )
+    + ")",
 )
-def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per bit j, majority vote of the j-th md5 nibble's high bit
-    over the doc's distinct tokens. One explode + one groupBy with 32
-    parallel conditional sums — no per-bit passes. Fingerprint equality
-    groups near-identical docs; at scale the fingerprint is also the ideal
-    clustering/bucketing key for pair generation."""
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): per bit j, majority vote of the j-th md5 nibble's
+    high bit over the doc's distinct tokens. One explode + one groupBy with
+    32 parallel conditional sums — no per-bit passes."""
     d = load(spark, sf_dir, "documents")
     tok = d.repartition(32, "doc_id").select(
         "doc_id", F.explode(_tokens_expr()).alias("t")
@@ -395,8 +389,123 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(1, SIMHASH_BITS + 1)
         ]
     ).alias("simhash")
-    return sums.select("doc_id", fingerprint).groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    return sums.select("doc_id", fingerprint)
+
+
+@query(
+    "dedup_simhash_groups",
+    survey_ref="L2,F7",
+    doc="32-bit SimHash fingerprint per doc; identical fingerprints form near-dup groups.",
+    oracle=f"""
+        WITH {_SIMHASH_FP_CTES}
+        SELECT simhash,
+               COUNT(*) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        FROM fp
+        GROUP BY simhash
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash grouping: fingerprint equality groups near-identical docs;
+    at scale the fingerprint is also the ideal clustering/bucketing key
+    for pair generation (see dedup_simhash_hamming_pairs)."""
+    return (
+        _simhash_fp(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = 3  # pigeonhole: distance ≤ 3 ⇒ ≥1 of 4 bands equal
+
+
+@query(
+    "dedup_simhash_hamming_pairs",
+    survey_ref="L2,F7,J8",
+    doc="Banded SimHash near-dup: band-bucket candidates, verify exact Hamming ≤ 3.",
+    oracle=f"""
+        WITH {_SIMHASH_FP_CTES},
+        bands AS (
+            SELECT doc_id, simhash, b.band_id,
+                   substring(simhash, 1 + 8 * b.band_id, 8) AS band_val
+            FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+        ),
+        ok_buckets AS (
+            SELECT band_id, band_val FROM bands
+            GROUP BY band_id, band_val
+            HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+        ),
+        capped AS (
+            SELECT b.* FROM bands b JOIN ok_buckets USING (band_id, band_val)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS fp_a, b.simhash AS fp_b
+            FROM capped a
+            JOIN capped b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM (
+            SELECT doc_a, doc_b,
+                   length(list_filter(range(1, {SIMHASH_BITS + 1}),
+                       i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)
+                   )) AS hamming
+            FROM cand
+        )
+        WHERE hamming <= {SIMHASH_HAMMING_MAX}
+    """,
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs — the Hamming-radius variant the
+    exact-fingerprint grouping can't see: docs within Hamming distance 3
+    of each other's 32-bit fingerprints. Candidates come from an LSH band
+    join (4 bands × 8 bits; by pigeonhole every pair at distance ≤ 3
+    agrees on at least one full band, so banding is LOSSLESS for this
+    radius — except inside over-full buckets, which the MAX_BUCKET cap
+    drops on BOTH engines: a bucket of k docs would emit k²/2 pairs, and a
+    band value shared by thousands of docs is boilerplate, not near-dup
+    signal). The band rows are (doc_id, 8-char band) regardless of
+    document size, and with the cap the pair count is ≤ MAX_BUCKET²/2 per
+    bucket — corpus-linear at any scale, same design as the MinHash
+    banding above."""
+    fp = _simhash_fp(spark, sf_dir)
+    band_arr = F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_arr).alias("band_id")
+    ).withColumn("band_val", F.expr("substring(simhash, 1 + 8 * band_id, 8)"))
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    # docs is sorted, so i<j expansion yields doc_a < doc_b directly —
+    # in-bucket expansion instead of a self-join: fingerprints are
+    # computed once and the bucket list never leaves its partition
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(docs) - 1), "
+        "i -> transform(sequence(i + 1, size(docs)), "
+        "j -> struct(element_at(docs, i) AS doc_a, element_at(docs, j) AS doc_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.expr(
+        f"size(filter(sequence(1, {SIMHASH_BITS}), "
+        "i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))"
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 

@@ -810,3 +810,98 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# --------------------------------------------------------- Zipf fit (L4/L6)
+
+ZIPF_HEAD = 100  # regress over the top-100 ranks per language (the Zipf head)
+
+
+@query(
+    "text_zipf_slope",
+    survey_ref="L4,L6,A7,W1",
+    doc="Zipf's-law fit per language: OLS slope of ln(freq) on ln(rank) over the top-100 tokens.",
+    oracle=f"""
+        WITH tf AS (
+            SELECT lang, token, COUNT(*) AS freq
+            FROM (
+                SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+            )
+            GROUP BY lang, token
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY freq DESC, token
+                   ) AS rnk
+            FROM tf
+            QUALIFY rnk <= {ZIPF_HEAD}
+        ),
+        pts AS (
+            SELECT lang,
+                   round(ln(rnk), 9) AS lx,
+                   round(ln(freq), 9) AS ly
+            FROM ranked
+        ),
+        s AS (
+            SELECT lang, COUNT(*) AS n_ranks,
+                   CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(lx * lx AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(lx * ly AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+            FROM pts
+            GROUP BY lang
+        )
+        SELECT lang, n_ranks,
+               round((sxy - sx * sy / n_ranks) / (sxx - sx * sx / n_ranks), 4)
+                   AS zipf_slope,
+               round((sy - (sxy - sx * sy / n_ranks)
+                          / (sxx - sx * sx / n_ranks) * sx) / n_ranks, 4)
+                   AS zipf_intercept
+        FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic per language — natural corpora fit
+    ln(freq) ≈ a + s·ln(rank) with s ≈ −1, and a corpus whose slope drifts
+    far from that is boilerplate- or spam-skewed, so this is a standing
+    corpus-health metric in training-data pipelines. Pipeline: token
+    frequencies (explode → partial-agg groupBy), per-language rank window
+    with WindowGroupLimit pushdown (rank ≤ 100 keeps only the head — the
+    shuffle moves O(100·langs) rows), then an exact-decimal OLS fit in the
+    log domain (rounded-ln inputs, IEEE products, decimal co-moment sums —
+    the same engine-portable regression idiom as agg_corr_regr)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
+    ranked = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_HEAD)
+        .select("lang", "freq", "rnk")
+    )
+    pts = ranked.select(
+        "lang",
+        F.round(F.log("rnk"), 9).alias("lx"),
+        F.round(F.log("freq"), 9).alias("ly"),
+    )
+    lx, ly = F.col("lx"), F.col("ly")
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(lx.cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(ly.cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((lx * lx).cast("decimal(28,12)")).cast("double").alias("sxx"),
+        F.sum((lx * ly).cast("decimal(28,12)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n_ranks"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return s.select(
+        "lang",
+        "n_ranks",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
+    )
