@@ -550,3 +550,66 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    survey_ref="A7,F3",
+    doc="Skewness/kurtosis per group from exact decimal power sums (order-independent).",
+    oracle="""
+        WITH s AS (
+            SELECT
+                l_linestatus,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                     AS DOUBLE) AS s2,
+                CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                              AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                              AS DECIMAL(38,6))) AS DOUBLE) AS s4
+            FROM lineitem
+            GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, n,
+               round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                     / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_qty,
+               round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                            + 6 * pow(s1 / n, 2) * (s2 / n)
+                            - 3 * pow(s1 / n, 4))
+                     / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6) AS excess_kurtosis_qty
+        FROM s
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, built from exact
+    decimal power sums S1..S4 — the built-in skewness/kurtosis use
+    engine-specific streaming co-moment merges whose low bits vary with
+    partition order; raw-moment sums in DECIMAL are order-independent by
+    construction, so the scalar ratio math is bit-identical across engines
+    (same idiom as agg_corr_regr). Quantities are small integers, so the
+    4th-power decimal sums stay far from overflow at any driver scale;
+    one map-side-combined hash aggregate at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1, m2 = F.col("s1") / n, F.col("s2") / n
+    m3, m4 = F.col("s3") / n, F.col("s4") / n
+    var = m2 - F.pow(m1, 2)
+    skew = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)) / F.pow(
+        var, 2
+    ) - 3
+    return s.select(
+        "l_linestatus",
+        "n",
+        F.round(skew, 6).alias("skewness_qty"),
+        F.round(kurt, 6).alias("excess_kurtosis_qty"),
+    )

@@ -680,3 +680,49 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("ab"), 3).alias("abab"),
         F.reverse(F.expr("split_part(text, ' ', 1)")).alias("first_tok_rev"),
     )
+
+
+@query(
+    "fn_binary_string_suite",
+    survey_ref="F1,F7",
+    doc="Binary↔string interop: base64/hex/encode, octet vs char length, pads and slices.",
+    oracle="""
+        SELECT
+            doc_id,
+            to_base64(encode(substring(text, 1, 30))) AS b64_head,
+            hex(substring(text, 1, 8)) AS hex_head,
+            CAST(strlen(text) AS INT) AS octet_len,
+            CAST(length(text) AS INT) AS char_len,
+            ascii(substring(text, 1, 1)) AS first_cp,
+            left(text, 5) AS head5,
+            right(text, 5) AS tail5,
+            reverse(substring(text, 1, 12)) AS rev_head,
+            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+            translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS shouted_head
+        FROM documents
+        WHERE doc_id % 25 = 0
+    """,
+)
+def fn_binary_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F7 binary↔string interop — the codec-boundary functions a corpus
+    store round-trips payloads through: base64 of UTF-8-encoded text, hex
+    of leading bytes, octet vs character length (equal on ASCII, split on
+    multibyte — both engines count identically either way), code-point of
+    the first char, fixed-width id padding, and slice/reverse/translate.
+    All JVM-side codegen'd projections — one scan, no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 30), "utf-8")).alias("b64_head"),
+        F.hex(F.substring("text", 1, 8)).alias("hex_head"),
+        F.octet_length("text").cast("int").alias("octet_len"),
+        F.char_length("text").cast("int").alias("char_len"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.expr("left(text, 5)").alias("head5"),
+        F.expr("right(text, 5)").alias("tail5"),
+        F.reverse(F.substring("text", 1, 12)).alias("rev_head"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.translate(F.substring("text", 1, 20), "aeiou", "AEIOU").alias(
+            "shouted_head"
+        ),
+    )

@@ -615,3 +615,48 @@ def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "window_rolling_median",
+    survey_ref="W3,A7",
+    doc="Rolling 7-row median per supplier (frame collect + middle-element math).",
+    oracle="""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(median(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_median_qty
+        FROM lineitem
+        WHERE l_suppkey % 20 = 0
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a 7-row frame — the robust-smoothing primitive
+    (moving AVERAGES are skew-poisoned by outliers; ops dashboards want
+    the median). Spark refuses median() with a frame, so the engine
+    composes it: collect the frame (bounded — 7 values, never a whole
+    partition), sort, take the middle (odd) or mean of the two middles
+    (even) — exactly DuckDB's interpolating frame median, verified
+    value-identical. The frame list is O(frame) per row, so memory is flat
+    regardless of partition size; one shuffle on the partition key."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 20 == 0)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("l_quantity").over(w))
+    n = F.size(arr)
+    mid_hi = ((n + 1) / 2).cast("int")
+    half = (n / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, mid_hi)).otherwise(
+        (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        med.cast("double").alias("rolling_median_qty"),
+    )
