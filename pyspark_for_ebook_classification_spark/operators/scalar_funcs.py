@@ -726,3 +726,55 @@ def fn_binary_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shouted_head"
         ),
     )
+
+
+@query(
+    "fn_date_suite2",
+    survey_ref="F2",
+    doc="Calendar arithmetic: last_day/make_date/add_months clamp, ISO week/dow, week trunc.",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                   AS month_end,
+               CAST(make_date(CAST(year(o_orderdate) AS BIGINT),
+                              CAST(month(o_orderdate) AS BIGINT), 1)
+                    AS TIMESTAMP) AS month_start,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP)
+                   AS plus_2_months,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST('2001-01-01' AS DATE)) AS INT)
+                   AS days_to_2001
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_date_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 calendar depth beyond the first date suite: month-end snapping
+    (last_day), date construction (make_date), end-of-month-clamped month
+    arithmetic (Spark add_months ≡ DuckDB +INTERVAL MONTH — both clamp
+    Jan 31 + 1mo to Feb 28), ISO week number and ISO day-of-week (Spark's
+    weekday() is 0=Monday, so +1 ≡ DuckDB isodow — NEVER dayofweek, whose
+    Sunday origin differs between engines), Monday-aligned week truncation,
+    and day differences. All map-side projections; date outputs are cast
+    to TIMESTAMP because the driver compares pandas frames and a DATE
+    column renders differently per engine."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1))
+        .cast("timestamp")
+        .alias("month_start"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.add_months(d, 2).cast("timestamp").alias("plus_2_months"),
+        F.date_trunc("week", "o_orderdate").cast("timestamp").alias("week_start"),
+        F.datediff(F.lit("2001-01-01").cast("date"), d).cast("int").alias(
+            "days_to_2001"
+        ),
+    )
