@@ -778,3 +778,41 @@ def fn_date_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_2001"
         ),
     )
+
+
+@query(
+    "fn_time_suite",
+    survey_ref="F2",
+    doc="Time-of-day functions: extraction, epoch seconds, 15-min buckets, interval shift, formatting.",
+    oracle="""
+        SELECT event_id,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+               CAST(minute(CAST(ts AS TIMESTAMP)) AS INT) AS mins,
+               CAST(second(CAST(ts AS TIMESTAMP)) AS INT) AS secs,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+               time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+                   AS bucket_15m,
+               CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS plus_90m,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS formatted
+        FROM events WHERE event_id % 200 = 0
+    """,
+)
+def fn_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 sub-day time math on the event stream: h/m/s extraction, whole
+    epoch seconds (unix_timestamp truncation ≡ floor(epoch()) for
+    post-1970 data), 15-minute epoch-aligned bucketing (window().start ≡
+    DuckDB time_bucket — the same alignment contract the streaming twins
+    rely on), interval shifting, and locale-free timestamp formatting.
+    The ns→µs normalization comes from the shared events loader; all
+    projections are map-side codegen."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 200 == 0)
+    return ev.select(
+        "event_id",
+        F.hour("ts").cast("int").alias("hr"),
+        F.minute("ts").cast("int").alias("mins"),
+        F.second("ts").cast("int").alias("secs"),
+        F.unix_timestamp("ts").cast("bigint").alias("epoch_s"),
+        F.window("ts", "15 minutes").start.alias("bucket_15m"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )

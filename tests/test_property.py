@@ -165,3 +165,33 @@ def test_sparse_jaccard_equals_bruteforce(spark, tmp_path_factory, texts):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - round(v, 6)) < 1e-9
+
+
+@PROP_SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=2, max_size=40
+    )
+)
+def test_simhash_banding_lossless_within_radius(fingerprints):
+    """Pigeonhole guarantee of dedup_simhash_hamming_pairs: 4 bands × 8
+    bits over a 32-bit fingerprint find EVERY pair at Hamming distance ≤ 3
+    (ignoring the boilerplate bucket cap, which these tiny sets never hit).
+    Pure-Python model of the banding — no Spark needed."""
+    fps = [format(v, "032b") for v in fingerprints]
+    # brute-force truth
+    truth = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            ham = sum(a != b for a, b in zip(fps[i], fps[j]))
+            if ham <= 3:
+                truth.add((i, j))
+    # banded candidates (the query's generator)
+    candidates = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if any(fps[i][8 * b : 8 * b + 8] == fps[j][8 * b : 8 * b + 8] for b in range(4)):
+                candidates.add((i, j))
+    # banding may over-generate (verified away by the exact distance
+    # filter) but must never miss a within-radius pair
+    assert truth <= candidates
