@@ -905,3 +905,70 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
     )
+
+
+@query(
+    "text_vocab_overlap_sources",
+    survey_ref="L4,L6,J8,A2",
+    doc="Pairwise vocabulary Jaccard between sources — the corpus-drift diagnostic.",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT DISTINCT source, token FROM (
+                SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+            )
+        ),
+        sizes AS (
+            SELECT source, COUNT(*) AS n_tokens FROM vocab GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_inter
+            FROM vocab a
+            JOIN vocab b ON a.token = b.token AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, n_inter,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n_tokens + sb.n_tokens - n_inter), 6) AS vocab_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard across corpus sources — the drift/
+    contamination diagnostic a mixing pipeline watches (a web snapshot
+    whose vocabulary suddenly overlaps a code corpus signals mislabeled
+    shards). Dataflow: distinct (source, token) — vocabulary-sized, tiny
+    relative to occurrences — then a token-keyed self-join counts each
+    pair's intersection WITHOUT materializing per-source token sets on any
+    single node; set unions come from |A|+|B|−|A∩B|. At 100 TB this is
+    two partial-agg shuffles of the vocabulary plus a broadcast of the
+    per-source totals (n_sources rows)."""
+    d = load(spark, sf_dir, "documents")
+    vocab = d.select("source", F.explode(_tokens()).alias("token")).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_tokens").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
