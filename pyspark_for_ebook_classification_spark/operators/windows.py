@@ -660,3 +660,67 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         med.cast("double").alias("rolling_median_qty"),
     )
+
+
+@query(
+    "window_ewma_quantity",
+    survey_ref="W3,F4,F3",
+    doc="Exponentially-weighted moving average over a 10-row frame (higher-order fold).",
+    oracle="""
+        WITH f AS (
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   list(l_quantity) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+                   ) AS arr
+            FROM lineitem WHERE l_suppkey % 25 = 0
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               round(
+                   CAST(list_reduce(list_transform(arr,
+                            (x, i) -> x * pow(0.8, length(arr) - i)),
+                        (a, b) -> a + b) AS DOUBLE)
+                 / CAST(list_reduce(list_transform(arr,
+                            (x, i) -> pow(0.8, length(arr) - i)),
+                        (a, b) -> a + b) AS DOUBLE),
+               6) AS ewma_qty
+        FROM f
+    """,
+)
+def window_ewma_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (decay 0.8) over the last 10 rows per supplier — the smoothing
+    primitive dashboards and anomaly baselines use where a plain moving
+    average lags too hard. EWMA's recurrence is inherently sequential, so
+    the distributed form collects the BOUNDED frame (10 values — never a
+    whole partition) and evaluates the weighted fold with higher-order
+    array lambdas: transform assigns pow(α, age) weights by position,
+    aggregate folds left-to-right — the same element order and fold order
+    DuckDB's list_transform/list_reduce use, so the doubles agree to the
+    rounding guard. One shuffle on the partition key; O(frame) memory per
+    row at any scale."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 25 == 0)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    return (
+        li.withColumn("arr", F.collect_list("l_quantity").over(w))
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.expr(
+                    """
+                    aggregate(transform(arr, (x, i) -> x * pow(0.8, size(arr) - 1 - i)),
+                              CAST(0 AS DOUBLE), (a, x) -> a + x)
+                    / aggregate(transform(arr, (x, i) -> pow(0.8, size(arr) - 1 - i)),
+                              CAST(0 AS DOUBLE), (a, x) -> a + x)
+                    """
+                ),
+                6,
+            ).alias("ewma_qty"),
+        )
+    )
