@@ -592,3 +592,38 @@ def join_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .filter(F.col("n_orders_together") >= 3)
     )
+
+
+#: blocked fuzzy self-join: supplier names within edit distance 1,
+#: candidates pruned by (length, 12-char prefix) blocking.
+_FUZZY_SQL = """
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+    FROM supplier a
+    JOIN supplier b
+      ON length(a.s_name) = length(b.s_name)
+     AND substring(a.s_name, 1, 12) = substring(b.s_name, 1, 12)
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@query(
+    "join_fuzzy_supplier_names",
+    survey_ref="J8,F1,§3-EP3",
+    oracle=_FUZZY_SQL,
+    doc="Entity-resolution fuzzy join: edit-distance ≤ 1 name pairs via prefix blocking.",
+)
+def join_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-string (entity-resolution) self-join: supplier name
+    pairs within Levenshtein distance 1. The join is BLOCKED on
+    (length, 12-char prefix) equality — an equi-key Catalyst hash-joins —
+    so the O(n·m) edit-distance kernel only ever runs on in-block
+    candidates, never all pairs (distance ≤ 1 with equal lengths implies
+    the first 12 chars differ in at most the suffix region, so blocking
+    is safe for this name shape; general-purpose radius-k blocking would
+    use q-gram prefixes, same dataflow). Both engines share one SQL text;
+    levenshtein agrees exactly (integer DP)."""
+    for t in ("supplier",):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FUZZY_SQL)
