@@ -486,3 +486,55 @@ def data_e2e_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sequences"
         ),
     )
+
+
+#: mixture planning: target-weighted char budget per source, capped at
+#: availability, with the unmet shortfall made explicit. Shared SQL text.
+_BUDGET_SQL = """
+    WITH avail AS (
+        SELECT source, CAST(substring(source, 4) AS INT) AS src_idx,
+               CAST(SUM(n_chars) AS BIGINT) AS avail_chars
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, avail_chars,
+               CAST(src_idx % 4 + 1 AS DOUBLE) AS w
+        FROM avail
+    ),
+    tot AS (
+        SELECT source, avail_chars, w,
+               CAST(SUM(w) OVER () AS DOUBLE) AS w_sum,
+               CAST(SUM(avail_chars) OVER () AS DOUBLE) AS total_chars
+        FROM weighted
+    )
+    SELECT source, avail_chars,
+           CAST(round(0.6 * total_chars * w / w_sum, 0) AS BIGINT) AS target_chars,
+           round(least(1.0, (0.6 * total_chars * w / w_sum) / avail_chars), 6)
+               AS sample_rate,
+           CAST(round(greatest(0.0, 0.6 * total_chars * w / w_sum - avail_chars), 0)
+                AS BIGINT) AS shortfall_chars
+    FROM tot
+"""
+
+
+@query(
+    "data_mixture_budget_plan",
+    survey_ref="L7,A1,W3,§3-EP3",
+    oracle=_BUDGET_SQL,
+    doc="Mixture planning: weighted char budget per source, capped at availability, shortfall explicit.",
+)
+def data_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNING step that precedes data_mix_weighted_sources: given
+    target mixture weights (derived here from the source index; in
+    production a config dim) and a global 60%-of-corpus char budget,
+    compute each source's target allocation, the sampling rate that
+    achieves it (capped at 1.0 — you cannot sample more than exists
+    without repetition), and the unmet shortfall a data-constrained run
+    must cover by up-weighting elsewhere or repeating epochs. One
+    partial-agg groupBy to per-source totals (20 rows), then window
+    totals over that tiny aggregate — the plan output is dimension-sized
+    at ANY corpus scale, and the rates feed straight into the md5-coin
+    samplers above. Identical SQL text runs on both engines."""
+    for t in ("documents",):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BUDGET_SQL)
