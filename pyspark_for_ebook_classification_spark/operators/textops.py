@@ -333,9 +333,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model (high avg_nll = rare-token-heavy = candidate for quality review).
 
     Two aggregates over one exploded token stream: vocabulary counts, then
-    a broadcast join back onto the occurrences (small-vocab path; at 100 TB
-    with an open vocabulary this becomes a shuffle join on the token — same
-    plan shape Catalyst picks once the broadcast threshold is exceeded).
+    an UNHINTED join back onto the occurrences — AQE broadcasts it while
+    the vocabulary fits and falls back to a token-keyed shuffle join at
+    open-vocabulary scale, with no mandatory broadcast to OOM on.
     Each -ln(p) term is rounded to decimal(28,6) before the per-doc sum, so
     the accumulation is order-independent and engine-exact (registry
     determinism contract for libm-dependent values)."""
@@ -344,8 +344,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = occ.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = occ.agg(F.count(F.lit(1)).alias("total"))
     nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
+    # vocab is corpus-derived and unbounded — no mandatory broadcast hint
+    # (1e8-1e9 distinct tokens at web scale would OOM); AQE promotes the
+    # join to broadcast at runtime whenever the vocab measures small
     return (
-        occ.join(F.broadcast(vocab), "t")
+        occ.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -491,8 +494,10 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), "token")
+    # df(token) is vocabulary-sized (unbounded) — hint-free so AQE decides;
+    # the one-row n_docs total stays an explicit broadcast
     return (
-        tf.join(F.broadcast(df_t), "token")
+        tf.join(df_t, "token")
         .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
@@ -798,9 +803,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("t").alias("v")
     )
     nll = -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    # bigram/unigram count tables are vocabulary-sized (vocab² worst case
+    # for bigrams) — hint-free so AQE broadcasts only when they measure
+    # small; the one-row vocab-size scalar stays an explicit broadcast
     return (
-        big.join(F.broadcast(big_cnt), ["w1", "w2"])
-        .join(F.broadcast(left_cnt), "w1")
+        big.join(big_cnt, ["w1", "w2"])
+        .join(left_cnt, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

@@ -164,12 +164,16 @@ def test_chunk_dedup_shuffles_twice_only(spark, sf_dir):
 
 
 def test_keyword_topk_broadcasts_df_and_count(spark, sf_dir):
-    """df(token) is vocabulary-sized and n_docs is one row — both must
-    broadcast so tf rows shuffle only for the per-doc ranking window."""
+    """df(token) is vocabulary-sized — deliberately NO mandatory broadcast
+    hint (unbounded at web scale), but AQE must still promote it to a
+    broadcast at runtime when it measures small, and the one-row n_docs
+    total rides a broadcast nested-loop; no cartesian anywhere."""
     q = all_queries()["text_keyword_topk"]
     rep = audit(q.fn(spark, sf_dir))
-    assert rep["broadcast_joins"] >= 1, rep["plan"]
     assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["bnl_joins"] >= 1, rep["plan"]  # the 1-row count broadcast
+    final = executed_plan_string(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in final, final  # AQE-promoted vocab join
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir):
