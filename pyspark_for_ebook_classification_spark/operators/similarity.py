@@ -644,3 +644,66 @@ def sim_ann_ivf_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------- gram block
+_GRAM_DIMS = 16  # leading-dim block; full 64-dim gram = 10 such blocks
+
+
+def _gram_pairs() -> list[tuple[int, int]]:
+    return [(i, j) for i in range(_GRAM_DIMS) for j in range(_GRAM_DIMS) if i <= j]
+
+
+@query(
+    "sim_gram_matrix_block",
+    survey_ref="L3,A1,A8,F4",
+    doc="Single-pass gram/covariance block over embeddings: 136 decimal-"
+    "stabilized sums (dims 0..15, upper triangle) in one partial agg.",
+    oracle=f"""
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               CAST(SUM(CAST(
+                   CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE)
+                   AS DECIMAL(28, 12))) AS DOUBLE) AS gram
+        FROM embeddings, range(0, {_GRAM_DIMS}) t1(i), range(0, {_GRAM_DIMS}) t2(j)
+        WHERE i <= j
+        GROUP BY i, j
+    """,
+)
+def sim_gram_matrix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X'X block — the PCA / whitening / ridge-regression primitive.
+
+    The scale-critical choice is HOW the d(d+1)/2 sums are computed: NOT
+    by exploding each vector into d² (i, j, product) rows (a d²× row
+    expansion that shuffles O(N·d²) rows — 4096× write amplification at
+    d=64), but as 136 independent aggregate EXPRESSIONS over the intact
+    array column. Each executor folds its partition into one 136-cell
+    partial row (map-side combine), and the exchange moves exactly one
+    row per partition — the same dataflow BLAS `syrk` + tree-reduce would
+    use, expressed relationally. The upper triangle suffices (gram is
+    symmetric); the result unpivots to (i, j, value) rows via `stack`
+    only AFTER aggregation, when there are 136 cells total.
+
+    Blocked at 16 dims to keep the generated aggregate inside Spark's
+    64KB codegen method budget; a full 64-dim gram runs this plan over
+    the 10 (i-block, j-block) tiles — each pass one scan, embarrassingly
+    parallel across tiles. Products are computed in double (exact for
+    float32 inputs) and summed in DECIMAL(28,12), so the result is
+    order-independent and engine-exact (same contract as
+    functions/numeric.dsum)."""
+    e = load(spark, sf_dir, "embeddings")
+    aggs = [
+        F.sum(
+            (
+                F.col("embedding")[i].cast("double")
+                * F.col("embedding")[j].cast("double")
+            ).cast("decimal(28,12)")
+        ).alias(f"g_{i}_{j}")
+        for i, j in _gram_pairs()
+    ]
+    row = e.agg(*aggs)
+    triples = ", ".join(
+        f"{i}, {j}, CAST(g_{i}_{j} AS DOUBLE)" for i, j in _gram_pairs()
+    )
+    return row.select(
+        F.expr(f"stack({len(_gram_pairs())}, {triples}) AS (i, j, gram)")
+    )

@@ -1,0 +1,329 @@
+"""Mergeable-sketch operators (SURVEY.md §2 A3 family, oracle-checked).
+
+The repo's HLL entries (`agg_approx_count_distinct`,
+`agg_hll_mergeable_sketch`) are rows-only because Spark's HLL++ cell
+layout is engine-private. These two sketches are different: their whole
+state is *integer* arithmetic over md5-derived positions, so the exact
+same construction runs on DuckDB and the driver's value-hash gate applies
+in full — approximate DATA STRUCTURES with exact, deterministic parity.
+
+Why they matter at 100 TB:
+
+  * Bloom semi-join reduction — the canonical way to cut a fact-table
+    shuffle: build a bits-only summary of the dim-side key set (here 4096
+    bits = 128 bigint words — constant size regardless of key count),
+    broadcast it, and drop fact rows map-side before any expensive
+    downstream join/shuffle. Spark's own runtime-filter feature
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does exactly
+    this inside AQE; this operator makes the mechanism explicit,
+    measurable (it reports the false-positive count) and portable.
+  * Count-Min heavy hitters — frequency estimates from a fixed
+    d×w counter grid (4×256 cells here). The grid is built with one
+    partial-aggregating groupBy, is linearly mergeable across corpus
+    shards (cell-wise +), and its one-sided error (estimate >= truth) is
+    exactly what corpus token-frequency guards want. The report joins the
+    estimates against exact counts so the overcount is visible.
+
+Both stay entirely in whole-stage codegen: md5 + conv + bitwise ops are
+JVM built-ins; no Python, no UDF, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+# ------------------------------------------------------------------ bloom
+#: filter geometry: m = 4096 bits as 128 × 32-bit words (words live in
+#: BIGINT so no set bit ever touches the sign bit — portable shifts),
+#: k = 3 hash functions from the md5 universal family used by minhash.
+#: ~13 bits/key at sf0.01's ~300 BUILDING customers — production sizing
+#: (~1% fill-rate³ false positives), not a toy fill level.
+_BLOOM_BITS = 4096
+_BLOOM_WORD = 32
+_BLOOM_SEEDS = ("0", "1", "2")
+
+
+def _spark_pos(seed: str, key: str) -> str:
+    """Bit position of ``key`` under hash ``seed`` (SQL-expr string)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST({key} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def _sql_pos(seed: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def _sql_bloom_probe() -> str:
+    """Oracle CTE chain: bitmap build + 3 word lookups per order."""
+    joins = "\n".join(
+        f"            LEFT JOIN bitmap b{t} ON p.p{t} // {_BLOOM_WORD} = b{t}.word_idx"
+        for t in range(3)
+    )
+    hits = " AND ".join(
+        f"(COALESCE(b{t}.word, 0) & (CAST(1 AS BIGINT) << CAST(p.p{t} % {_BLOOM_WORD} AS INT))) <> 0"
+        for t in range(3)
+    )
+    pos_cols = ",\n".join(
+        f"                   {_sql_pos(s, 'o_custkey')} AS p{t}"
+        for t, s in enumerate(_BLOOM_SEEDS)
+    )
+    return f"""
+        keys AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        seeds AS (SELECT * FROM (VALUES ('0'), ('1'), ('2')) s(seed)),
+        bits AS (
+            SELECT CAST(('0x' || substring(md5(seed || ':' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_BLOOM_BITS} AS pos
+            FROM keys, seeds
+        ),
+        bitmap AS (
+            SELECT pos // {_BLOOM_WORD} AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT)) AS word
+            FROM bits GROUP BY 1
+        ),
+        p AS (
+            SELECT o_orderkey, o_custkey,
+{pos_cols}
+            FROM orders
+        ),
+        tested AS (
+            SELECT p.o_orderkey, p.o_custkey,
+                   ({hits}) AS bloom_pass,
+                   k.c_custkey IS NOT NULL AS is_member
+            FROM p
+{joins}
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM keys) k
+                   ON p.o_custkey = k.c_custkey
+        )
+"""
+
+
+@query(
+    "sketch_bloom_semijoin",
+    survey_ref="A3,J3,J4,F7",
+    doc="Bloom-filter semi-join reduction: 4096-bit filter over BUILDING "
+    "customers probed map-side by every order; reports exact vs bloom "
+    "pass counts (false positives measured, zero false negatives).",
+    oracle=f"""
+        WITH {_sql_bloom_probe()}
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_pass,
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_match,
+               CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_false_pos
+        FROM tested
+    """,
+)
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build: 3 md5 positions per BUILDING customer → <=128-row (word, bits)
+    bitmap via ``bit_or`` partial agg. Probe: each order computes its 3
+    positions as COLUMNS (no row expansion) and picks up the matching
+    words through 3 broadcast joins against the <=128-row bitmap — i.e. a
+    pure map-side membership test, which is the whole point: at 100 TB
+    the fact side never shuffles, never explodes, and rows failing the
+    filter die before any downstream join. The summary row quantifies
+    the trade: ``n_false_pos`` of ``n_bloom_pass`` probes survive
+    spuriously (tunable via m/k), while ``n_exact_match`` rows can never
+    be lost (no-false-negative property is asserted in
+    tests/test_property.py)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = (
+        cust.select(
+            F.explode(F.array(*[F.lit(s) for s in _BLOOM_SEEDS])).alias("seed"),
+            "c_custkey",
+        )
+        .select(
+            F.expr(
+                f"CAST(conv(substring(md5(concat(seed, ':', CAST(c_custkey AS STRING))),"
+                f" 1, 15), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+            ).alias("pos")
+        )
+    )
+    bitmap = (
+        bits.select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    probed = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hit_cols = []
+    for t, s in enumerate(_BLOOM_SEEDS):
+        probed = probed.withColumn(f"p{t}", F.expr(_spark_pos(s, "o_custkey")))
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"bw{t}"), F.col("word").alias(f"wv{t}")
+        )
+        probed = probed.join(
+            F.broadcast(bm),
+            F.expr(f"p{t} div {_BLOOM_WORD}") == F.col(f"bw{t}"),
+            "left",
+        )
+        hit_cols.append(
+            F.expr(
+                f"(COALESCE(wv{t}, CAST(0 AS BIGINT)) &"
+                f" shiftleft(CAST(1 AS BIGINT), CAST(p{t} % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+    bloom_pass = hit_cols[0] & hit_cols[1] & hit_cols[2]
+
+    members = cust.distinct().withColumn("is_member", F.lit(True))
+    tested = probed.join(
+        F.broadcast(members), probed.o_custkey == members.c_custkey, "left"
+    ).select(
+        bloom_pass.alias("bloom_pass"),
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return tested.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_match"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
+# -------------------------------------------------------------- count-min
+_CM_DEPTH = 4  # hash rows
+_CM_WIDTH = 256  # buckets per row
+_CM_TOPK = 20
+
+_CM_BUCKET = (
+    f"CAST(conv(substring(md5(concat(CAST(t AS STRING), ':', token)), 1, 15),"
+    f" 16, 10) AS BIGINT) % {_CM_WIDTH}"
+)
+
+
+def cm_token_counts(documents: DataFrame) -> DataFrame:
+    """(token, exact_cnt): the vocabulary-collapsing first groupBy."""
+    tok = documents.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    return tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+
+def cm_cells(cnt: DataFrame) -> DataFrame:
+    """The 4×256 counter grid from per-token counts. Linear in its input:
+    grids from disjoint corpus shards merge by cell-wise addition
+    (asserted in tests/test_sketches.py)."""
+    seeded = cnt.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(t) for t in range(_CM_DEPTH)])).alias("t"),
+    ).withColumn("bucket", F.expr(_CM_BUCKET))
+    return seeded.groupBy("t", "bucket").agg(
+        F.sum("exact_cnt").cast("bigint").alias("cell")
+    )
+
+
+@query(
+    "sketch_countmin_topk",
+    survey_ref="A3,L6,F7",
+    doc="Count-Min sketch (4×256 grid) frequency estimates for the exact "
+    "top-20 corpus tokens, reported next to true counts (est >= truth).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS token
+            FROM documents
+        ),
+        cnt AS (SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token),
+        seeds AS (
+            SELECT * FROM (VALUES (0), (1), (2), (3)) s(t)
+        ),
+        cells AS (
+            SELECT t,
+                   CAST(('0x' || substring(md5(CAST(t AS VARCHAR) || ':' || token),
+                        1, 15)) AS BIGINT) % {_CM_WIDTH} AS bucket,
+                   CAST(SUM(exact_cnt) AS BIGINT) AS cell
+            FROM cnt, seeds
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT token, exact_cnt
+            FROM (
+                SELECT token, exact_cnt,
+                       row_number() OVER (ORDER BY exact_cnt DESC, token) AS rn
+                FROM cnt
+            )
+            WHERE rn <= {_CM_TOPK}
+        ),
+        probes AS (
+            SELECT top.token, top.exact_cnt, seeds.t,
+                   CAST(('0x' || substring(md5(CAST(seeds.t AS VARCHAR) || ':' ||
+                        top.token), 1, 15)) AS BIGINT) % {_CM_WIDTH} AS bucket
+            FROM top, seeds
+        )
+        SELECT p.token,
+               p.exact_cnt,
+               CAST(MIN(c.cell) AS BIGINT) AS cm_estimate,
+               CAST(MIN(c.cell) - p.exact_cnt AS BIGINT) AS overcount
+        FROM probes p
+        JOIN cells c ON p.t = c.t AND p.bucket = c.bucket
+        GROUP BY p.token, p.exact_cnt
+    """,
+)
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min over corpus tokens, evaluated against exact counts.
+
+    Build order matters at scale: token occurrences are first collapsed
+    to exact per-token counts by ONE partial-aggregating groupBy (the
+    shuffle moves |vocab| rows, not the token stream), then the 4-seed
+    expansion happens on the collapsed vocabulary and folds straight into
+    the 4×256 grid — a second groupBy whose output is 1,024 rows
+    regardless of corpus size. The grid is the mergeable artifact: two
+    corpus shards' grids add cell-wise (same property `count_min_sketch`'s
+    binary buffers have — see tests/test_scale.py — but here the state is
+    plain rows, so DuckDB can build the identical grid and the driver's
+    value-hash gate covers the whole construction).
+
+    Estimates = min over the 4 probed cells; the one-sided error
+    (``cm_estimate >= exact_cnt``, i.e. ``overcount >= 0``) is asserted
+    as a property test. Candidates are the exact top-20 (deterministic
+    tie-break on token) so the report is reproducible; a production
+    heavy-hitter pass would track candidates with a bounded heap instead."""
+    cnt = cm_token_counts(load(spark, sf_dir, "documents"))
+    cells = cm_cells(cnt)
+
+    # deterministic top-20: sort+limit compiles to TakeOrderedAndProject
+    # (per-partition top-20 then a 20-row merge on the driver side of the
+    # exchange — never a single-partition global window).
+    top = cnt.orderBy(F.col("exact_cnt").desc(), F.col("token")).limit(_CM_TOPK)
+    probes = top.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(t) for t in range(_CM_DEPTH)])).alias("t"),
+    ).withColumn("bucket", F.expr(_CM_BUCKET))
+    return (
+        probes.join(cells, ["t", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+        .withColumn(
+            "overcount", (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint")
+        )
+    )

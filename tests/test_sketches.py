@@ -1,0 +1,96 @@
+"""Sketch-operator guarantees (operators/sketches.py): the properties
+that make a sketch usable at 100 TB — no false negatives (bloom),
+one-sided error (count-min), linear mergeability across shards
+(count-min), and the no-row-explosion plan shapes — asserted on real
+data, not just claimed in docstrings. The gram block is additionally
+cross-checked against numpy's float64 X'X, an implementation the Spark
+and DuckDB sides share nothing with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.operators.sketches import (
+    cm_cells,
+    cm_token_counts,
+)
+from pyspark_for_ebook_classification_spark.operators.similarity import (
+    _GRAM_DIMS,
+)
+from pyspark_for_ebook_classification_spark.plans.explain import audit
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    row = (
+        all_queries()["sketch_bloom_semijoin"].fn(spark, sf_dir).collect()[0].asDict()
+    )
+    # every exact member must pass the filter: passes = members + false pos
+    assert row["n_bloom_pass"] - row["n_false_pos"] == row["n_exact_match"], row
+    assert row["n_bloom_pass"] >= row["n_exact_match"], row
+
+
+def test_bloom_probe_is_broadcast_only(spark, sf_dir):
+    rep = audit(all_queries()["sketch_bloom_semijoin"].fn(spark, sf_dir))
+    # 3 bitmap-word lookups + 1 membership join, all broadcast; the fact
+    # side must never sort-merge or expand into probe rows.
+    assert rep["broadcast_joins"] >= 4, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_countmin_error_is_one_sided(spark, sf_dir):
+    rows = all_queries()["sketch_countmin_topk"].fn(spark, sf_dir).collect()
+    assert rows, "top-k report empty"
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cm_estimate"] - r["exact_cnt"], r
+
+
+def test_countmin_grid_merges_linearly(spark, sf_dir):
+    """CM grids built from disjoint shards must add cell-wise to the
+    whole-corpus grid — the property that lets each of 1000 executors
+    sketch its shard independently."""
+    docs = load(spark, sf_dir, "documents")
+    whole = {
+        (r["t"], r["bucket"]): r["cell"]
+        for r in cm_cells(cm_token_counts(docs)).collect()
+    }
+    merged: dict = {}
+    for half in (docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)):
+        for r in cm_cells(cm_token_counts(half)).collect():
+            k = (r["t"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cell"]
+    assert merged == whole
+
+
+def test_gram_block_matches_numpy(spark, sf_dir):
+    out = {
+        (r["i"], r["j"]): r["gram"]
+        for r in all_queries()["sim_gram_matrix_block"].fn(spark, sf_dir).collect()
+    }
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"][:_GRAM_DIMS] for r in emb], dtype=np.float64)
+    G = X.T @ X
+    assert len(out) == _GRAM_DIMS * (_GRAM_DIMS + 1) // 2
+    for (i, j), v in out.items():
+        assert abs(v - G[i, j]) <= 1e-9 + 1e-9 * abs(G[i, j]), (i, j, v, G[i, j])
+
+
+def test_gram_block_aggregates_without_row_explosion(spark, sf_dir):
+    rep = audit(all_queries()["sim_gram_matrix_block"].fn(spark, sf_dir))
+    assert rep["partial_agg"], rep["plan"]  # map-side combine of the 136 cells
+    # one single-partition exchange for the final agg; the scan side must
+    # not explode the array before aggregating (the only Generate allowed
+    # is the post-agg `stack` unpivot of the one 136-cell row, which sits
+    # above the aggregate in the plan text).
+    assert rep["shuffles"] <= 1, rep["plan"]
+    plan = rep["plan"]
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.find("HashAggregate")
+    assert gen_pos != -1 and agg_pos != -1 and gen_pos < agg_pos, plan
+    assert rep["python_workers"] == 0, rep["plan"]
