@@ -1,0 +1,142 @@
+"""Iterative graph analytics (SURVEY.md §2 beyond-survey; companions to
+the connected-components fixpoint in operators/dedup.py).
+
+PageRank is the second canonical Spark iteration shape (the original
+Pregel/GraphX demo workload). The engine's twist is EXACT cross-engine
+parity for an iterative float algorithm: ranks are kept in integer
+fixed-point (millionths), so every step is BIGINT multiply / integer
+division — operations both engines define identically — and a DuckDB
+oracle that unrolls the same 8 iterations as chained CTEs reproduces the
+Spark loop bit-for-bit. No tolerance windows, no "approximately
+converged": the driver's value-hash gate covers the whole iteration.
+
+Graph: supplier ship-sequence adjacency — within each order, an edge
+points from each line's supplier to the NEXT supplier in ship order
+(lead() over l_shipdate, l_linenumber). One window pass, no self-join:
+edge count is bounded by lineitem count, grows linearly with fact rows,
+and the resulting digraph has genuinely varying in/out-degrees (a plain
+same-order co-supply join saturates into a complete graph even at
+sf0.01, which would make every rank identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+_PR_BASE = 1_000_000  # rank unit: millionths
+_PR_ITERS = 8
+_PR_TELEPORT = 15 * _PR_BASE // 100  # (1 - d) * BASE with d = 0.85
+
+
+def _pr_oracle() -> str:
+    ctes = [
+        f"""
+        seq AS (
+            SELECT l_suppkey AS src,
+                   lead(l_suppkey) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_shipdate, l_linenumber
+                   ) AS dst
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT src, dst FROM seq
+            WHERE dst IS NOT NULL AND src <> dst
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        n AS (SELECT s_suppkey AS node FROM supplier),
+        r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS r FROM n)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""
+        r{k} AS (
+            SELECT n.node,
+                   CAST({_PR_TELEPORT} + (85 * COALESCE(SUM(c.contrib), 0)) // 100
+                       AS BIGINT) AS r
+            FROM n
+            LEFT JOIN (
+                SELECT e.dst, p.r // d.d AS contrib
+                FROM edges e
+                JOIN r{k - 1} p ON e.src = p.node
+                JOIN deg d ON d.src = e.src
+            ) c ON c.dst = n.node
+            GROUP BY n.node
+        )"""
+        )
+    return (
+        "WITH " + ",".join(ctes) + f"\n        SELECT node, r AS rank_units FROM r{_PR_ITERS}"
+    )
+
+
+@query(
+    "graph_pagerank_fixedpoint",
+    survey_ref="L2,A1,J1",
+    doc="8-iteration PageRank over the supplier co-supply graph in BIGINT "
+    "fixed-point (millionths) — an iterative Spark loop that hash-matches "
+    "an unrolled recursive-CTE oracle exactly.",
+    oracle=_pr_oracle(),
+)
+def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with damping 0.85, 8 fixed iterations, integer fixed-point.
+
+    Why fixed-point: floating PageRank accumulates libm/order-dependent
+    error, so an iterative job can never value-match an oracle. With
+    ranks in millionths every step is ``r div out_degree`` (truncating
+    integer division — identical semantics in Spark's ``div`` and
+    DuckDB's ``//``) and ``teleport + (85 * Σcontrib) div 100``: pure
+    BIGINT arithmetic with one deterministic answer.
+
+    Scale shape — the classic Pregel-on-DataFrames loop:
+      * edges + (edge, out-degree) are materialized ONCE and
+        localCheckpoint'd: the lead() window pass and degree agg never
+        rerun, and per-iteration lineage stays flat (no exponential plan
+        growth — the failure mode of naive iterative DataFrame code).
+      * each iteration is exactly one shuffle pair: join ranks to edges
+        on src (both sides partitioned by the same key after the first
+        round — AQE reuses the exchange), then a partial-aggregating
+        groupBy on dst.
+      * ranks are checkpointed every 3 rounds, bounding recovery replay.
+    Iteration count is fixed (8), the standard production choice —
+    convergence-tested PageRank needs a driver-side scalar per round,
+    which the CC operator (dedup.py) already demonstrates."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edge_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    nodes = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("node"))
+    ranks = nodes.select("node", F.lit(_PR_BASE).cast("bigint").alias("r"))
+
+    for k in range(_PR_ITERS):
+        contribs = (
+            edge_deg.join(ranks, edge_deg.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            F.expr(
+                f"CAST({_PR_TELEPORT} + (85 * COALESCE(s, CAST(0 AS BIGINT))) div 100"
+                " AS BIGINT)"
+            ).alias("r"),
+        )
+        if k % 3 == 2:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("r").alias("rank_units"))

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "pyspark_for_ebook_classification_spark.operators.datapipe",
     "pyspark_for_ebook_classification_spark.operators.multimodal",
     "pyspark_for_ebook_classification_spark.operators.sketches",
+    "pyspark_for_ebook_classification_spark.operators.graphs",
     "pyspark_for_ebook_classification_spark.streaming.twins",
     "pyspark_for_ebook_classification_spark.ml.queries",
 )

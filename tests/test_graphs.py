@@ -1,0 +1,61 @@
+"""Iterative graph operators (operators/graphs.py): the Spark loop is
+cross-checked against a third, shared-nothing implementation — plain
+Python dicts over the collected edge list running the same fixed-point
+recurrence — so Spark, DuckDB (oracle), and Python must agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.operators.graphs import (
+    _PR_BASE,
+    _PR_ITERS,
+    _PR_TELEPORT,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def _edges_py(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    rows = (
+        li.select(
+            F.col("l_suppkey").alias("src"), F.lead("l_suppkey").over(w).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+        .collect()
+    )
+    return [(r["src"], r["dst"]) for r in rows]
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    edges = _edges_py(spark, sf_dir)
+    nodes = {r["s_suppkey"] for r in load(spark, sf_dir, "supplier").collect()}
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {n: _PR_BASE for n in nodes}
+    for _ in range(_PR_ITERS):
+        incoming: dict = {}
+        for s, d in edges:
+            incoming[d] = incoming.get(d, 0) + ranks[s] // deg[s]
+        ranks = {n: _PR_TELEPORT + (85 * incoming.get(n, 0)) // 100 for n in nodes}
+
+    got = {
+        r["node"]: r["rank_units"]
+        for r in all_queries()["graph_pagerank_fixedpoint"].fn(spark, sf_dir).collect()
+    }
+    assert got == ranks
+
+
+def test_pagerank_total_mass_bounded(spark, sf_dir):
+    """Truncating division only ever LOSES mass: total rank must stay in
+    (teleport-only floor, initial mass]."""
+    rows = all_queries()["graph_pagerank_fixedpoint"].fn(spark, sf_dir).collect()
+    total = sum(r["rank_units"] for r in rows)
+    n = len(rows)
+    assert n * _PR_TELEPORT <= total <= n * _PR_BASE
