@@ -12,7 +12,11 @@ converged": the driver's value-hash gate covers the whole iteration.
 
 Graph: supplier ship-sequence adjacency — within each order, an edge
 points from each line's supplier to the NEXT supplier in ship order
-(lead() over l_shipdate, l_linenumber). One window pass, no self-join:
+(lead() over l_shipdate, l_linenumber, l_suppkey — the suppkey tiebreak
+matters: the driver testdata repeats l_linenumber within an order, and
+any residual tie then holds an equal suppkey, making the supplier
+SEQUENCE — and so the edge set — permutation-invariant and
+engine-deterministic). One window pass, no self-join:
 edge count is bounded by lineitem count, grows linearly with fact rows,
 and the resulting digraph has genuinely varying in/out-degrees (a plain
 same-order co-supply join saturates into a complete graph even at
@@ -39,7 +43,7 @@ def _pr_oracle() -> str:
             SELECT l_suppkey AS src,
                    lead(l_suppkey) OVER (
                        PARTITION BY l_orderkey
-                       ORDER BY l_shipdate, l_linenumber
+                       ORDER BY l_shipdate, l_linenumber, l_suppkey
                    ) AS dst
             FROM lineitem
         ),
@@ -107,7 +111,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber", "l_suppkey")
     edges = (
         li.select(
             F.col("l_suppkey").alias("src"),

@@ -20,7 +20,7 @@ from pyspark_for_ebook_classification_spark.sources.io import load
 
 def _edges_py(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber", "l_suppkey")
     rows = (
         li.select(
             F.col("l_suppkey").alias("src"), F.lead("l_suppkey").over(w).alias("dst")
