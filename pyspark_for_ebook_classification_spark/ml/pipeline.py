@@ -76,9 +76,10 @@ def build_text_pipeline(cfg: TextClassifierConfig = TextClassifierConfig()) -> P
 
 def split_train_test(
     df: DataFrame, weights=(0.8, 0.2), seed: int = SEED, key_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """M9: deterministic hash split — md5(key # seed) mod 10000 under the
-    train fraction → train, else test.
+) -> tuple[DataFrame, ...]:
+    """M9: deterministic hash split — md5(key # seed) mod 10000 falls into
+    the cumulative weight band of each split (n-way, like ``randomSplit``:
+    2 weights → (train, test), 3 → (train, valid, test), …).
 
     Membership is a pure function of the row key, NOT of partitioning:
     unlike ``randomSplit`` (whose sample changes with file layout and task
@@ -86,8 +87,15 @@ def split_train_test(
     any partition count, any engine — the same primitive as the declared
     ``data_train_valid_split`` query (operators/datapipe.py).
     """
-    lo, hi = weights
-    cut = int(round(lo / (lo + hi) * 10000))
+    if len(weights) < 2 or any(w <= 0 for w in weights):
+        raise ValueError(f"need >= 2 positive weights, got {weights!r}")
+    total = float(sum(weights))
+    cuts = []
+    acc = 0.0
+    for w in weights:
+        acc += w
+        cuts.append(int(round(acc / total * 10000)))
+    cuts[-1] = 10000  # close the last band against rounding drift
     bucket = (
         F.conv(
             F.substring(
@@ -100,8 +108,12 @@ def split_train_test(
         ).cast("bigint")
         % 10000
     )
-    cond = bucket < cut
-    return df.filter(cond), df.filter(~cond)
+    lo = 0
+    out = []
+    for hi in cuts:
+        out.append(df.filter((bucket >= lo) & (bucket < hi)))
+        lo = hi
+    return tuple(out)
 
 
 def fit_text_classifier(

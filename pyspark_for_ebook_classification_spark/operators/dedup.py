@@ -471,7 +471,11 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document size, and with the cap the pair count is ≤ MAX_BUCKET²/2 per
     bucket — corpus-linear at any scale, same design as the MinHash
     banding above."""
-    fp = _simhash_fp(spark, sf_dir)
+    # materialize the fingerprints ONCE: fp feeds the band explode AND both
+    # sides of the candidate re-join below, and its lineage (token explode →
+    # vocab join → 32-bit majority groupBy) is the dominant cost — without
+    # the checkpoint Spark recomputes that pipeline three times per run.
+    fp = _simhash_fp(spark, sf_dir).localCheckpoint(eager=True)
     band_arr = F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)])
     bands = fp.select(
         "doc_id", "simhash", F.explode(band_arr).alias("band_id")

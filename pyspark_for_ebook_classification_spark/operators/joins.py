@@ -619,11 +619,19 @@ def join_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs within Levenshtein distance 1. The join is BLOCKED on
     (length, 12-char prefix) equality — an equi-key Catalyst hash-joins —
     so the O(n·m) edit-distance kernel only ever runs on in-block
-    candidates, never all pairs (distance ≤ 1 with equal lengths implies
-    the first 12 chars differ in at most the suffix region, so blocking
-    is safe for this name shape; general-purpose radius-k blocking would
-    use q-gram prefixes, same dataflow). Both engines share one SQL text;
-    levenshtein agrees exactly (integer DP)."""
+    candidates, never all pairs.
+
+    The blocking is part of the operator's DEFINITION, not a lossless
+    optimization: a distance-1 substitution landing inside the first 12
+    chars puts the pair in different blocks and it is (intentionally)
+    not emitted. For this fixture's names ('Supplier#' + zero-padded
+    key, keys < 10^6 at the tested SFs) every varying char sits past
+    position 12, so no pair is lost here — but at key widths ≥ 7 digits
+    the block boundary would start dropping true pairs. Radius-complete
+    blocking swaps the prefix key for q-gram prefix filtering (PPJoin
+    style) over the same dataflow. Both engines share one SQL text, so
+    the oracle checks exactly these blocked semantics; levenshtein
+    agrees exactly (integer DP)."""
     for t in ("supplier",):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FUZZY_SQL)

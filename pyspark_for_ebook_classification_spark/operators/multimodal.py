@@ -87,7 +87,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     # pseudo-dimensions derived from the decoded text's first/last CODE
     # POINTS (not raw bytes): DuckDB's ascii() returns code points, so this
     # stays engine-portable even if testdata ever ships non-ASCII text.
-    text = payload.decode("utf-8")
+    # Undecodable bytes (real media magic numbers like \xff\xd8) are a
+    # corrupt "file" to this codec: surface them through the same
+    # ValueError path a truncated payload takes, never an unhandled
+    # UnicodeDecodeError inside the Python worker.
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"undecodable media payload: {exc}") from exc
     width = 64 + ord(text[0]) % 192
     height = 64 + ord(text[-1]) % 192
     n_frames = 1 + len(payload) % 7  # byte length, = DuckDB strlen()
@@ -104,7 +111,10 @@ def _make_decode_kernel():
         # by-value copy of _fake_decode (kept in sync; unit-tested there)
         if not payload:
             raise ValueError("empty media payload")
-        t = payload.decode("utf-8")
+        try:
+            t = payload.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"undecodable media payload: {exc}") from exc
         return 64 + ord(t[0]) % 192, 64 + ord(t[-1]) % 192, 1 + len(payload) % 7
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,7 +206,12 @@ def _make_frame_kernel():
                 # same deterministic fake codec as the decode stub:
                 # code-point math on decoded text (ascii()-portable),
                 # byte length for frame count (strlen()-portable)
-                t = payload.decode("utf-8")
+                try:
+                    t = payload.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"undecodable media payload: {exc}"
+                    ) from exc
                 width = 64 + ord(t[0]) % 192
                 height = 64 + ord(t[-1]) % 192
                 n_frames = 1 + len(payload) % 7

@@ -38,11 +38,18 @@ def scratch_dir(label: str) -> str:
     Keyed by pid so concurrent runs (two driver harnesses, pytest + bench)
     never collide on a shared path, yet stable within a process so a lazy
     reader returned by a round-trip query still sees the files its own run
-    wrote when the driver later triggers the action.
+    wrote when the driver later triggers the action. The whole per-pid
+    tree is removed at interpreter exit — without that, every run leaks
+    its table copies into the temp dir (new pid, new directory, forever).
     """
+    import atexit
+    import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.getpid()}", label)
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.getpid()}")
+    if not os.path.exists(root):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    d = os.path.join(root, label)
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -103,19 +103,13 @@ class JsonlSinkWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires a 'path' option")
-        if overwrite:
-            # Runs driver-side at plan time (writer() instantiation), once
-            # per job: clear prior part files so mode("overwrite") cannot
-            # silently append — spark.read.json(dir) globs the directory,
-            # not the manifest, so stale parts would otherwise survive.
-            import glob
-            import os
-
-            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                os.remove(stale)
-            manifest = os.path.join(self.path, "_MANIFEST.json")
-            if os.path.exists(manifest):
-                os.remove(manifest)
+        # Deletion of prior data is DEFERRED to commit(): clearing at plan
+        # time would destroy the committed dataset before any task ran, so
+        # a failed overwrite job would leave the directory empty — exactly
+        # the non-atomicity this sink's publish-on-commit protocol exists
+        # to prevent. Until commit(), the old parts and old manifest stay
+        # valid; abort() removes only this job's (uuid-suffixed) parts.
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json
@@ -135,15 +129,37 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(part, n)
 
     def commit(self, messages):
+        import glob
         import json
         import os
 
-        manifest = {
-            "parts": sorted(m.path for m in messages if m is not None),
-            "rows": sum(m.rows for m in messages if m is not None),
-        }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        new_parts = sorted(m.path for m in messages if m is not None)
+        new_rows = sum(m.rows for m in messages if m is not None)
+        target_prev = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(target_prev):
+            # append mode: the manifest is cumulative — keep the committed
+            # parts of prior jobs alongside this job's.
+            with open(target_prev) as f:
+                prev = json.load(f)
+            new_parts = sorted(set(prev.get("parts", [])) | set(new_parts))
+            new_rows += prev.get("rows", 0)
+        manifest = {"parts": new_parts, "rows": new_rows}
+        # Publish atomically: write-then-rename the manifest FIRST, then
+        # (overwrite mode) clear superseded parts. A crash between the two
+        # leaves a correct manifest plus orphaned old parts — visible only
+        # to readers that glob the directory instead of honoring the
+        # manifest, and cleaned by the next successful overwrite. The
+        # reverse order would leave a manifest referencing deleted files.
+        target = os.path.join(self.path, "_MANIFEST.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(tmp, target)
+        if self.overwrite:
+            keep = set(new_parts)
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if stale not in keep:
+                    os.remove(stale)
 
     def abort(self, messages):
         import os

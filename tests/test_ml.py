@@ -71,6 +71,24 @@ def test_split_deterministic(spark, sf_dir):
     assert len(t1_ids) + len(ids_a) == docs.count()
 
 
+def test_split_n_way_partitions_exactly(spark, sf_dir):
+    """randomSplit-style n-way weights: the three bands must be pairwise
+    disjoint and jointly exhaustive, and the 2-way default must be the
+    first band of an equivalent 3-way split collapsed — i.e. band edges
+    are cumulative, not re-hashed per band."""
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    tr, va, te = split_train_test(docs, weights=(0.7, 0.2, 0.1))
+    ids = [
+        {r.doc_id for r in part.select("doc_id").collect()} for part in (tr, va, te)
+    ]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    assert len(ids[0] | ids[1] | ids[2]) == docs.count()
+    tr2, _ = split_train_test(docs, weights=(0.7, 0.3))
+    assert {r.doc_id for r in tr2.select("doc_id").collect()} == ids[0]
+
+
 def test_predictions_deterministic(spark, sf_dir):
     from pyspark_for_ebook_classification_spark.ml.queries import ml_nb_text_predictions
 

@@ -85,6 +85,10 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
 def test_fake_decode_rejects_empty_payload():
     with pytest.raises(ValueError, match="empty media payload"):
         _fake_decode(b"")
+    # real media bytes (JPEG magic) are not UTF-8: must surface as the
+    # codec's ValueError, not an unhandled UnicodeDecodeError in a worker
+    with pytest.raises(ValueError, match="undecodable media payload"):
+        _fake_decode(b"\xff\xd8\xff\xe0")
     w, h, f = _fake_decode(b"some media bytes")
     assert 64 <= w < 256 and 64 <= h < 256 and 1 <= f <= 7
     # non-ASCII: dims come from code points (ascii()-portable), not raw
@@ -169,6 +173,40 @@ def test_python_datasource_jsonl_sink_roundtrip(spark, sf_dir, tmp_path):
     assert all(os.path.exists(p) for p in manifest["parts"])
     back = spark.read.json(out, schema=n.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_python_datasource_jsonl_sink_overwrite_and_append(spark, sf_dir, tmp_path):
+    """mode('overwrite') must replace the committed dataset (no stale
+    parts for directory-globbing readers, manifest rewritten), and a
+    subsequent mode('append') must extend BOTH the directory and the
+    cumulative manifest. Prior data is cleared only at commit time, so a
+    failed overwrite cannot destroy the old dataset."""
+    import glob
+    import json
+    import os
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+    from pyspark_for_ebook_classification_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_over")
+    n = load(spark, sf_dir, "nation")
+    n.write.format("jsonl_sink").option("path", out).mode("append").save()
+
+    small = n.filter("n_regionkey = 0")
+    n_small = small.count()
+    small.write.format("jsonl_sink").option("path", out).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == n_small
+    on_disk = set(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert on_disk == set(manifest["parts"])  # stale parts gone
+    assert spark.read.json(out, schema=n.schema).count() == n_small
+
+    small.write.format("jsonl_sink").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 2 * n_small  # cumulative across jobs
+    assert len(set(manifest["parts"])) == len(manifest["parts"])
+    assert spark.read.json(out, schema=n.schema).count() == 2 * n_small
 
 
 def test_sql_ddl_dml_surface(spark, sf_dir, tmp_path):

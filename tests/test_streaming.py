@@ -33,11 +33,14 @@ def test_stream_equals_batch_twin(runner, twin, spark, sf_dir):
     assert_frames_match(stream_pdf, batch_pdf, runner.__name__)
 
 
-def test_stream_stream_join_runner_at_oracle_scale(spark):
+def test_stream_stream_join_runner_at_oracle_scale(spark, sf_dir):
     """ST8 at the driver's oracle scale (sf0.01, 10× the default test sf):
     the stream-stream interval join's state handling must not diverge when
-    batches carry 10× the keys — runner output equals the batch twin."""
-    sf01 = "/root/testdata/sf0.01"
+    batches carry 10× the keys — runner output equals the batch twin.
+    The sf0.01 dir is resolved as a SIBLING of the fixture's sf dir so the
+    test follows the testdata root wherever it lives (a hardcoded absolute
+    path would silently skip on any other layout)."""
+    sf01 = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(sf01):
         pytest.skip("sf0.01 testdata not present")
     stream_pdf = jobs.run_stream_stream_join(spark, sf01).toPandas()
