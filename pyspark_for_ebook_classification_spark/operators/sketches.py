@@ -2,10 +2,12 @@
 
 The repo's HLL entries (`agg_approx_count_distinct`,
 `agg_hll_mergeable_sketch`) are rows-only because Spark's HLL++ cell
-layout is engine-private. These two sketches are different: their whole
+layout is engine-private. The sketches here are different: their whole
 state is *integer* arithmetic over md5-derived positions, so the exact
 same construction runs on DuckDB and the driver's value-hash gate applies
 in full — approximate DATA STRUCTURES with exact, deterministic parity.
+One per estimation problem: membership (Bloom), frequency (Count-Min),
+cardinality (KMV).
 
 Why they matter at 100 TB:
 
@@ -17,6 +19,11 @@ Why they matter at 100 TB:
     (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does exactly
     this inside AQE; this operator makes the mechanism explicit,
     measurable (it reports the false-positive count) and portable.
+  * KMV distinct-count — cardinality from the k smallest hash values
+    per group: O(k) state forever, merged across shards by re-taking the
+    k smallest of the union. The oracle-exact stand-in for HLL wherever
+    cross-engine verifiability matters more than the last 2× of sketch
+    compactness.
   * Count-Min heavy hitters — frequency estimates from a fixed
     d×w counter grid (4×256 cells here). The grid is built with one
     partial-aggregating groupBy, is linearly mergeable across corpus
@@ -24,8 +31,8 @@ Why they matter at 100 TB:
     exactly what corpus token-frequency guards want. The report joins the
     estimates against exact counts so the overcount is visible.
 
-Both stay entirely in whole-stage codegen: md5 + conv + bitwise ops are
-JVM built-ins; no Python, no UDF, no collect.
+All three stay entirely in whole-stage codegen: md5 + conv + bitwise ops
+are JVM built-ins; no Python, no UDF, no collect.
 """
 
 from __future__ import annotations
@@ -326,4 +333,109 @@ def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "overcount", (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint")
         )
+    )
+
+
+# ------------------------------------------------------------------- KMV
+_KMV_K = 64
+_KMV_RANGE = 1 << 52  # md5 13-hex-char prefix: uniform in [0, 2^52)
+# 52 bits, not 60: the estimator multiplies (k-1) * RANGE, and 63 * 2^60
+# overflows int64 (Spark 4 runs ANSI mode and raises); 63 * 2^52 fits
+# with two orders of magnitude to spare. Collisions at 52 bits over the
+# key counts involved are ~0.
+
+_KMV_HASH_SPARK = (
+    "CAST(conv(substring(md5(concat('k:', CAST(o_custkey AS STRING))), 1, 13),"
+    " 16, 10) AS BIGINT)"
+)
+_KMV_HASH_SQL = (
+    "CAST(('0x' || substring(md5('k:' || CAST(o_custkey AS VARCHAR)), 1, 13))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "sketch_kmv_distinct",
+    survey_ref="A3,A2,W4,F7",
+    doc="KMV (k-minimum-values) distinct-count sketch per order priority: "
+    "64 smallest md5 hashes estimate distinct customers; reported next to "
+    "the exact count.",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority, o_custkey,
+                   {_KMV_HASH_SQL} AS h
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderpriority, h,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority ORDER BY h, o_custkey
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_exact
+            FROM hashed
+        ),
+        kept AS (
+            SELECT o_orderpriority, n_exact, MAX(h) AS kth, COUNT(*) AS n_kept
+            FROM ranked WHERE rn <= {_KMV_K}
+            GROUP BY o_orderpriority, n_exact
+        )
+        SELECT o_orderpriority,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                         ELSE ({_KMV_K} - 1) * {_KMV_RANGE} // kth
+                    END AS BIGINT) AS kmv_estimate
+        FROM kept
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, twice: exactly, and from a
+    KMV sketch — the third mergeable sketch (membership → bloom,
+    frequency → count-min, cardinality → this), and the oracle-checked
+    complement to the rows-only HLL entries: the whole sketch state is
+    the 64 smallest 52-bit md5 values, so DuckDB builds the identical
+    sketch and the estimate ``(k-1) * 2^52 div kth_min`` is one integer
+    division — deterministic in both engines (operands are nonnegative,
+    where Spark's ``div`` and DuckDB's ``//`` agree; neither value can
+    go negative here, which keeps truncate-vs-floor semantics out of
+    play).
+
+    Scale shape: one distinct-collapse shuffle on (group, key), then the
+    per-group 64-minimum via a rank window — Spark compiles the rn<=k
+    filter to WindowGroupLimit, so every map task keeps only its local
+    64 smallest before the exchange; state per group is O(k) forever.
+    Sketches from disjoint shards merge by re-taking the 64 smallest of
+    the union (asserted in tests/test_sketches.py). Below k distinct
+    keys the sketch IS the exact distinct set (estimate = count)."""
+    hashed = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .withColumn("h", F.expr(_KMV_HASH_SPARK))
+    )
+    from pyspark.sql import Window
+
+    # exact count as a separate group-count joined back (5 rows, AQE
+    # broadcasts) — folding it into the rank select as count() OVER the
+    # whole partition would block the WindowGroupLimit pushdown, since
+    # the rn <= k filter could then no longer drop rows before the
+    # full-partition window runs.
+    n_exact = hashed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("h", "o_custkey")
+    ranked = hashed.select(
+        "o_orderpriority", "h", F.row_number().over(w_rank).alias("rn")
+    )
+    kept = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+    )
+    return kept.join(n_exact, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
+        .otherwise(F.expr(f"({_KMV_K} - 1) * {_KMV_RANGE}L div kth"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
     )

@@ -94,3 +94,56 @@ def test_gram_block_aggregates_without_row_explosion(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     assert gen_pos != -1 and agg_pos != -1 and gen_pos < agg_pos, plan
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_kmv_merges_shards_and_matches_python(spark, sf_dir):
+    """KMV sketch laws, via a shared-nothing Python implementation:
+    (a) k-min of (k-min(shard A) ∪ k-min(shard B)) == k-min(whole) — the
+    merge rule 1000 executors would use; (b) the operator's estimates
+    equal hashlib-computed ones exactly (third engine agreement)."""
+    import hashlib
+
+    from pyspark_for_ebook_classification_spark.operators.sketches import (
+        _KMV_K,
+        _KMV_RANGE,
+    )
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_custkey")
+        .distinct()
+        .collect()
+    )
+    groups: dict = {}
+    for r in rows:
+        h = int(hashlib.md5(f"k:{r['o_custkey']}".encode()).hexdigest()[:13], 16)
+        groups.setdefault(r["o_orderpriority"], []).append((h, r["o_custkey"]))
+
+    expected = {}
+    for g, pairs in groups.items():
+        whole = sorted(pairs)[:_KMV_K]
+        # shard by key parity, sketch each shard, merge, re-take k-min
+        shard_a = sorted(p for p in pairs if p[1] % 2 == 0)[:_KMV_K]
+        shard_b = sorted(p for p in pairs if p[1] % 2 == 1)[:_KMV_K]
+        merged = sorted(shard_a + shard_b)[:_KMV_K]
+        assert merged == whole, f"merge law broken for {g}"
+        est = (
+            len(whole)
+            if len(whole) < _KMV_K
+            else (_KMV_K - 1) * _KMV_RANGE // whole[-1][0]
+        )
+        expected[g] = (len(pairs), est)
+
+    got = {
+        r["o_orderpriority"]: (r["n_exact"], r["kmv_estimate"])
+        for r in all_queries()["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_kmv_pushes_group_limit(spark, sf_dir):
+    rep = audit(all_queries()["sketch_kmv_distinct"].fn(spark, sf_dir))
+    # rn <= k over the rank window must compile to WindowGroupLimit so map
+    # tasks keep only their local 64 smallest before the exchange
+    assert "WindowGroupLimit" in rep["plan"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
