@@ -707,3 +707,68 @@ def sim_gram_matrix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.expr(f"stack({len(_gram_pairs())}, {triples}) AS (i, j, gram)")
     )
+
+
+# ----------------------------------------------------- random projection
+_RP_DIMS = 8  # reduced dimensionality
+_RP_OFFSET = 100  # LCG plane ids 100..107: disjoint from the LSH tables
+
+
+def _rp_spark(p: int) -> str:
+    from pyspark_for_ebook_classification_spark.functions.vectors import (
+        DIM,
+        _weight,
+    )
+
+    ws = ", ".join(f"{_weight(p, j)!r}D" for j in range(DIM))
+    return (
+        f"round(aggregate("
+        f"  zip_with(embedding, array({ws}), (x, w) -> CAST(x AS DOUBLE) * w),"
+        f"  CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def _rp_sql(p: int) -> str:
+    from pyspark_for_ebook_classification_spark.functions.vectors import DIM
+
+    return (
+        f"round(list_sum(list_transform(range(1, {DIM + 1}),"
+        f" i -> ((CAST(1103515245 AS BIGINT) * ({p} * {DIM} + i - 1) + 12345)"
+        f" % 2001 - 1000) / 1000.0"
+        f" * CAST(embedding[i] AS DOUBLE))), 6)"
+    )
+
+
+@query(
+    "sim_random_projection_reduce",
+    survey_ref="L3,F4",
+    doc="Johnson-Lindenstrauss reduction: 64-dim embeddings projected to 8 "
+    "dims through deterministic LCG hyperplanes (map-side only, zero "
+    "shuffles).",
+    oracle="SELECT vec_id, "
+    + ", ".join(f"{_rp_sql(_RP_OFFSET + p)} AS rp{p}" for p in range(_RP_DIMS))
+    + " FROM embeddings",
+)
+def sim_random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction as a pure projection — the preprocessing
+    step that makes downstream ANN / clustering 8× cheaper per distance
+    while approximately preserving pairwise geometry (JL lemma). Uses the
+    same deterministic LCG plane family as the LSH signatures (plane ids
+    offset by 100 so the two operators stay decorrelated), but keeps the
+    real-valued projections instead of collapsing to sign bits.
+
+    Scale shape: the ideal one — no shuffle, no groupBy, no join; each
+    row maps to its 8 sums independently inside whole-stage codegen
+    (weights are constant-folded array literals, the fold is the
+    engine-portable sequential double fold shared with spark_dot). At
+    100 TB this runs at scan speed and writes an 8× narrower vector
+    column. Projections round to 6dp, the repo's standard double-output
+    parity contract."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        *[
+            F.expr(_rp_spark(_RP_OFFSET + p)).alias(f"rp{p}")
+            for p in range(_RP_DIMS)
+        ],
+    )

@@ -85,3 +85,62 @@ def test_cosine_scores_bounded(spark, sf_dir):
     # ranks are 1..k per query with no gaps
     for _, grp in pdf.groupby("query_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_random_projection_preserves_geometry(spark, sf_dir):
+    """JL sanity on real data, scaled to what k=8 planes can deliver on a
+    near-random corpus: for unit-ish 64-dim vectors, pairwise dots are
+    ~N(0, 1/64) while an 8-plane projection adds variance ~k·E[w²]² —
+    SNR ≈ 0.35, so the achievable pair-dot correlation is ~0.2-0.35, not
+    0.9. The test pins a deterministic floor (fixed planes, fixed data)
+    as a regression guard: a sign error, plane reuse, or dropped
+    dimension pushes r to ~0. It also spot-checks one projection against
+    the LCG weights directly (exact, not statistical)."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.functions.vectors import (
+        DIM,
+        _weight,
+    )
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _RP_DIMS,
+        _RP_OFFSET,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    proj = {
+        r["vec_id"]: np.array([r[f"rp{p}"] for p in range(_RP_DIMS)])
+        for r in all_queries()["sim_random_projection_reduce"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # spot-check one projection against the LCG weights directly
+    vid = min(emb)
+    W = np.array(
+        [[_weight(_RP_OFFSET + p, j) for j in range(DIM)] for p in range(_RP_DIMS)]
+    )
+    np.testing.assert_allclose(proj[vid], W @ emb[vid], atol=1e-6)
+
+    ids = sorted(emb)
+    orig, red = [], []
+    for i in range(len(ids) - 1):
+        a, b = ids[i], ids[i + 1]
+        orig.append(float(emb[a] @ emb[b]))
+        red.append(float(proj[a] @ proj[b]))
+    r = np.corrcoef(orig, red)[0, 1]
+    assert r > 0.15, f"JL correlation below pinned floor: {r:.3f}"
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    from pyspark_for_ebook_classification_spark.plans.explain import audit
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    rep = audit(all_queries()["sim_random_projection_reduce"].fn(spark, sf_dir))
+    assert rep["shuffles"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["read_schema_columns"] == 2, rep["plan"]  # vec_id + embedding
