@@ -179,6 +179,18 @@ _PRIORITY: tuple[str, ...] = (
 # CORRECTNESS_r0{1,2}.json). The 87 names above are exactly the remainder;
 # after r3 verifies the first 50, promote the r4 queue (and any queries
 # added during r3, which register after the listed names) to the front.
+#
+# r4 TODO (write the next _PRIORITY front block from this): the never-
+# driver-verified set after r3 = the 32-name r4 queue above + the 5
+# rows-only + the 18 round-3 additions: join_fuzzy_supplier_names,
+# agg_skew_kurtosis, window_rolling_median, window_ewma_quantity,
+# fn_binary_string_suite, fn_date_suite2, fn_time_suite,
+# sql_recursive_month_spine, dedup_simhash_hamming_pairs,
+# dedup_incremental_exact, text_zipf_slope, text_vocab_overlap_sources,
+# data_mixture_budget_plan, sketch_bloom_semijoin, sketch_countmin_topk,
+# sketch_kmv_distinct, sim_gram_matrix_block, sim_random_projection_reduce,
+# graph_pagerank_fixedpoint — 32 + 19 = 51 oracle-backed names; r4
+# fronts 50 of them, leaving one plus the five rows-only for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
