@@ -439,3 +439,165 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kmv_estimate"),
     )
+
+
+# ------------------------------------------------------- theta set overlap
+_THETA_SETS = (("a", "1-URGENT"), ("b", "2-HIGH"))
+
+
+def _theta_sql() -> str:
+    per_set = []
+    for tag, prio in _THETA_SETS:
+        per_set.append(
+            f"""
+        keys_{tag} AS (
+            SELECT DISTINCT o_custkey, {_KMV_HASH_SQL} AS h
+            FROM orders WHERE o_orderpriority = '{prio}'
+        ),
+        sk_{tag} AS (
+            SELECT o_custkey, h
+            FROM (SELECT o_custkey, h,
+                         row_number() OVER (ORDER BY h, o_custkey) AS rn
+                  FROM keys_{tag})
+            WHERE rn <= {_KMV_K}
+        ),
+        th_{tag} AS (
+            SELECT CASE WHEN (SELECT COUNT(*) FROM keys_{tag}) < {_KMV_K}
+                        THEN {_KMV_RANGE}
+                        ELSE (SELECT MAX(h) FROM sk_{tag}) END AS theta
+        )"""
+        )
+    return (
+        "WITH"
+        + ",".join(per_set)
+        + f""",
+        th AS (SELECT LEAST(th_a.theta, th_b.theta) AS theta FROM th_a, th_b),
+        below_a AS (SELECT o_custkey FROM sk_a, th WHERE h < theta),
+        below_b AS (SELECT o_custkey FROM sk_b, th WHERE h < theta),
+        inter AS (
+            SELECT COUNT(*) AS n FROM below_a JOIN below_b USING (o_custkey)
+        ),
+        uni AS (
+            SELECT COUNT(*) AS n FROM (
+                SELECT o_custkey FROM below_a UNION SELECT o_custkey FROM below_b
+            )
+        ),
+        exact AS (
+            SELECT
+                (SELECT COUNT(*) FROM keys_a) AS n_exact_a,
+                (SELECT COUNT(*) FROM keys_b) AS n_exact_b,
+                (SELECT COUNT(*) FROM keys_a JOIN keys_b USING (o_custkey))
+                    AS n_exact_inter
+        )
+        SELECT CAST(n_exact_a AS BIGINT) AS n_exact_a,
+               CAST(n_exact_b AS BIGINT) AS n_exact_b,
+               CAST(n_exact_inter AS BIGINT) AS n_exact_inter,
+               CAST(inter.n * {_KMV_RANGE} // th.theta AS BIGINT)
+                   AS est_inter,
+               CAST(uni.n * {_KMV_RANGE} // th.theta AS BIGINT) AS est_union
+        FROM exact, inter, uni, th"""
+    )
+
+
+@query(
+    "sketch_theta_set_overlap",
+    survey_ref="A3,A2,U2,F7",
+    doc="Theta-sketch set operations: estimated intersection and union of "
+    "URGENT-order vs HIGH-order customer sets from two 64-value KMV "
+    "sketches, next to the exact counts.",
+    oracle=_theta_sql(),
+)
+def sketch_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capability that separates theta/KMV sketches from HLL: set
+    ALGEBRA on sketches. Each side keeps its 64 smallest hashes; theta =
+    min of the two 64th-smallest values; every retained hash below theta
+    is a uniform 1-in-(RANGE/theta) sample of its set, so
+    ``|sample ∩| * RANGE div theta`` estimates the intersection (same
+    for union) — pure integer arithmetic, engine-exact, with the exact
+    counts alongside for honesty about the error.
+
+    At 100 TB: audience-overlap questions ("how many customers are in
+    BOTH segments?") otherwise need a distinct-shuffle of both key sets
+    every time they're asked; two O(k) sketches answer any number of
+    overlap queries after one pass each, and sketches from shards merge
+    before comparing. Build shape per set is the KMV one
+    (WindowGroupLimit rank); the overlap math then runs on ≤64-row
+    single-row aggregates stitched with broadcast crossJoins — fully
+    lazy, no driver-side collect anywhere in the plan."""
+    from pyspark.sql import Window
+
+    sks = {}
+    ths = {}
+    exact_keys = {}
+    for tag, prio in _THETA_SETS:
+        keys = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == prio)
+            .select("o_custkey")
+            .distinct()
+            .withColumn("h", F.expr(_KMV_HASH_SPARK))
+        )
+        exact_keys[tag] = keys
+        w = Window.orderBy("h", "o_custkey")
+        sk = (
+            keys.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("o_custkey", "h")
+        )
+        sks[tag] = sk
+        # per-set theta as a ONE-ROW frame: RANGE while the set still fits
+        # in the sketch, else the kth smallest hash
+        ths[tag] = (
+            sk.agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+            .select(
+                F.when(F.col("n_kept") < _KMV_K, F.lit(_KMV_RANGE).cast("bigint"))
+                .otherwise(F.col("kth"))
+                .alias(f"theta_{tag}")
+            )
+        )
+
+    theta = (
+        ths["a"]
+        .crossJoin(ths["b"])
+        .select(F.least("theta_a", "theta_b").alias("theta"))
+    )
+    below = {
+        tag: sks[tag]
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .select("o_custkey")
+        for tag, _ in _THETA_SETS
+    }
+    inter = below["a"].join(below["b"], "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    uni = (
+        below["a"].union(below["b"]).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    exact = (
+        exact_keys["a"]
+        .agg(F.count(F.lit(1)).alias("n_exact_a"))
+        .crossJoin(exact_keys["b"].agg(F.count(F.lit(1)).alias("n_exact_b")))
+        .crossJoin(
+            exact_keys["a"]
+            .select("o_custkey")
+            .join(exact_keys["b"].select("o_custkey"), "o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+        )
+    )
+    return (
+        exact.crossJoin(inter)
+        .crossJoin(uni)
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.col("n_exact_a").cast("bigint").alias("n_exact_a"),
+            F.col("n_exact_b").cast("bigint").alias("n_exact_b"),
+            F.col("n_exact_inter").cast("bigint").alias("n_exact_inter"),
+            F.expr(f"CAST(n_inter * {_KMV_RANGE}L div theta AS BIGINT)").alias(
+                "est_inter"
+            ),
+            F.expr(f"CAST(n_union * {_KMV_RANGE}L div theta AS BIGINT)").alias(
+                "est_union"
+            ),
+        )
+    )

@@ -188,9 +188,10 @@ _PRIORITY: tuple[str, ...] = (
 # sql_recursive_month_spine, dedup_simhash_hamming_pairs,
 # dedup_incremental_exact, text_zipf_slope, text_vocab_overlap_sources,
 # data_mixture_budget_plan, sketch_bloom_semijoin, sketch_countmin_topk,
-# sketch_kmv_distinct, sim_gram_matrix_block, sim_random_projection_reduce,
-# graph_pagerank_fixedpoint — 32 + 19 = 51 oracle-backed names; r4
-# fronts 50 of them, leaving one plus the five rows-only for r5's slots.
+# sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
+# sim_random_projection_reduce, graph_pagerank_fixedpoint — 32 + 20 = 52
+# oracle-backed names; r4 fronts 50, leaving two plus the five rows-only
+# for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -147,3 +147,19 @@ def test_kmv_pushes_group_limit(spark, sf_dir):
     # tasks keep only their local 64 smallest before the exchange
     assert "WindowGroupLimit" in rep["plan"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_theta_overlap_estimates_within_pinned_error(spark, sf_dir):
+    """Theta set-algebra accuracy, pinned deterministically (fixed hashes,
+    fixed data): both estimates within 25% of exact — k=64 theory gives
+    ~1/sqrt(64) = 12.5% typical error — and trivially sane (union >=
+    intersection >= 0)."""
+    row = (
+        all_queries()["sketch_theta_set_overlap"].fn(spark, sf_dir).collect()[0]
+    ).asDict()
+    exact_union = (
+        row["n_exact_a"] + row["n_exact_b"] - row["n_exact_inter"]
+    )
+    assert row["est_inter"] >= 0 and row["est_union"] >= row["est_inter"], row
+    assert abs(row["est_inter"] - row["n_exact_inter"]) <= 0.25 * row["n_exact_inter"], row
+    assert abs(row["est_union"] - exact_union) <= 0.25 * exact_union, row
