@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_for_ebook_classification_spark.functions.numeric import dsum
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -723,4 +724,140 @@ def window_ewma_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ewma_qty"),
         )
+    )
+
+
+@query(
+    "window_interpolate_linear",
+    survey_ref="W2,W3,F2,A7",
+    doc="Linear interpolation over a dense daily grid: gap days get the "
+    "line between the surrounding observations, edges carry the nearest "
+    "one (LOCF/NOCB).",
+    oracle="""
+        WITH cal AS (
+            SELECT unnest(generate_series(
+                (SELECT MIN(date_trunc('day', ts)) FROM events),
+                (SELECT MAX(date_trunc('day', ts)) FROM events),
+                INTERVAL 1 DAY)) AS day
+        ), users AS (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+        ), daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+            FROM events WHERE user_id % 10 = 0
+            GROUP BY user_id, date_trunc('day', ts)
+        ), grid AS (
+            SELECT u.user_id, c.day, d.v
+            FROM users u CROSS JOIN cal c
+            LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+        ), ctx AS (
+            SELECT user_id, day, v,
+                   last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                       OVER w_back AS prev_day,
+                   first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                       OVER w_fwd AS next_day
+            FROM grid
+            WINDOW
+                w_back AS (PARTITION BY user_id ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_fwd AS (PARTITION BY user_id ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, day,
+               CASE
+                   WHEN v IS NOT NULL THEN round(v, 6)
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                       round(prev_v + (next_v - prev_v)
+                             * date_diff('day', prev_day, day)
+                             / date_diff('day', prev_day, next_day), 6)
+                   ELSE round(coalesce(prev_v, next_v), 6)
+               END AS value_filled,
+               CASE WHEN v IS NOT NULL THEN 'obs'
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
+                    WHEN prev_v IS NOT NULL THEN 'locf'
+                    ELSE 'nocb'
+               END AS src
+        FROM ctx
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation — what the
+    zero-fill grid (window_gapfill_daily) is not: gap days take the
+    straight line between their surrounding observations, leading and
+    trailing gaps carry the nearest observation (NOCB/LOCF). This is the
+    sensor/finance resample primitive; a `src` column labels every cell
+    (obs / interp / locf / nocb) so downstream models can weight
+    imputed points.
+
+    Determinism across engines: observed daily values are
+    decimal-stabilized sums cast back to double, gap offsets are integer
+    day differences, and the one interpolation divide is a single IEEE
+    double op on identical operands — identical in both engines — with
+    round(.,6) as the standard output contract.
+
+    Scale shape: same grid economics as gapfill (users × days, linear in
+    users, event volume only touches the map-side daily pre-aggregate);
+    the four ignore-nulls context windows all share ONE partitioning
+    (user_id, ordered by day), so Spark computes them in a single Window
+    operator pass after one shuffle — no per-window exchanges."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    day = F.date_trunc("day", "ts").alias("day")
+    cal = (
+        ev.agg(
+            F.min(F.date_trunc("day", "ts")).alias("lo"),
+            F.max(F.date_trunc("day", "ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    )
+    daily = ev.groupBy("user_id", day).agg(dsum("value", "v"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(cal))
+        .join(daily, ["user_id", "day"], "left")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = grid.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    interp = F.round(
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * F.datediff("day", "prev_day")
+        / F.datediff("next_day", "prev_day"),
+        6,
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.round("v", 6))
+        .when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), interp)
+        .otherwise(F.round(F.coalesce("prev_v", "next_v"), 6))
+        .alias("value_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("obs"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.lit("interp"),
+        )
+        .when(F.col("prev_v").isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("nocb"))
+        .alias("src"),
     )

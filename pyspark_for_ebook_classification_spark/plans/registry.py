@@ -189,9 +189,9 @@ _PRIORITY: tuple[str, ...] = (
 # dedup_incremental_exact, text_zipf_slope, text_vocab_overlap_sources,
 # data_mixture_budget_plan, sketch_bloom_semijoin, sketch_countmin_topk,
 # sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
-# sim_random_projection_reduce, graph_pagerank_fixedpoint — 32 + 20 = 52
-# oracle-backed names; r4 fronts 50, leaving two plus the five rows-only
-# for r5's slots.
+# sim_random_projection_reduce, graph_pagerank_fixedpoint,
+# window_interpolate_linear — 32 + 21 = 53 oracle-backed names; r4 fronts
+# 50, leaving three plus the five rows-only for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
