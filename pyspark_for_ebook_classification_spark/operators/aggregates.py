@@ -613,3 +613,70 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness_qty"),
         F.round(kurt, 6).alias("excess_kurtosis_qty"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    survey_ref="A7,W3,A1",
+    doc="Quantity-weighted lower median of extended price per return flag "
+    "(cumulative-weight threshold — no interpolation, engine-exact).",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag,
+                   l_extendedprice AS price,
+                   CAST(l_quantity AS DECIMAL(28,6)) AS qty,
+                   SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cumw,
+                   SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                       PARTITION BY l_returnflag
+                   ) AS totw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               MIN(price) AS weighted_median_price,
+               CAST(MIN(totw) AS DOUBLE) AS total_weight
+        FROM w
+        WHERE cumw * 2 >= totw
+        GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the robust statistic percentile_approx cannot
+    give you exactly and plain median ignores weights for: the smallest
+    price whose CUMULATIVE quantity reaches half the group's total
+    quantity. Lower-median convention (no interpolation), so the answer
+    is an actual data value and the whole computation stays in exact
+    decimal arithmetic — both engines pick the identical row.
+
+    Scale shape: one shuffle on the group key; the running sum and the
+    group total share that partitioning (single Window pass), and the
+    threshold filter + min-aggregate never materialize more than the
+    group's rows. The sort inside the window is the unavoidable cost of
+    any exact quantile; at 100 TB the same statistic is usually served
+    from the t-digest/KLL family when 0.1% error is acceptable — this
+    operator is the exact reference those sketches are validated
+    against."""
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("decimal(28,6)")
+    w = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(qty).over(w_cum).alias("cumw"),
+        F.sum(qty).over(w_tot).alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("totw").cast("double").alias("total_weight"),
+        )
+    )
