@@ -521,11 +521,13 @@ def sketch_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     every time they're asked; two O(k) sketches answer any number of
     overlap queries after one pass each, and sketches from shards merge
     before comparing. Build shape per set is the KMV one
-    (WindowGroupLimit rank); the overlap math then runs on ≤64-row
-    single-row aggregates stitched with broadcast crossJoins — fully
-    lazy, no driver-side collect anywhere in the plan."""
-    from pyspark.sql import Window
-
+    ; the per-set k-min is ``orderBy(h).limit(k)``, which compiles to
+    TakeOrderedAndProject — each map task keeps its local 64 smallest
+    and a 64-row merge finishes it, so no global-window single partition
+    ever sees the full key set (plan-asserted). The overlap math then
+    runs on ≤64-row single-row aggregates stitched with broadcast
+    crossJoins — fully lazy, no driver-side collect anywhere in the
+    plan."""
     sks = {}
     ths = {}
     exact_keys = {}
@@ -538,12 +540,7 @@ def sketch_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("h", F.expr(_KMV_HASH_SPARK))
         )
         exact_keys[tag] = keys
-        w = Window.orderBy("h", "o_custkey")
-        sk = (
-            keys.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _KMV_K)
-            .select("o_custkey", "h")
-        )
+        sk = keys.orderBy("h", "o_custkey").limit(_KMV_K).select("o_custkey", "h")
         sks[tag] = sk
         # per-set theta as a ONE-ROW frame: RANGE while the set still fits
         # in the sketch, else the kth smallest hash

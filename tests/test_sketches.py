@@ -163,3 +163,12 @@ def test_theta_overlap_estimates_within_pinned_error(spark, sf_dir):
     assert row["est_inter"] >= 0 and row["est_union"] >= row["est_inter"], row
     assert abs(row["est_inter"] - row["n_exact_inter"]) <= 0.25 * row["n_exact_inter"], row
     assert abs(row["est_union"] - exact_union) <= 0.25 * exact_union, row
+
+
+def test_theta_kmin_uses_take_ordered(spark, sf_dir):
+    rep = audit(all_queries()["sketch_theta_set_overlap"].fn(spark, sf_dir))
+    # each side's 64-minimum must be a distributed TakeOrderedAndProject,
+    # never a single-partition global window over the whole key set
+    assert rep["plan"].count("TakeOrderedAndProject") >= 2, rep["plan"]
+    assert "Window" not in rep["plan"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
