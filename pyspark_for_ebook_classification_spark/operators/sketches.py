@@ -7,7 +7,7 @@ state is *integer* arithmetic over md5-derived positions, so the exact
 same construction runs on DuckDB and the driver's value-hash gate applies
 in full — approximate DATA STRUCTURES with exact, deterministic parity.
 One per estimation problem: membership (Bloom), frequency (Count-Min),
-cardinality (KMV).
+cardinality (KMV + theta set algebra), quantiles (fixed-bin histogram).
 
 Why they matter at 100 TB:
 
@@ -31,8 +31,9 @@ Why they matter at 100 TB:
     exactly what corpus token-frequency guards want. The report joins the
     estimates against exact counts so the overcount is visible.
 
-All three stay entirely in whole-stage codegen: md5 + conv + bitwise ops
-are JVM built-ins; no Python, no UDF, no collect.
+All of them stay entirely in whole-stage codegen: md5 + conv + bitwise
+ops are JVM built-ins; no Python, no UDF, no collect. The only full
+sorts are the exact-comparison columns that measure the sketches.
 """
 
 from __future__ import annotations
@@ -596,5 +597,143 @@ def sketch_theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(n_union * {_KMV_RANGE}L div theta AS BIGINT)").alias(
                 "est_union"
             ),
+        )
+    )
+
+
+# ------------------------------------------------- histogram quantiles
+_HG_BINS = 256
+_HG_QS = ("0.50", "0.90", "0.99")  # decimal literals shared by both engines
+
+
+@query(
+    "sketch_histogram_quantiles",
+    survey_ref="A3,A7,W3,F3",
+    doc="Equi-width 256-bin histogram quantile estimates of order totals "
+    "(P50/P90/P99) next to the exact rank-based quantiles.",
+    oracle=f"""
+        WITH ext AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+                   COUNT(*) AS n
+            FROM orders
+        ),
+        binned AS (
+            SELECT LEAST({_HG_BINS - 1}, CAST(floor(
+                       (o_totalprice - ext.lo) * {_HG_BINS} / (ext.hi - ext.lo)
+                   ) AS INT)) AS bin
+            FROM orders, ext
+        ),
+        hist AS (
+            SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+            FROM hist
+        ),
+        qs AS (
+            SELECT CAST(q AS DOUBLE) AS q,
+                   CAST(ceil(CAST(q AS DECIMAL(10,2)) * ext.n) AS BIGINT)
+                       AS target
+            FROM (VALUES ({_HG_QS[0]}), ({_HG_QS[1]}), ({_HG_QS[2]})) v(q), ext
+        ),
+        est AS (
+            SELECT q, target, MIN(bin) AS qbin
+            FROM qs JOIN cum ON cum.cw >= qs.target
+            GROUP BY q, target
+        ),
+        ranked AS (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT est.q,
+               round(ext.lo + (ext.hi - ext.lo) * (est.qbin + 1) / {_HG_BINS}, 6)
+                   AS est_upper_edge,
+               r.o_totalprice AS exact_value
+        FROM est, ext
+        JOIN ranked r ON r.rn = est.target
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a fixed 256-cell histogram — the fourth classic
+    sketch next to Bloom/Count-Min/KMV: approximate QUANTILES with O(bins)
+    state, mergeable by cell-wise addition, reported against the exact
+    rank-based (type-1) quantile so the bin-width error is visible. This
+    is the oracle-exact reference shape for what production systems serve
+    from t-digest/KLL sketches (`approx_percentile` stays rows-only for
+    the same reason HLL does — engine-private buffers).
+
+    Estimator: the reported value is the upper edge of the first bin
+    whose cumulative count reaches ceil(q·N) — a deterministic one-sided
+    bound (estimate >= exact, asserted in tests) rather than an in-bin
+    interpolation, so every arithmetic step is a single IEEE op on
+    identical operands in both engines.
+
+    Scale shape: one pass for global extent (two-value agg, broadcast
+    back), one partial-aggregating groupBy into ≤256 cells, then all
+    quantile math runs on the 256-row histogram. The exact comparison
+    column is the only full sort — it exists to measure the sketch, not
+    as part of it."""
+    o = load(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(_HG_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * _HG_BINS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("int"),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+    )
+    qs = (
+        spark.createDataFrame([(q,) for q in _HG_QS], "q string")
+        .crossJoin(F.broadcast(ext.select("n")))
+        .select(
+            F.col("q").cast("double").alias("q"),
+            F.ceil(F.col("q").cast("decimal(10,2)") * F.col("n"))
+            .cast("bigint")
+            .alias("target"),
+        )
+    )
+    est = (
+        qs.join(F.broadcast(cum), F.col("cw") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    w_rank = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.row_number().over(w_rank).alias("rn")
+    )
+    return (
+        est.crossJoin(F.broadcast(ext.select("lo", "hi")))
+        .join(ranked, F.col("rn") == F.col("target"))
+        .select(
+            "q",
+            F.round(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo")) * (F.col("qbin") + 1) / _HG_BINS,
+                6,
+            ).alias("est_upper_edge"),
+            F.col("o_totalprice").alias("exact_value"),
         )
     )

@@ -190,9 +190,9 @@ _PRIORITY: tuple[str, ...] = (
 # data_mixture_budget_plan, sketch_bloom_semijoin, sketch_countmin_topk,
 # sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
 # sim_random_projection_reduce, graph_pagerank_fixedpoint,
-# window_interpolate_linear, agg_weighted_median — 32 + 22 = 54
-# oracle-backed names; r4 fronts 50, leaving four plus the five
-# rows-only for r5's slots.
+# window_interpolate_linear, agg_weighted_median,
+# sketch_histogram_quantiles — 32 + 23 = 55 oracle-backed names; r4
+# fronts 50, leaving five plus the five rows-only for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

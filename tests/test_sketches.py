@@ -172,3 +172,52 @@ def test_theta_kmin_uses_take_ordered(spark, sf_dir):
     assert rep["plan"].count("TakeOrderedAndProject") >= 2, rep["plan"]
     assert "Window" not in rep["plan"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_histogram_quantile_bound_is_one_sided(spark, sf_dir):
+    """The reported upper bin edge must bound the exact quantile from
+    above, and tighten as q grows (monotone non-decreasing edges)."""
+    rows = sorted(
+        (r["q"], r["est_upper_edge"], r["exact_value"])
+        for r in all_queries()["sketch_histogram_quantiles"].fn(spark, sf_dir).collect()
+    )
+    assert [q for q, _, _ in rows] == [0.5, 0.9, 0.99]
+    for q, est, exact in rows:
+        assert est >= exact, (q, est, exact)
+    edges = [e for _, e, _ in rows]
+    assert edges == sorted(edges)
+
+
+def test_histogram_cells_merge_linearly(spark, sf_dir):
+    """Histograms from disjoint shards add cell-wise — same merge law as
+    Count-Min, checked over a parity split of orders (bins computed
+    against the SHARED global extent, as a production merge would)."""
+    from pyspark_for_ebook_classification_spark.operators.sketches import _HG_BINS
+
+    o = load(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+
+    def cells(df):
+        binned = df.crossJoin(F.broadcast(ext)).select(
+            F.least(
+                F.lit(_HG_BINS - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    * _HG_BINS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ).alias("bin")
+        )
+        return {
+            r["bin"]: r["cnt"]
+            for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+
+    whole = cells(o)
+    merged: dict = {}
+    for half in (o.filter(F.col("o_orderkey") % 2 == 0), o.filter(F.col("o_orderkey") % 2 == 1)):
+        for b, c in cells(half).items():
+            merged[b] = merged.get(b, 0) + c
+    assert merged == whole
