@@ -191,8 +191,9 @@ _PRIORITY: tuple[str, ...] = (
 # sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
 # sim_random_projection_reduce, graph_pagerank_fixedpoint,
 # window_interpolate_linear, agg_weighted_median,
-# sketch_histogram_quantiles — 32 + 23 = 55 oracle-backed names; r4
-# fronts 50, leaving five plus the five rows-only for r5's slots.
+# sketch_histogram_quantiles, stream_countmin_grid_twin — 32 + 24 = 56
+# oracle-backed names; r4 fronts 50, leaving six plus the five rows-only
+# for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

@@ -276,3 +276,13 @@ def run_chained_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     back; the watermark threads through the first window's struct)."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return _run_to_memory(twins.chained_daily_peak(ev), mode="append")
+
+
+def run_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST + sketch synthesis: the Count-Min grid as streaming aggregation
+    state. Each micro-batch folds its events' 4 hash cells into the
+    running 1,024-cell grid (complete mode emits the merged sketch after
+    every batch — the memory sink's final table is the stream's sketch).
+    At 100 TB/day this is how frequency guards run: O(cells) state, no
+    per-key state growth, mergeable with any batch-built grid."""
+    return _run_to_memory(twins.countmin_user_grid(events_stream(spark, sf_dir)))

@@ -352,3 +352,45 @@ def stream_chained_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side; state per stage is bounded by (buckets ×
     types), never raw events."""
     return chained_daily_peak(load(spark, sf_dir, "events"))
+
+
+def countmin_user_grid(events: DataFrame) -> DataFrame:
+    """ST-sketch logic: 4×256 Count-Min grid of per-user event counts.
+
+    The streaming-native sketch build: no pre-collapse groupBy (a stream
+    cannot wait for "all of a user's events"), each event folds its 4
+    cells directly into the grid aggregation — the running state IS the
+    sketch, bounded at 1,024 cells regardless of user cardinality or
+    stream length, and two grids (two streams, or stream + backfill
+    batch) merge by cell-wise addition."""
+    seeded = events.select(
+        F.explode(F.array(*[F.lit(t) for t in range(4)])).alias("t"), "user_id"
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(t AS STRING), ':',"
+            " CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 256"
+        ),
+    )
+    return seeded.groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+
+
+@query(
+    "stream_countmin_grid_twin",
+    survey_ref="ST1,A3,F7",
+    doc="Count-Min sketch maintained AS the streaming aggregation state: "
+    "batch twin of the 4×256 per-user-event-count grid.",
+    oracle="""
+        SELECT t,
+               CAST(('0x' || substring(md5(CAST(t AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+                   AS bucket,
+               COUNT(*) AS cell
+        FROM events, (VALUES (0), (1), (2), (3)) s(t)
+        GROUP BY 1, 2
+    """,
+)
+def stream_countmin_grid_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return countmin_user_grid(load(spark, sf_dir, "events"))

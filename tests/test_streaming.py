@@ -366,3 +366,12 @@ def test_rate_source_smoke(spark):
     rows = spark.table(name).collect()
     assert len(rows) >= 50
     assert all(r["bucket"] == r["value"] % 10 for r in rows)
+
+
+def test_countmin_stream_equals_batch_twin(spark, sf_dir):
+    """The streaming Count-Min grid must equal the batch-built grid
+    cell-for-cell — the merge-across-micro-batches law, exercised through
+    a real streaming query."""
+    stream_pdf = jobs.run_countmin_stream(spark, sf_dir).toPandas()
+    batch_pdf = twins.stream_countmin_grid_twin(spark, sf_dir).toPandas()
+    assert_frames_match(stream_pdf, batch_pdf, "run_countmin_stream")
