@@ -613,13 +613,15 @@ _HG_QS = ("0.50", "0.90", "0.99")  # decimal literals shared by both engines
     "(P50/P90/P99) next to the exact rank-based quantiles.",
     oracle=f"""
         WITH ext AS (
-            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+            SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
                    COUNT(*) AS n
             FROM orders
         ),
         binned AS (
             SELECT LEAST({_HG_BINS - 1}, CAST(floor(
-                       (o_totalprice - ext.lo) * {_HG_BINS} / (ext.hi - ext.lo)
+                       (CAST(o_totalprice AS DOUBLE) - ext.lo)
+                       * CAST({_HG_BINS} AS DOUBLE) / (ext.hi - ext.lo)
                    ) AS INT)) AS bin
             FROM orders, ext
         ),
@@ -682,13 +684,17 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+    # all bin arithmetic explicitly in DOUBLE on both engines: if the
+    # column ever ships as DECIMAL in a future testdata generation,
+    # decimal-vs-double quotient rounding could flip a boundary value
+    # into a different bin and break parity — the casts pin the types.
     binned = o.crossJoin(F.broadcast(ext)).select(
         F.least(
             F.lit(_HG_BINS - 1),
             F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                * _HG_BINS
-                / (F.col("hi") - F.col("lo"))
+                (F.col("o_totalprice").cast("double") - F.col("lo").cast("double"))
+                * F.lit(_HG_BINS).cast("double")
+                / (F.col("hi").cast("double") - F.col("lo").cast("double"))
             ).cast("int"),
         ).alias("bin")
     )

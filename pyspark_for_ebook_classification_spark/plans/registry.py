@@ -182,7 +182,7 @@ _PRIORITY: tuple[str, ...] = (
 #
 # r4 TODO (write the next _PRIORITY front block from this): the never-
 # driver-verified set after r3 = the 32-name r4 queue above + the 5
-# rows-only + the 18 round-3 additions: join_fuzzy_supplier_names,
+# rows-only + the 24 round-3 additions: join_fuzzy_supplier_names,
 # agg_skew_kurtosis, window_rolling_median, window_ewma_quantity,
 # fn_binary_string_suite, fn_date_suite2, fn_time_suite,
 # sql_recursive_month_spine, dedup_simhash_hamming_pairs,

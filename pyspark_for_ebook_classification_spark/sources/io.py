@@ -32,6 +32,9 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 
+_SCRATCH_CLEANUP_REGISTERED = False
+
+
 def scratch_dir(label: str) -> str:
     """Per-process-unique scratch directory for sink round-trips.
 
@@ -47,8 +50,14 @@ def scratch_dir(label: str) -> str:
     import tempfile
 
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.getpid()}")
-    if not os.path.exists(root):
+    # register exactly once per PROCESS (module flag), never keyed on
+    # directory existence: a recycled pid can inherit a stale tree from a
+    # SIGKILLed prior run, and skipping registration then would leak this
+    # process's scratch output too.
+    global _SCRATCH_CLEANUP_REGISTERED
+    if not _SCRATCH_CLEANUP_REGISTERED:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_CLEANUP_REGISTERED = True
     d = os.path.join(root, label)
     os.makedirs(d, exist_ok=True)
     return d
