@@ -1,0 +1,225 @@
+"""Corpus-curation operators (SURVEY.md §2 L2/L4/L7 extensions).
+
+Round-3 additions to the training-data pipeline surface, each closing a
+gap the earlier text/dedup/datapipe families left open:
+
+  * containment similarity — near-dedup (Jaccard, simhash, minhash) is
+    symmetric, but the common corpus pathology is ASYMMETRIC: a short
+    document embedded inside a longer one (quote farms, boilerplate
+    wrappers, scraped mirrors with added chrome). Jaccard under-scores
+    those pairs (the union is dominated by the long side);
+    containment |A∩B| / |A| flags them regardless of the length gap.
+  * token-entropy quality signal — repetition-heavy machine-generated
+    text scores low-entropy while natural prose sits near the corpus
+    mode; a standard pre-training quality gate alongside the
+    length/stopword heuristics in textops.py.
+  * curriculum ordering — deterministic global training order:
+    stage by a difficulty proxy, shuffle WITHIN a stage by a salted
+    hash so every epoch/run/backfill reproduces the same order
+    (rand() would not survive task retries).
+
+All three stay in whole-stage codegen: splits, explodes, hashes and
+window functions only — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+from pyspark_for_ebook_classification_spark.plans.registry import query
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+#: containment report threshold — pairs below this are noise, and the
+#: threshold keeps the result set (and the driver's value-hash input)
+#: small no matter the corpus size.
+CONTAINMENT_MIN = 0.5
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct token-trigram rows + per-doc counts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("tokens"),
+    ).filter(F.size("tokens") >= 3)
+    sh = F.expr(
+        "array_distinct(transform(sequence(0, size(tokens) - 3), "
+        "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))"
+    )
+    return toks.select("doc_id", F.explode(sh).alias("sh"))
+
+
+_CONTAINMENT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+        FROM documents
+        WHERE length(list_filter(string_split(text, ' '), t -> t <> '')) >= 3
+    ),
+    ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, length(tokens) - 1),
+                   i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+               ))) AS sh
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / s.n_sh, 6) AS containment
+    FROM inter JOIN sizes s ON s.doc_id = doc_a
+    WHERE CAST(n_inter AS DOUBLE) / s.n_sh >= {CONTAINMENT_MIN}
+"""
+
+
+@query(
+    "text_minhash_containment",
+    survey_ref="L2,L4,J8,A1",
+    doc="Asymmetric containment |A∩B|/|A| over shared token trigrams — "
+    "catches short-doc-inside-long-doc duplication Jaccard misses.",
+    oracle=_CONTAINMENT_SQL,
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs via the sparse shared-shingle join.
+
+    Scale shape: the self-join is on the SHINGLE key, so only documents
+    that actually share a trigram ever meet — pairs with empty
+    intersection never materialize (the all-pairs matrix is never
+    formed; same lossless-prune argument as dedup_ngram_jaccard, which
+    is hypothesis-tested there). Each side of the join carries only
+    (doc_id, shingle); per-doc shingle counts join back broadcast-sized
+    relative to the pair stream. At 100 TB the one guard needed is a
+    stop-shingle cap (drop shingles whose doc-frequency exceeds a
+    bound — they generate quadratic pair blowup while carrying no
+    signal); the bucket-cap pattern of dedup_minhash_lsh.py shows the
+    same guard driver-verified.
+
+    Containment is directional, so (a,b) and (b,a) both appear when both
+    directions clear the threshold — a contained-in b ≠ b contained-in a.
+    """
+    ex = _shingled(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_sh")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(cont >= CONTAINMENT_MIN)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+_ENTROPY_SQL = """
+    WITH ex AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(
+               log2(CAST(SUM(c) AS DOUBLE))
+               - CAST(SUM(CAST(c * log2(CAST(c AS DOUBLE)) AS DECIMAL(28,6)))
+                      AS DOUBLE) / SUM(c),
+               6
+           ) AS entropy_bits
+    FROM cnt
+    GROUP BY doc_id
+"""
+
+
+@query(
+    "text_token_entropy",
+    survey_ref="L4,A1,F3",
+    doc="Per-document Shannon entropy of the token distribution — the "
+    "repetition/degeneracy quality gate.",
+    oracle=_ENTROPY_SQL,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = log2(N) − (Σ c·log2 c)/N over per-doc token counts.
+
+    The Σ c·log2(c) partial sums are decimal-stabilized (dsum) so the
+    reduction is order-independent; log2 itself is libm, so the final
+    entropy is rounded to 6 places per the registry determinism
+    contract. Two partial-aggregating shuffles ((doc_id, token) then
+    doc_id), both combining map-side; token counts per doc are bounded
+    by document length, so no skew beyond document size itself."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("tok"),
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - dsum(F.col("c") * F.log2(F.col("c").cast("double")), "s").cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+_CURRICULUM_SQL = """
+    WITH staged AS (
+        SELECT doc_id, n_chars,
+               ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+        FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(stage AS INT) AS stage,
+           CAST(row_number() OVER (
+               ORDER BY stage, md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS global_pos
+    FROM staged
+"""
+
+
+@query(
+    "data_curriculum_order",
+    survey_ref="L7,W1",
+    doc="Deterministic curriculum: difficulty stages (short→long) with a "
+    "salted-hash shuffle inside each stage.",
+    oracle=_CURRICULUM_SQL,
+)
+def data_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage by length quartile (ntile over (n_chars, doc_id) — the
+    doc_id tiebreak makes tile assignment total), then order within a
+    stage by md5('cur:'||doc_id): a seeded shuffle that is identical
+    across engines, task retries and reruns, unlike rand().
+
+    Scale note: the global row_number is a single total order — the one
+    place a curriculum genuinely needs a global sort, and Spark executes
+    it as a range-partitioned sort (sampled boundaries), not a
+    single-task sort. A production emitter would write the sorted
+    output directly with sortWithinPartitions per output shard; the
+    global position column here is the verification surface."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = docs.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    order_key = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        F.col("stage").cast("int").alias("stage"),
+        F.row_number()
+        .over(Window.orderBy("stage", order_key, "doc_id"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )

@@ -108,19 +108,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iteration count is fixed (8), the standard production choice —
     convergence-tested PageRank needs a driver-side scalar per round,
     which the CC operator (dedup.py) already demonstrates."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
-    )
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber", "l_suppkey")
-    edges = (
-        li.select(
-            F.col("l_suppkey").alias("src"),
-            F.lead("l_suppkey").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _ship_sequence_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edge_deg = edges.join(deg, "src").localCheckpoint(eager=True)
 
@@ -144,3 +132,138 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k % 3 == 2:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_units"))
+
+
+def _ship_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed supplier ship-sequence edges (see module doc)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_suppkey"
+    )
+    return (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            F.lead("l_suppkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+#: shared CTE chain: undirected edge set -> degrees -> degree-oriented
+#: edges (each undirected edge stored once, pointing from the endpoint
+#: that is smaller under the (degree, id) total order).
+_TRI_CTES = """
+        seq AS (
+            SELECT l_suppkey AS src,
+                   lead(l_suppkey) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_shipdate, l_linenumber, l_suppkey
+                   ) AS dst
+            FROM lineitem
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM seq WHERE dst IS NOT NULL AND src <> dst
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+            ) GROUP BY node
+        ),
+        oriented AS (
+            SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+                   CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+                   CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dv
+            FROM und
+            JOIN deg da ON da.node = a
+            JOIN deg db ON db.node = b
+        )
+"""
+
+
+@query(
+    "graph_triangle_count",
+    survey_ref="L2,J8,A1",
+    doc="Per-supplier triangle counts in the undirected co-ship graph via "
+    "degree-oriented wedge closing — the skew-proof triangle algorithm.",
+    oracle=f"""
+        WITH {_TRI_CTES},
+        tris AS (
+            SELECT o1.u AS x, o1.v AS y, o2.v AS z
+            FROM oriented o1
+            JOIN oriented o2
+              ON o1.u = o2.u
+             AND ((o1.dv, o1.v) < (o2.dv, o2.v))
+            JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+        ),
+        pernode AS (
+            SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT x AS node FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris
+            ) GROUP BY node
+        )
+        SELECT node, CAST(n_triangles AS BIGINT) AS n_triangles FROM pernode
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by degree-ordered edge orientation.
+
+    The classic scale-safe formulation (node-iterator++ / MPC triangle
+    enumeration): orient every undirected edge from its lower endpoint
+    under the (degree, id) total order, enumerate wedges only at each
+    edge's LOW-degree endpoint, and close them with a hash join back
+    against the oriented edge set. Why it matters at 100 TB: wedge
+    count at a node is quadratic in its degree, and orientation caps
+    every node's effective out-degree at O(sqrt(|E|)) — the hub that
+    would generate 10^12 wedges under naive enumeration generates
+    almost none, because hubs lose the (degree, id) comparison and
+    receive edges inward. Each triangle is produced exactly once (its
+    vertices appear as one ordered wedge u<v<w). Three dataflow steps:
+    one groupBy for degrees, one self-join on the wedge apex, one
+    equi-join to close — all partial-agg / shuffle-hash shapes, no
+    cartesian anywhere."""
+    edges = _ship_sequence_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closer, ["y", "z"]).select(
+        F.col("u").alias("x"), "y", "z"
+    )
+    return (
+        tris.select(F.col("x").alias("node"))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .unionAll(tris.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -772,3 +772,101 @@ def sim_random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(_RP_DIMS)
         ],
     )
+
+
+# ------------------------------------------------- product quantization
+#: PQ geometry: 64 dims → 8 subspaces × 8 dims, 1 bit per dim (above /
+#: below the dimension's global mid-range) → one 8-bit code per
+#: subspace. Codebook = per-dim quarter-points of the corpus range —
+#: deterministic (no k-means seed), so the whole transform is
+#: oracle-checkable. sim_quantize_int8 is the flat scalar compressor;
+#: this adds the SUBSPACE structure real PQ indexes use (code tables
+#: per subspace, asymmetric distance on codes).
+_PQ_SUBDIM = 8
+_PQ_ERR_DEC = "DECIMAL(38,18)"
+
+
+@query(
+    "sim_product_quantization",
+    survey_ref="L3,F4,A1",
+    doc="Product quantization: 8 subspace codes per vector from a "
+    "deterministic per-dimension grid codebook, plus the exact "
+    "reconstruction error.",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM ex GROUP BY pos
+        ),
+        bits AS (
+            SELECT vec_id, ex.pos // {_PQ_SUBDIM} AS sub,
+                   CASE WHEN v > (dmin + dmax) / 2 THEN 1 ELSE 0 END AS bit,
+                   ex.pos % {_PQ_SUBDIM} AS bitpos,
+                   v, dmin, dmax
+            FROM ex JOIN stats ON ex.pos = stats.pos
+        ),
+        subcodes AS (
+            SELECT vec_id, sub,
+                   SUM(bit << bitpos) AS code,
+                   SUM(CAST(
+                       (v - (dmin + (1 + 2*bit) * (dmax - dmin) / 4))
+                       * (v - (dmin + (1 + 2*bit) * (dmax - dmin) / 4))
+                       AS {_PQ_ERR_DEC})) AS errpart
+            FROM bits GROUP BY vec_id, sub
+        )
+        SELECT vec_id,
+               {", ".join(f"CAST(MAX(CASE WHEN sub = {s} THEN code END) AS BIGINT) AS code_s{s}" for s in range(8))},
+               round(CAST(SUM(errpart) AS DOUBLE), 9) AS recon_err
+        FROM subcodes GROUP BY vec_id
+    """,
+)
+def sim_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: one 8-bit code per 8-dim subspace + reconstruction error.
+
+    Scale shape identical to sim_quantize_int8: the codebook is
+    dimension-count-sized (64 rows — constant in corpus size), built in
+    one partial-agg pass over the exploded vectors and broadcast back;
+    encoding is then map-side. The two groupBys ((vec_id, sub) then
+    vec_id) both combine map-side and shuffle one row per subspace /
+    vector respectively. The reconstruction-error column is the honesty
+    check a quantizer needs (it is what IVF-PQ recall tuning monitors);
+    its per-dim squared terms accumulate in DECIMAL(38,18) so the sum
+    is order-independent and hash-matches the oracle exactly.
+
+    Code layout: bit d of code_s{{k}} = [dim 8k+d above its mid-range].
+    Asymmetric-distance search would join these codes against per-query
+    lookup tables (256 rows per subspace) — the same broadcast-join
+    shape as the IVF probe (sim_ann_ivf_label_cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fv")
+    ).withColumn("v", F.col("fv").cast("double"))
+    stats = ex.groupBy("pos").agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+    joined = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        F.expr(f"pos div {_PQ_SUBDIM}").alias("sub"),
+        (F.col("pos") % _PQ_SUBDIM).alias("bitpos"),
+        F.when(F.col("v") > (F.col("dmin") + F.col("dmax")) / 2, 1)
+        .otherwise(0)
+        .alias("bit"),
+        "v",
+        "dmin",
+        "dmax",
+    )
+    centroid = F.col("dmin") + (1 + 2 * F.col("bit")) * (F.col("dmax") - F.col("dmin")) / 4
+    sq = (F.col("v") - centroid) * (F.col("v") - centroid)
+    subcodes = joined.groupBy("vec_id", "sub").agg(
+        F.sum(F.expr("bit << bitpos")).alias("code"),
+        F.sum(sq.cast(_PQ_ERR_DEC)).alias("errpart"),
+    )
+    return subcodes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == s, F.col("code")))
+            .cast("bigint")
+            .alias(f"code_s{s}")
+            for s in range(8)
+        ],
+        F.round(F.sum("errpart").cast("double"), 9).alias("recon_err"),
+    )

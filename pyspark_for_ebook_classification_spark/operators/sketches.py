@@ -743,3 +743,187 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("exact_value"),
         )
     )
+
+
+# ------------------------------------------------------------------- HLL
+#: HyperLogLog geometry: p = 6 → m = 64 registers, alpha_64 = 0.709.
+#: The 60-bit md5 hash splits as (register = low 6 bits, w = high 54
+#: bits); rho = leading-zeros-of-w + 1 = 55 - bitlength(w), so every
+#: register value is pure integer/string arithmetic both engines define
+#: identically (bin() + length()) — unlike Spark's private HLL++ cells
+#: (agg_approx_count_distinct stays rows-only for exactly that reason).
+_HLL_M = 64
+_HLL_RHO_MAX = 55  # 54-bit w: rho in [1, 55]; empty register = 0
+_HLL_NUMER = "0.709 * 4096 * 36028797018963968"  # alpha * m^2 * 2^55
+
+_HLL_HASH_SPARK = (
+    "CAST(conv(substring(md5(concat('h:', CAST(c_custkey AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_HLL_HASH_SQL = (
+    "CAST(('0x' || substring(md5('h:' || CAST(c_custkey AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+_RHO_SQL = f"CASE WHEN w = 0 THEN {_HLL_RHO_MAX} ELSE {_HLL_RHO_MAX} - length(bin(w)) END"
+
+
+@query(
+    "sketch_hll_registers",
+    survey_ref="A3,A1,F7",
+    doc="HyperLogLog register table (m=64) over customer keys, built as a "
+    "two-level shard merge — the mergeable-sketch dataflow with exact "
+    "cross-engine parity.",
+    oracle=f"""
+        WITH hashed AS (SELECT {_HLL_HASH_SQL} AS v FROM customer),
+        parts AS (SELECT v % {_HLL_M} AS reg, v // {_HLL_M} AS w FROM hashed),
+        regs AS (
+            SELECT reg, MAX({_RHO_SQL}) AS mx
+            FROM parts GROUP BY reg
+        )
+        SELECT CAST(g.i AS BIGINT) AS register_idx,
+               CAST(COALESCE(mx, 0) AS BIGINT) AS rho
+        FROM generate_series(0, {_HLL_M - 1}) g(i)
+        LEFT JOIN regs ON regs.reg = g.i
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch AS DATA: one row per register with its max rho.
+
+    The Spark side deliberately computes it in two stages — per-shard
+    register maxima (shard = custkey % 2) then a cell-wise MAX merge —
+    while the oracle computes registers directly over the whole table.
+    Equality of the two (the driver's value-hash) is precisely HLL's
+    merge-invariance: sketch(A ∪ B) = merge(sketch(A), sketch(B)).
+    That is the property that makes the sketch usable at 100 TB — each
+    corpus shard aggregates locally (map-side combine does the shard
+    level for free) and the final reduce is 64 BIGINT max() cells, a
+    constant-size shuffle regardless of key count. The empty-register
+    spine (spark.range(m)) keeps the sketch total so downstream merges
+    and the estimator see all m cells."""
+    c = load(spark, sf_dir, "customer")
+    parts = c.select(
+        (F.col("c_custkey") % 2).alias("shard"),
+        F.expr(_HLL_HASH_SPARK).alias("v"),
+    ).select(
+        "shard",
+        (F.col("v") % _HLL_M).alias("reg"),
+        F.expr(f"v div {_HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, _HLL_RHO_MAX).otherwise(
+        _HLL_RHO_MAX - F.length(F.expr("bin(w)"))
+    )
+    shard_regs = parts.select("shard", "reg", rho.alias("rho")).groupBy(
+        "shard", "reg"
+    ).agg(F.max("rho").alias("mx"))
+    merged = shard_regs.groupBy("reg").agg(F.max("mx").alias("mx"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("register_idx"))
+    return spine.join(
+        merged, spine.register_idx == merged.reg, "left"
+    ).select(
+        F.col("register_idx").cast("bigint").alias("register_idx"),
+        F.coalesce("mx", F.lit(0)).cast("bigint").alias("rho"),
+    )
+
+
+@query(
+    "sketch_hll_estimate",
+    survey_ref="A3,A2,A1,F7",
+    doc="HLL cardinality estimate per market segment (m=64, with the "
+    "linear-counting small-range correction) next to the exact count.",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT c_mktsegment, {_HLL_HASH_SQL} AS v FROM customer
+        ),
+        parts AS (
+            SELECT c_mktsegment, v % {_HLL_M} AS reg, v // {_HLL_M} AS w
+            FROM hashed
+        ),
+        regs AS (
+            SELECT c_mktsegment, reg, MAX({_RHO_SQL}) AS rho
+            FROM parts GROUP BY c_mktsegment, reg
+        ),
+        spine AS (
+            SELECT s.c_mktsegment, g.i AS reg
+            FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+                 generate_series(0, {_HLL_M - 1}) g(i)
+        ),
+        cells AS (
+            SELECT sp.c_mktsegment, COALESCE(r.rho, 0) AS rho
+            FROM spine sp LEFT JOIN regs r
+              ON r.c_mktsegment = sp.c_mktsegment AND r.reg = sp.reg
+        ),
+        summed AS (
+            SELECT c_mktsegment,
+                   SUM(CAST(1 AS BIGINT) << CAST({_HLL_RHO_MAX} - rho AS INT))
+                       AS s_scaled,
+                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS n_zero
+            FROM cells GROUP BY c_mktsegment
+        ),
+        exact AS (
+            SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_exact
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT e.c_mktsegment,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_zero AS BIGINT) AS n_zero_registers,
+               round(CASE
+                   WHEN ({_HLL_NUMER}) / CAST(s_scaled AS DOUBLE)
+                            <= 2.5 * {_HLL_M} AND n_zero > 0
+                   THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)
+                   ELSE ({_HLL_NUMER}) / CAST(s_scaled AS DOUBLE)
+               END, 6) AS hll_estimate
+        FROM summed s JOIN exact e USING (c_mktsegment)
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-mean HLL estimator with small-range correction.
+
+    Exactness trick: Σ 2^(−rho) over the 64 registers is kept as the
+    INTEGER Σ 2^(55−rho) (max 64·2^55 < 2^62 — no overflow), so the
+    denominator is exact and the estimate is a single deterministic
+    double division; the only libm call is ln() in the linear-counting
+    branch, rounded per the registry contract. The register build is
+    the same constant-size two-shuffle dataflow as
+    sketch_hll_registers, here keyed by segment (sketch-per-group —
+    the GROUP BY form a 100 TB profiler actually runs)."""
+    c = load(spark, sf_dir, "customer")
+    parts = c.select(
+        "c_mktsegment", F.expr(_HLL_HASH_SPARK).alias("v")
+    ).select(
+        "c_mktsegment",
+        (F.col("v") % _HLL_M).alias("reg"),
+        F.expr(f"v div {_HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, _HLL_RHO_MAX).otherwise(
+        _HLL_RHO_MAX - F.length(F.expr("bin(w)"))
+    )
+    regs = parts.select("c_mktsegment", "reg", rho.alias("rho")).groupBy(
+        "c_mktsegment", "reg"
+    ).agg(F.max("rho").alias("rho"))
+    segs = c.select("c_mktsegment").distinct()
+    spine = segs.crossJoin(
+        F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg")))
+    )
+    cells = spine.join(regs, ["c_mktsegment", "reg"], "left").select(
+        "c_mktsegment", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    summed = cells.groupBy("c_mktsegment").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_RHO_MAX} - rho AS INT))")
+        ).alias("s_scaled"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("n_zero"),
+    )
+    exact = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_exact")
+    )
+    raw = F.expr(f"({_HLL_NUMER}) / CAST(s_scaled AS DOUBLE)")
+    lc = F.expr(f"{_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero)")
+    return summed.join(exact, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_zero").cast("bigint").alias("n_zero_registers"),
+        F.round(
+            F.when((raw <= 2.5 * _HLL_M) & (F.col("n_zero") > 0), lc).otherwise(raw),
+            6,
+        ).alias("hll_estimate"),
+    )

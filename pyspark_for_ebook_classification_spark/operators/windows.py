@@ -861,3 +861,75 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("nocb"))
         .alias("src"),
     )
+
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+"""
+
+
+@query(
+    "window_sessionize_gap",
+    survey_ref="W2,W3,A1,ST3",
+    doc="Batch gap-based sessionization (6h inactivity gap): the batch "
+    "twin of the streaming session window, built from lag + running sum.",
+    oracle=_SESSIONIZE_SQL,
+)
+def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the event log with a 6-hour inactivity gap.
+
+    The canonical islands construction: flag a session break where the
+    gap to the previous event (lag over (user_id, ts, event_id))
+    exceeds the threshold, then a running SUM of break flags numbers the
+    sessions, then one group-by emits per-session aggregates.
+
+    Scale shape: both windows and the final aggregate share the ONE
+    shuffle on user_id — Spark plans a single exchange and sorts once
+    (the second window and the partial agg reuse the sort order). This
+    is the batch-side equivalent of ST3's session_window streaming
+    operator (streaming/twins.py), useful for backfills over years of
+    history where no watermark/state machinery is needed. Epoch-second
+    arithmetic on BIGINT; the value sum is decimal-stabilized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap_s.isNull() | (gap_s > 21600), 1).otherwise(0).alias("new_s"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_s"),
+        dsum(F.col("value"), "session_value"),
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "pyspark_for_ebook_classification_spark.operators.multimodal",
     "pyspark_for_ebook_classification_spark.operators.sketches",
     "pyspark_for_ebook_classification_spark.operators.graphs",
+    "pyspark_for_ebook_classification_spark.operators.corpus",
     "pyspark_for_ebook_classification_spark.streaming.twins",
     "pyspark_for_ebook_classification_spark.ml.queries",
 )
@@ -191,9 +192,12 @@ _PRIORITY: tuple[str, ...] = (
 # sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
 # sim_random_projection_reduce, graph_pagerank_fixedpoint,
 # window_interpolate_linear, agg_weighted_median,
-# sketch_histogram_quantiles, stream_countmin_grid_twin — 32 + 24 = 56
-# oracle-backed names; r4 fronts 50, leaving six plus the five rows-only
-# for r5's slots.
+# sketch_histogram_quantiles, stream_countmin_grid_twin — plus the 8
+# later r3 additions: text_minhash_containment, text_token_entropy,
+# data_curriculum_order, window_sessionize_gap, sketch_hll_registers,
+# sketch_hll_estimate, sim_product_quantization, graph_triangle_count —
+# 32 + 24 + 8 = 64 oracle-backed names; r4 fronts 50, leaving fourteen
+# plus the five rows-only for r5's slots.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
