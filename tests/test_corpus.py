@@ -1,0 +1,83 @@
+"""Semantic invariants for the corpus-curation operators
+(operators/corpus.py) and batch sessionization (windows.py) beyond the
+exact oracle parity the shared sweep already enforces."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def test_containment_bounds_and_reference(spark, sf_dir):
+    """Containment is in (0, 1]; spot-check values against a pure-python
+    shingle-set recomputation for every reported pair."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    shingles = {
+        d: {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        for d, toks in docs.items()
+        if len(toks) >= 3
+    }
+    rows = all_queries()["text_minhash_containment"].fn(spark, sf_dir).collect()
+    for r in rows:
+        a, b = shingles[r["doc_a"]], shingles[r["doc_b"]]
+        expected = len(a & b) / len(a)
+        assert expected >= 0.5
+        assert abs(r["containment"] - round(expected, 6)) < 1e-9
+        assert 0 < r["containment"] <= 1
+
+
+def test_containment_is_directional(spark, sf_dir):
+    """(a,b) may clear the threshold while (b,a) does not — containment
+    is not symmetric, and no pair may pair a doc with itself."""
+    rows = all_queries()["text_minhash_containment"].fn(spark, sf_dir).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in rows)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_distinct) (uniform max), and a doc with a single
+    distinct token has H = 0."""
+    import math
+
+    rows = all_queries()["text_token_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-6
+        assert r["n_distinct"] <= r["n_tokens"]
+
+
+def test_curriculum_is_permutation_and_stage_ordered(spark, sf_dir):
+    """Positions are exactly 1..N, and stages are non-decreasing along
+    the global order (shuffling happens only within a stage)."""
+    rows = sorted(
+        all_queries()["data_curriculum_order"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["global_pos"],
+    )
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert [r["global_pos"] for r in rows] == list(range(1, n_docs + 1))
+    stages = [r["stage"] for r in rows]
+    assert stages == sorted(stages)
+    assert set(stages) == {1, 2, 3, 4}
+
+
+def test_sessionize_partitions_events(spark, sf_dir):
+    """Sessions tile the event log: per-user event counts add up, session
+    indexes are contiguous from 1, and durations are non-negative."""
+    rows = all_queries()["window_sessionize_gap"].fn(spark, sf_dir).collect()
+    ev_per_user = Counter(
+        r["user_id"] for r in load(spark, sf_dir, "events").collect()
+    )
+    got_per_user: Counter = Counter()
+    sessions_per_user: dict = {}
+    for r in rows:
+        got_per_user[r["user_id"]] += r["n_events"]
+        sessions_per_user.setdefault(r["user_id"], []).append(r["session_idx"])
+        assert r["duration_s"] >= 0
+        assert r["n_events"] >= 1
+    assert got_per_user == ev_per_user
+    for user, idxs in sessions_per_user.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), user

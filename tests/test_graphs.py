@@ -59,3 +59,26 @@ def test_pagerank_total_mass_bounded(spark, sf_dir):
     total = sum(r["rank_units"] for r in rows)
     n = len(rows)
     assert n * _PR_TELEPORT <= total <= n * _PR_BASE
+
+
+def test_triangle_count_matches_pure_python(spark, sf_dir):
+    """Degree-oriented wedge closing vs the naive O(n^3)-free python
+    set-intersection counter over the same collected edge list."""
+    und = {tuple(sorted(e)) for e in _edges_py(spark, sf_dir)}
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expected: dict = {}
+    for a, b in und:
+        for c in nbrs[a] & nbrs[b]:
+            for node in (a, b, c):
+                expected[node] = expected.get(node, 0) + 1
+    # each triangle counted 3x per node (once per incident edge pair)
+    expected = {n: c // 3 for n, c in expected.items() if c >= 3}
+
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in all_queries()["graph_triangle_count"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

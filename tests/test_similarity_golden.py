@@ -144,3 +144,49 @@ def test_random_projection_is_shuffle_free(spark, sf_dir):
     assert rep["shuffles"] == 0, rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
     assert rep["read_schema_columns"] == 2, rep["plan"]  # vec_id + embedding
+
+
+def test_product_quantization_matches_numpy(spark, sf_dir):
+    """Recompute codes and reconstruction error with numpy from the raw
+    embeddings; codes must match exactly and errors to 1e-9."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    mat = np.stack([emb[k] for k in sorted(emb)])
+    dmin, dmax = mat.min(axis=0), mat.max(axis=0)
+    mid = (dmin + dmax) / 2
+
+    rows = all_queries()["sim_product_quantization"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(emb)
+    for r in rows:
+        v = emb[r["vec_id"]]
+        bits = (v > mid).astype(np.int64)
+        for s in range(8):
+            code = int((bits[s * 8 : s * 8 + 8] << np.arange(8)).sum())
+            assert r[f"code_s{s}"] == code, (r["vec_id"], s)
+        centroid = dmin + (1 + 2 * bits) * (dmax - dmin) / 4
+        err = float(((v - centroid) ** 2).sum())
+        assert abs(r["recon_err"] - err) < 1e-6, r["vec_id"]
+
+
+def test_product_quantization_error_bounded_by_grid(spark, sf_dir):
+    """Every per-dim residual is at most range/4, so the total squared
+    error is bounded by sum((range/4)^2) — the grid's worst case."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    mat = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    bound = float((((mat.max(axis=0) - mat.min(axis=0)) / 4) ** 2).sum()) + 1e-9
+    rows = all_queries()["sim_product_quantization"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["recon_err"] <= bound for r in rows)

@@ -221,3 +221,35 @@ def test_histogram_cells_merge_linearly(spark, sf_dir):
         for b, c in cells(half).items():
             merged[b] = merged.get(b, 0) + c
     assert merged == whole
+
+
+def test_hll_registers_match_pure_python(spark, sf_dir):
+    """Third engine for the HLL build: hashlib md5 + int bit-length over
+    the collected key list must reproduce every register exactly."""
+    import hashlib
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    keys = [r["c_custkey"] for r in load(spark, sf_dir, "customer").collect()]
+    regs = [0] * 64
+    for k in keys:
+        v = int(hashlib.md5(f"h:{k}".encode()).hexdigest()[:15], 16)
+        reg, w = v % 64, v // 64
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        regs[reg] = max(regs[reg], rho)
+
+    got = {
+        r["register_idx"]: r["rho"]
+        for r in all_queries()["sketch_hll_registers"].fn(spark, sf_dir).collect()
+    }
+    assert got == {i: regs[i] for i in range(64)}
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """m=64 gives ~13% standard error (1.04/sqrt(m)); assert every
+    segment estimate lands within 4 sigma of its exact count."""
+    rows = all_queries()["sketch_hll_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel <= 4 * 1.04 / (64**0.5), (r["c_mktsegment"], rel)
