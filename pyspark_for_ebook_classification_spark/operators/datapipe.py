@@ -538,3 +538,49 @@ def data_mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("documents",):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_BUDGET_SQL)
+
+
+@query(
+    "data_reservoir_per_source",
+    survey_ref="L7,W1,W4,F7",
+    doc="Deterministic fixed-size sample: exactly min(k, n) docs per "
+    "source, chosen by smallest salted hash — the distributed "
+    "reservoir-sampling equivalent.",
+    oracle="""
+        SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 10
+    """,
+)
+def data_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-group sampling via hash order, not rand().
+
+    Classic reservoir sampling is sequential state; the distributed
+    equivalent with identical guarantees is "k smallest of a uniform
+    hash": md5('rsv:'||doc_id) is uniform over docs, so the k smallest
+    per source are a uniform k-subset — and, unlike rand(), the same
+    subset on every run, task retry, engine, and shard layout (adding
+    new docs can only displace old picks the way a true reservoir
+    does). Spark plans the rank-filter as WindowGroupLimit: each map
+    task keeps its local top-k per source BEFORE the shuffle, so the
+    exchange moves O(k × sources × tasks) rows, never the corpus —
+    the same pushdown the top-k-per-segment query asserts in
+    tests/test_plans.py. Complements data_stratified_sample (Bernoulli
+    rates per stratum — fraction-based, size varies) with the
+    exact-size flavor quota sampling needs."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
+    )

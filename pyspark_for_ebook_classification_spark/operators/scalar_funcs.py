@@ -816,3 +816,60 @@ def fn_time_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
     )
+
+
+@query(
+    "fn_url_suite",
+    survey_ref="F1,F4",
+    doc="URL decomposition (host / path / query / single param / "
+    "registrable label) with Spark's parse_url vs a regexp oracle.",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.org/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                       || '&n=' || CAST(n_chars AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               url,
+               regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+               regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+               split_part(regexp_extract(url, 'https://([^/]+)/', 1), '.', 1)
+                   AS domain_label
+        FROM urls
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url (HOST / PATH / QUERY / QUERY:key) over synthesized
+    well-formed URLs. The oracle decomposes the same URLs with regexps —
+    on RFC-shaped input the two definitions coincide, which is the
+    point: the suite pins Spark's parse_url semantics against an
+    engine-independent specification. All map-side, codegen'd; at scale
+    this is the per-record URL normalization pass of a web-corpus
+    pipeline (composes with dedup/quality gates upstream)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.substring_index(F.parse_url("url", F.lit("HOST")), ".", 1).alias(
+            "domain_label"
+        ),
+    )

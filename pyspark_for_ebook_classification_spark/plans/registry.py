@@ -195,8 +195,9 @@ _PRIORITY: tuple[str, ...] = (
 # sketch_histogram_quantiles, stream_countmin_grid_twin — plus the 8
 # later r3 additions: text_minhash_containment, text_token_entropy,
 # data_curriculum_order, window_sessionize_gap, sketch_hll_registers,
-# sketch_hll_estimate, sim_product_quantization, graph_triangle_count —
-# 32 + 24 + 8 = 64 oracle-backed names; r4 fronts 50, leaving fourteen
+# sketch_hll_estimate, sim_product_quantization, graph_triangle_count,
+# stream_hourly_topk_twin, fn_url_suite, data_reservoir_per_source —
+# 32 + 24 + 11 = 67 oracle-backed names; r4 fronts 50, leaving seventeen
 # plus the five rows-only for r5's slots.
 
 

@@ -286,3 +286,15 @@ def run_countmin_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB/day this is how frequency guards run: O(cells) state, no
     per-key state growth, mergeable with any batch-built grid."""
     return _run_to_memory(twins.countmin_user_grid(events_stream(spark, sf_dir)))
+
+
+def run_hourly_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10: windowed top-k. The stream maintains only the hourly
+    count state (bounded at hours × event types); the top-k rank runs
+    over the completed sink table — ranking mid-stream would need the
+    hour to be closed, which is exactly what the sink table represents
+    after availableNow drains. Same split a production job uses with a
+    Delta/Kafka sink and a reporting query on top."""
+    counts = twins.hourly_type_counts(events_stream(spark, sf_dir))
+    sink = _run_to_memory(counts)
+    return twins.topk_types_per_hour(sink)

@@ -394,3 +394,63 @@ def countmin_user_grid(events: DataFrame) -> DataFrame:
 )
 def stream_countmin_grid_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_user_grid(load(spark, sf_dir, "events"))
+
+
+def hourly_type_counts(events: DataFrame) -> DataFrame:
+    """ST10 stage 1 (streamable): plain tumbling hourly counts per type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+
+
+def topk_types_per_hour(counts: DataFrame, k: int = 3) -> DataFrame:
+    """ST10 stage 2 (sink-side): rank each hour's types, keep the top k.
+
+    Ranking needs the hour to be complete, so in streaming it runs OVER
+    THE SINK TABLE (or a foreachBatch), not as a third stateful operator
+    — the standard "aggregate in the stream, rank at the edge" split.
+    row_number with an event_type tiebreak keeps the result total."""
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("hour_start", "event_type", "n_events", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@query(
+    "stream_hourly_topk_twin",
+    survey_ref="ST1,W4,O3",
+    doc="Top-3 event types per hour: streamable hourly counts + sink-side "
+    "ranking (ST10 — windowed top-k, beyond §2.10).",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY hour_start ORDER BY n_events DESC, event_type
+            ) AS rnk
+            FROM hourly
+        )
+        WHERE rnk <= 3
+    """,
+)
+def stream_hourly_topk_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the windowed top-k stream. The stateful half
+    (hourly_type_counts) is exactly what the streaming runner executes;
+    the rank is applied to the completed window table on both paths, so
+    runner output == twin output row-for-row
+    (tests/test_streaming.py::test_hourly_topk_stream_equals_twin).
+    Scale: per-hour state is |event_types| rows; the rank is a
+    WindowGroupLimit over the already-tiny aggregate table."""
+    return topk_types_per_hour(
+        hourly_type_counts(load(spark, sf_dir, "events"))
+    )

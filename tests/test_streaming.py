@@ -375,3 +375,12 @@ def test_countmin_stream_equals_batch_twin(spark, sf_dir):
     stream_pdf = jobs.run_countmin_stream(spark, sf_dir).toPandas()
     batch_pdf = twins.stream_countmin_grid_twin(spark, sf_dir).toPandas()
     assert_frames_match(stream_pdf, batch_pdf, "run_countmin_stream")
+
+
+def test_hourly_topk_stream_equals_twin(spark, sf_dir):
+    """ST10: windowed top-k = streamed hourly counts (complete mode, so
+    every hour is present after availableNow drains) + the same sink-side
+    rank the batch twin applies. Exact row equality, no tolerance."""
+    stream_pdf = jobs.run_hourly_topk_stream(spark, sf_dir).toPandas()
+    batch_pdf = twins.stream_hourly_topk_twin(spark, sf_dir).toPandas()
+    assert_frames_match(stream_pdf, batch_pdf, "hourly_topk")
