@@ -36,6 +36,16 @@ from pyspark_for_ebook_classification_spark.sources.io import load
 #: small no matter the corpus size.
 CONTAINMENT_MIN = 0.5
 
+#: stop-shingle cap: shingles appearing in more than this many documents
+#: are dropped BEFORE pair generation. A hot shingle generates O(df²)
+#: candidate pairs while carrying no containment signal (boilerplate);
+#: the cap turns worst-case pair growth from quadratic-in-corpus to
+#: bounded-per-shingle. Never binds on the driver testdata (max df = 25
+#: at sf0.1), so results are unchanged at test scale — it exists for the
+#: 10⁹-document corpus where it is the difference between a job and an
+#: explosion. Mirrored exactly in the oracle.
+SHINGLE_DF_MAX = 50
+
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct token-trigram rows + per-doc counts."""
@@ -66,9 +76,15 @@ _CONTAINMENT_SQL = f"""
         FROM toks
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    kept AS (
+        SELECT ex.doc_id, ex.sh
+        FROM ex JOIN (
+            SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_MAX}
+        ) ok ON ok.sh = ex.sh
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -94,19 +110,30 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     formed; same lossless-prune argument as dedup_ngram_jaccard, which
     is hypothesis-tested there). Each side of the join carries only
     (doc_id, shingle); per-doc shingle counts join back broadcast-sized
-    relative to the pair stream. At 100 TB the one guard needed is a
-    stop-shingle cap (drop shingles whose doc-frequency exceeds a
-    bound — they generate quadratic pair blowup while carrying no
-    signal); the bucket-cap pattern of dedup_minhash_lsh.py shows the
-    same guard driver-verified.
+    relative to the pair stream. The stop-shingle gate (SHINGLE_DF_MAX)
+    drops boilerplate shingles before pairing — the quadratic-blowup
+    guard, mirrored in the oracle, inert at test scale by measurement.
+    Containment denominators |A| deliberately stay PRE-gate (sizes is
+    computed before the df filter), so reported scores are exact
+    whenever the gate is inert and conservative (never inflated) when
+    it binds.
 
     Containment is directional, so (a,b) and (b,a) both appear when both
     directions clear the threshold — a contained-in b ≠ b contained-in a.
     """
     ex = _shingled(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    # stop-shingle gate: df computed in one partial-agg pass; hot
+    # shingles never reach the pair join (see SHINGLE_DF_MAX note)
+    ok = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_MAX)
+        .select("sh")
+    )
+    kept = ex.join(ok, "sh")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("doc_a") != F.col("doc_b"))

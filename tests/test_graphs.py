@@ -62,9 +62,32 @@ def test_pagerank_total_mass_bounded(spark, sf_dir):
 
 
 def test_triangle_count_matches_pure_python(spark, sf_dir):
-    """Degree-oriented wedge closing vs the naive O(n^3)-free python
-    set-intersection counter over the same collected edge list."""
-    und = {tuple(sorted(e)) for e in _edges_py(spark, sf_dir)}
+    """kNN sparsification + degree-oriented wedge closing vs a python
+    set-intersection counter applying the same top-8 strong-tie rule to
+    the collected weighted pair list."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_suppkey"
+    )
+    pairs = (
+        li.select(
+            F.col("l_suppkey").alias("src"), F.lead("l_suppkey").over(w).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .count()
+        .collect()
+    )
+    weights = {(r["a"], r["b"]): r["count"] for r in pairs}
+    by_node: dict = {}
+    for (a, b), wgt in weights.items():
+        by_node.setdefault(a, []).append((-wgt, b))
+        by_node.setdefault(b, []).append((-wgt, a))
+    und = set()
+    for node, lst in by_node.items():
+        for _, other in sorted(lst)[:8]:
+            und.add((min(node, other), max(node, other)))
     nbrs: dict = {}
     for a, b in und:
         nbrs.setdefault(a, set()).add(b)
