@@ -680,3 +680,113 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("totw").cast("double").alias("total_weight"),
         )
     )
+
+
+_OLS_DEC = "DECIMAL(38,12)"
+
+
+def _ols_sums_sql() -> str:
+    terms = {
+        "sx1": "l_quantity",
+        "sx2": "l_discount",
+        "sy": "l_extendedprice",
+        "s11": "l_quantity * l_quantity",
+        "s22": "l_discount * l_discount",
+        "s12": "l_quantity * l_discount",
+        "s1y": "l_quantity * l_extendedprice",
+        "s2y": "l_discount * l_extendedprice",
+    }
+    cols = ",\n                   ".join(
+        f"CAST(SUM(CAST({expr} AS {_OLS_DEC})) AS DOUBLE) AS {name}"
+        for name, expr in terms.items()
+    )
+    return f"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+                   {cols}
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+
+@query(
+    "agg_ols_two_features",
+    survey_ref="A7,A1,F3",
+    doc="Closed-form two-feature linear regression per return flag "
+    "(extendedprice ~ quantity + discount) from exact decimal moment "
+    "sums — distributed OLS in one aggregation pass.",
+    oracle=f"""
+        WITH sums AS ({_ols_sums_sql()})
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               round(((s22 - sx2*sx2/n) * (s1y - sx1*sy/n)
+                      - (s12 - sx1*sx2/n) * (s2y - sx2*sy/n))
+                     / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)
+                        - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n)), 6) AS b_quantity,
+               round(((s11 - sx1*sx1/n) * (s2y - sx2*sy/n)
+                      - (s12 - sx1*sx2/n) * (s1y - sx1*sy/n))
+                     / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)
+                        - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n)), 6) AS b_discount,
+               round(sy/n
+                     - (((s22 - sx2*sx2/n) * (s1y - sx1*sy/n)
+                         - (s12 - sx1*sx2/n) * (s2y - sx2*sy/n))
+                        / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)
+                           - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))) * sx1/n
+                     - (((s11 - sx1*sx1/n) * (s2y - sx2*sy/n)
+                         - (s12 - sx1*sx2/n) * (s1y - sx1*sy/n))
+                        / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)
+                           - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))) * sx2/n, 6)
+                   AS b_intercept
+        FROM sums
+    """,
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS the distributed way: ONE partial-aggregating
+    pass collects the sufficient statistics (n, Σx, Σx², Σxy — nine
+    exact DECIMAL sums), and the coefficients fall out of Cramer's rule
+    on the driver-free centered moment matrix. This is how regression
+    runs at 100 TB — no per-row residual iteration, no gradient passes;
+    the shuffle carries 10 numbers per group regardless of corpus size
+    (the same sufficient-statistics pattern MLlib's linear summarizer
+    uses internally). Exactness: sums are order-independent decimals,
+    the closed form is identical expression text in both engines, and
+    the only rounding is the declared 6-place output contract.
+
+    Cites agg_corr_regr (single-feature slope) as the 1-D special case;
+    the gram-matrix block operator (sim_gram_matrix_block) is the same
+    idea generalized to X'X over embedding columns."""
+    li = load(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    dec = lambda c: c.cast(_OLS_DEC)  # noqa: E731
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx1"),
+        F.sum(dec(d)).cast("double").alias("sx2"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(q * q)).cast("double").alias("s11"),
+        F.sum(dec(d * d)).cast("double").alias("s22"),
+        F.sum(dec(q * d)).cast("double").alias("s12"),
+        F.sum(dec(q * y)).cast("double").alias("s1y"),
+        F.sum(dec(d * y)).cast("double").alias("s2y"),
+    )
+    b1 = (
+        "((s22 - sx2*sx2/n) * (s1y - sx1*sy/n)"
+        " - (s12 - sx1*sx2/n) * (s2y - sx2*sy/n))"
+        " / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)"
+        " - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))"
+    )
+    b2 = (
+        "((s11 - sx1*sx1/n) * (s2y - sx2*sy/n)"
+        " - (s12 - sx1*sx2/n) * (s1y - sx1*sy/n))"
+        " / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)"
+        " - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))"
+    )
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(f"round({b1}, 6)").alias("b_quantity"),
+        F.expr(f"round({b2}, 6)").alias("b_discount"),
+        F.expr(f"round(sy/n - ({b1}) * sx1/n - ({b2}) * sx2/n, 6)").alias(
+            "b_intercept"
+        ),
+    )

@@ -933,3 +933,60 @@ def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_s"),
         dsum(F.col("value"), "session_value"),
     )
+
+
+_SLIDING_DISTINCT_SQL = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+        FROM events
+    ),
+    contrib AS (
+        SELECT user_id, d + g.i * INTERVAL 1 DAY AS win_end
+        FROM ud, generate_series(0, 6) g(i)
+    ),
+    days AS (SELECT DISTINCT d AS day FROM ud)
+    SELECT days.day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS distinct_users_7d
+    FROM contrib c JOIN days ON c.win_end = days.day
+    GROUP BY days.day
+"""
+
+
+@query(
+    "window_sliding_distinct_users_7d",
+    survey_ref="W3,A2,F2",
+    doc="Trailing-7-day distinct users per day via explode-to-windows — "
+    "exact windowed COUNT(DISTINCT), which no sliding frame can "
+    "incrementally maintain.",
+    oracle=_SLIDING_DISTINCT_SQL,
+)
+def window_sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each active day D: |distinct users with an event in [D-6, D]|.
+
+    Why not a window frame: COUNT(DISTINCT) is not subtractable — a
+    RANGE BETWEEN 6 PRECEDING frame cannot retire a user leaving the
+    window without re-scanning it, and Spark (correctly) rejects
+    DISTINCT aggregates over frames. The scalable exact formulation is
+    explode-to-windows: dedup to (user, day) FIRST (one partial-agg
+    pass — this is what bounds the explode: at most one row per user
+    per day, not per event), fan each row to the 7 window-ends it
+    feeds, and run one distinct count per window end. Work is
+    7 × |user-days|, linear in data with a constant window factor —
+    the standard trade for exact sliding distincts; the approximate
+    alternative (mergeable HLL per day, union over the window —
+    sketch_hll_registers shows the machinery) trades exactness for the
+    7× factor when windows get long."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> timestampadd(DAY, i, d))")
+        ).alias("win_end"),
+    )
+    days = ud.select(F.col("d").alias("day")).distinct()
+    return (
+        contrib.join(days, contrib.win_end == days.day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
+    )

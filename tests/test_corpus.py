@@ -81,3 +81,51 @@ def test_sessionize_partitions_events(spark, sf_dir):
     assert got_per_user == ev_per_user
     for user, idxs in sessions_per_user.items():
         assert sorted(idxs) == list(range(1, len(idxs) + 1)), user
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The decimal-moment closed form must agree with numpy's QR-based
+    lstsq on the raw rows to ~1e-6 (the output rounding contract)."""
+    import numpy as np
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    got = {
+        r["l_returnflag"]: r
+        for r in all_queries()["agg_ols_two_features"].fn(spark, sf_dir).collect()
+    }
+    flags = sorted({r["l_returnflag"] for r in rows})
+    assert set(got) == set(flags)
+    for flag in flags:
+        sub = [r for r in rows if r["l_returnflag"] == flag]
+        X = np.array([[1.0, r["l_quantity"], r["l_discount"]] for r in sub])
+        y = np.array([r["l_extendedprice"] for r in sub])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        g = got[flag]
+        assert g["n_rows"] == len(sub)
+        assert abs(g["b_intercept"] - beta[0]) < 2e-5, flag
+        assert abs(g["b_quantity"] - beta[1]) < 2e-6, flag
+        assert abs(g["b_discount"] - beta[2]) < 2e-4, flag
+
+
+def test_sliding_distinct_matches_bruteforce(spark, sf_dir):
+    """Recompute each day's trailing-7-day distinct-user set directly."""
+    import datetime
+
+    ev = [
+        (r["user_id"], r["ts"].date())
+        for r in load(spark, sf_dir, "events").collect()
+    ]
+    days = sorted({d for _, d in ev})
+    expected = {}
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        expected[d] = len({u for u, ed in ev if lo <= ed <= d})
+    got = {
+        r["day"].date(): r["distinct_users_7d"]
+        for r in all_queries()["window_sliding_distinct_users_7d"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
