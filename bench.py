@@ -41,6 +41,24 @@ HEADLINE = [
     "stream_session_window_twin",  # session windows
 ]
 
+#: round-3 additions measured by scripts/scaling_check.py and plan-dumped
+#: by scripts/dump_plans.py (not part of the driver-facing headline wall
+#: number, which stays comparable across rounds).
+EXTRA = [
+    "text_minhash_containment",
+    "text_token_entropy",
+    "data_curriculum_order",
+    "data_reservoir_per_source",
+    "window_sessionize_gap",
+    "stream_hourly_topk_twin",
+    "sketch_hll_registers",
+    "sim_product_quantization",
+    "graph_triangle_count",
+    "fn_url_suite",
+    "window_sliding_distinct_users_7d",
+    "agg_ols_two_features",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,10 +24,14 @@ window functions only — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+from pyspark_for_ebook_classification_spark.functions.ranks import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -225,28 +229,37 @@ _CURRICULUM_SQL = """
     oracle=_CURRICULUM_SQL,
 )
 def data_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage by length quartile (ntile over (n_chars, doc_id) — the
-    doc_id tiebreak makes tile assignment total), then order within a
-    stage by md5('cur:'||doc_id): a seeded shuffle that is identical
-    across engines, task retries and reruns, unlike rand().
+    """Stage by length quartile, then order within a stage by
+    md5('cur:'||doc_id): a seeded shuffle identical across engines,
+    task retries and reruns, unlike rand().
 
-    Scale note: the global row_number is a single total order — the one
-    place a curriculum genuinely needs a global sort, and Spark executes
-    it as a range-partitioned sort (sampled boundaries), not a
-    single-task sort. A production emitter would write the sorted
-    output directly with sortWithinPartitions per output shard; the
-    global position column here is the verification surface."""
+    A curriculum needs two GLOBAL total orders (length rank for the
+    stage, then (stage, hash) for the position) — and a bare
+    `row_number() OVER (ORDER BY ...)` computes each on a single task
+    (Spark warns "No Partition Defined"; at 100 TB that task is the
+    job). Both orders here go through functions/ranks.py instead:
+    range-repartition on the order key, rank within partitions, add
+    broadcast per-partition prefix offsets — every stage partitioned,
+    the only unpartitioned window left being the prefix sum over the
+    ~shuffle.partitions-row offset table. The quartile derives from the
+    length rank with integer ntile arithmetic (ntile_from_rank), not a
+    second global window. The oracle keeps the plain ntile/row_number
+    formulation — single-node DuckDB has no single-task trap — and the
+    results are identical by construction.
+    """
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    staged = docs.withColumn(
-        "stage", F.ntile(4).over(Window.orderBy("n_chars", "doc_id"))
-    )
-    order_key = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
-    return staged.select(
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    len_ranked = with_global_rank(
+        docs, ["n_chars", "doc_id"], out="len_rank"
+    ).join(F.broadcast(n))
+    staged = len_ranked.select(
         "doc_id",
         "n_chars",
-        F.col("stage").cast("int").alias("stage"),
-        F.row_number()
-        .over(Window.orderBy("stage", order_key, "doc_id"))
-        .cast("bigint")
-        .alias("global_pos"),
+        ntile_from_rank("len_rank", "n_docs", 4).cast("int").alias("stage"),
     )
+    order_key = F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    return with_global_rank(
+        staged.withColumn("_ok", order_key),
+        ["stage", "_ok", "doc_id"],
+        out="global_pos",
+    ).select("doc_id", "n_chars", "stage", "global_pos")

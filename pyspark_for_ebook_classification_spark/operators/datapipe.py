@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_for_ebook_classification_spark.functions.ranks import with_global_rank
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -349,19 +350,22 @@ def data_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orderBy(rand())``, a retried task, a different engine, or next
     month's rerun produces byte-identical epoch order.
 
-    Scale shape: a global sort = one range-partitioned exchange (Spark
-    samples digest boundaries automatically); the downstream writer emits
-    position-contiguous shards. The declared query samples 1-in-20 docs
+    Scale shape: the global position comes from
+    functions/ranks.with_global_rank — range-partition on the digest,
+    rank within partitions, add broadcast prefix offsets — so no
+    data-sized single-task window exists anywhere in the plan; the
+    downstream writer emits position-contiguous shards. The declared query samples 1-in-20 docs
     only to bound the verified output — the operator itself is the full
     sort."""
     d = load(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy(h, "doc_id")
-    return (
+    return with_global_rank(
         d.filter(F.col("doc_id") % 20 == 0)
         .select("doc_id", "source")
-        .withColumn("shuffle_pos", F.row_number().over(w).cast("bigint"))
-    )
+        .withColumn("_h", h),
+        ["_h", "doc_id"],
+        out="shuffle_pos",
+    ).select("doc_id", "source", "shuffle_pos")
 
 
 @query(
@@ -404,10 +408,9 @@ def data_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w_src).cast("bigint").alias("src_rank"),
     )
-    w_feed = Window.orderBy("src_rank", "source", "doc_id")
-    return ranked.withColumn(
-        "feed_pos", F.row_number().over(w_feed).cast("bigint")
-    )
+    return with_global_rank(
+        ranked, ["src_rank", "source", "doc_id"], out="feed_pos"
+    ).select("doc_id", "source", "src_rank", "feed_pos")
 
 
 @query(

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_for_ebook_classification_spark.functions.ranks import with_global_rank
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -726,10 +727,11 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "target")
         .agg(F.min("bin").alias("qbin"))
     )
-    w_rank = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice", F.row_number().over(w_rank).alias("rn")
-    )
+    ranked = with_global_rank(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        out="rn",
+    ).select("o_totalprice", "rn")
     return (
         est.crossJoin(F.broadcast(ext.select("lo", "hi")))
         .join(ranked, F.col("rn") == F.col("target"))
