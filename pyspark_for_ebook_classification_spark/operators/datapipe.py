@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.ranks import with_global_rank
+from pyspark_for_ebook_classification_spark.functions.vectors import (
+    spark_dot,
+    sql_dot,
+)
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -586,4 +590,111 @@ def data_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source", F.col("rn").cast("int").alias("sample_rank"))
+    )
+
+
+#: negatives per anchor document for contrastive pair construction
+N_NEGATIVES = 3
+
+
+@query(
+    "data_contrastive_pairs",
+    survey_ref="L7,L5,J1,F7",
+    doc="Contrastive training pairs: each document with its aligned "
+    "embedding (positive) plus 3 hash-sampled negatives — deterministic "
+    "negative sampling as a relational plan.",
+    oracle=f"""
+        WITH n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+        cand AS (
+            SELECT d.doc_id, 'pos' AS pair_type, 0 AS neg_rank,
+                   d.doc_id AS vec_id
+            FROM documents d
+            UNION ALL
+            SELECT d.doc_id, 'neg' AS pair_type, g.k AS neg_rank,
+                   CAST(('0x' || substring(md5('neg' || CAST(g.k AS VARCHAR)
+                        || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % n.n_vec AS vec_id
+            FROM documents d, generate_series(1, {N_NEGATIVES}) g(k), n
+        ),
+        fixed AS (
+            SELECT doc_id, pair_type, CAST(neg_rank AS INT) AS neg_rank,
+                   CASE WHEN pair_type = 'neg' AND vec_id = doc_id
+                        THEN (vec_id + 1) % (SELECT n_vec FROM n)
+                        ELSE vec_id END AS vec_id
+            FROM cand
+        )
+        SELECT f.doc_id, f.pair_type, f.neg_rank, f.vec_id,
+               CAST(e.label AS INT) AS label,
+               round(sqrt({sql_dot("e.embedding", "e.embedding")}), 6)
+                   AS embedding_norm
+        FROM fixed f JOIN embeddings e ON e.vec_id = f.vec_id
+    """,
+)
+def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (anchor, positive) + (anchor, k negatives) rows for
+    contrastive objectives (CLIP-style text-embedding alignment).
+
+    The scale content is the NEGATIVE SAMPLER: vec_id =
+    md5('neg{k}:'||doc_id) mod |V| — uniform, per-anchor-distinct seeds,
+    and deterministic, so a retried task or a backfill rerun emits the
+    same pairs (rand() would silently break pair reproducibility, and
+    true global sampling would need a shuffle per epoch). A sampled id
+    colliding with the anchor advances by one (mod |V|) — the standard
+    rejection-free fix, mirrored in the oracle. The candidate build is
+    map-side (corpus-size count broadcast as one row); the only
+    shuffle is the equi-join attaching the embedding payloads, which a
+    production job co-partitions by vec_id. Output: 1 + k rows per
+    document with the joined label and norm proving real payloads
+    travel with the pairs."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings")
+    n = e.groupBy().agg(F.count(F.lit(1)).alias("n_vec"))
+
+    pos = d.select(
+        "doc_id",
+        F.lit("pos").alias("pair_type"),
+        F.lit(0).cast("int").alias("neg_rank"),
+        F.col("doc_id").alias("vec_id"),
+    )
+    negs = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_vec",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, N_NEGATIVES + 1)])
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.lit("neg").alias("pair_type"),
+            F.col("k").cast("int").alias("neg_rank"),
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('neg', CAST(k AS STRING), ':',"
+                    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                )
+                % F.col("n_vec")
+            ).alias("raw_vec"),
+            "n_vec",
+        )
+        .select(
+            "doc_id",
+            "pair_type",
+            "neg_rank",
+            F.when(F.col("raw_vec") == F.col("doc_id"), (F.col("raw_vec") + 1) % F.col("n_vec"))
+            .otherwise(F.col("raw_vec"))
+            .alias("vec_id"),
+        )
+    )
+    pairs = pos.unionByName(negs)
+    payload = e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round(F.sqrt(spark_dot("embedding", "embedding")), 6).alias(
+            "embedding_norm"
+        ),
+    )
+    return pairs.join(payload, "vec_id").select(
+        "doc_id", "pair_type", "neg_rank", "vec_id", "label", "embedding_norm"
     )

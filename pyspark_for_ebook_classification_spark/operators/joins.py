@@ -635,3 +635,136 @@ def join_fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier",):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FUZZY_SQL)
+
+
+@query(
+    "join_asof_nearest_click",
+    survey_ref="J7,W2,F2",
+    doc="Nearest as-of join: each purchase matched to its closest click "
+    "in either time direction (tie -> the earlier click).",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   max(event_id) AS click_event_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, CAST(ts AS TIMESTAMP)
+        ),
+        tagged AS (
+            SELECT user_id, ts, 1 AS is_purchase, event_id,
+                   NULL::BIGINT AS click_event_id, NULL::TIMESTAMP AS click_ts
+            FROM purchases
+            UNION ALL BY NAME
+            SELECT user_id, ts, 0 AS is_purchase, NULL::BIGINT AS event_id,
+                   click_event_id, ts AS click_ts
+            FROM clicks
+        ),
+        ctx AS (
+            SELECT *,
+                   last_value(click_ts IGNORE NULLS) OVER wprev AS prev_ts,
+                   last_value(click_event_id IGNORE NULLS) OVER wprev AS prev_id,
+                   first_value(click_ts IGNORE NULLS) OVER wnext AS next_ts,
+                   first_value(click_event_id IGNORE NULLS) OVER wnext AS next_id
+            FROM tagged
+            WINDOW
+              wprev AS (PARTITION BY user_id ORDER BY ts, is_purchase
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wnext AS (PARTITION BY user_id ORDER BY ts, is_purchase
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN next_ts IS NULL THEN prev_ts
+                    WHEN prev_ts IS NULL THEN next_ts
+                    WHEN epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts)
+                    THEN prev_ts ELSE next_ts END AS click_ts,
+               CASE WHEN next_ts IS NULL THEN prev_id
+                    WHEN prev_ts IS NULL THEN next_id
+                    WHEN epoch_us(ts) - epoch_us(prev_ts)
+                         <= epoch_us(next_ts) - epoch_us(ts)
+                    THEN prev_id ELSE next_id END AS click_event_id,
+               CAST(CASE WHEN next_ts IS NULL
+                         THEN epoch_us(ts) - epoch_us(prev_ts)
+                    WHEN prev_ts IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+                    ELSE least(epoch_us(ts) - epoch_us(prev_ts),
+                               epoch_us(next_ts) - epoch_us(ts))
+                    END AS BIGINT) AS gap_us
+        FROM ctx
+        WHERE is_purchase = 1 AND (prev_ts IS NOT NULL OR next_ts IS NOT NULL)
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: completes the family (backward =
+    join_asof_purchase_last_click, forward = join_asof_forward_next_error).
+
+    Same single-shuffle union-merge plan as the backward variant, with
+    BOTH context windows over the one (user_id, ts, is_purchase) sort:
+    the preceding frame carries the latest click forward, the following
+    frame carries the next click backward, and a branchless comparison
+    on microsecond-exact BIGINT gaps (unix_micros / epoch_us — never
+    truncated seconds) picks the nearer side, ties to the earlier
+    click. Spark plans ONE exchange + one sort for both frames. A
+    range-join formulation would need an interval blow-up; this stays
+    O(n) rows with two frame passes."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            "click_event_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "is_purchase")
+    wprev = base.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = base.rowsBetween(1, Window.unboundedFollowing)
+    ctx = tagged.select(
+        "*",
+        F.last("click_ts", ignorenulls=True).over(wprev).alias("prev_ts"),
+        F.last("click_event_id", ignorenulls=True).over(wprev).alias("prev_id"),
+        F.first("click_ts", ignorenulls=True).over(wnext).alias("next_ts"),
+        F.first("click_event_id", ignorenulls=True).over(wnext).alias("next_id"),
+    )
+    gp = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    gn = F.unix_micros("next_ts") - F.unix_micros("ts")
+    prev_wins = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (gp <= gn)
+    )
+    return (
+        ctx.filter(
+            (F.col("is_purchase") == 1)
+            & (F.col("prev_ts").isNotNull() | F.col("next_ts").isNotNull())
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(prev_wins, F.col("prev_ts")).otherwise(F.col("next_ts")).alias(
+                "click_ts"
+            ),
+            F.when(prev_wins, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+                "click_event_id"
+            ),
+            F.when(prev_wins, gp).otherwise(gn).cast("bigint").alias("gap_us"),
+        )
+    )

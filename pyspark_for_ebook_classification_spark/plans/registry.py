@@ -197,8 +197,9 @@ _PRIORITY: tuple[str, ...] = (
 # data_curriculum_order, window_sessionize_gap, sketch_hll_registers,
 # sketch_hll_estimate, sim_product_quantization, graph_triangle_count,
 # stream_hourly_topk_twin, fn_url_suite, data_reservoir_per_source,
-# window_sliding_distinct_users_7d, agg_ols_two_features —
-# 32 + 24 + 13 = 69 oracle-backed names; r4 fronts 50, leaving nineteen
+# window_sliding_distinct_users_7d, agg_ols_two_features,
+# join_asof_nearest_click, data_contrastive_pairs —
+# 32 + 24 + 15 = 71 oracle-backed names; r4 fronts 50, leaving twenty-one
 # plus the five rows-only for r5's slots.
 
 

@@ -129,3 +129,68 @@ def test_sliding_distinct_matches_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_with_global_rank_is_exact_total_order(spark, sf_dir):
+    """The two-pass rank must equal the single-process sorted position
+    for an arbitrary total order, regardless of partition boundaries."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        with_global_rank,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = with_global_rank(docs, ["n_chars", "doc_id"], out="pos").collect()
+    expected = sorted(
+        ((r["n_chars"], r["doc_id"]) for r in ranked),
+    )
+    for r in ranked:
+        assert expected[r["pos"] - 1] == (r["n_chars"], r["doc_id"])
+    assert sorted(r["pos"] for r in ranked) == list(range(1, len(ranked) + 1))
+
+
+def test_asof_nearest_picks_true_minimum_gap(spark, sf_dir):
+    """For every purchase: the reported click is the global-minimum
+    |gap| click for that user (ties to the earlier click)."""
+    from collections import defaultdict
+
+    ev = load(spark, sf_dir, "events").collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(r["ts"])
+    got = all_queries()["join_asof_nearest_click"].fn(spark, sf_dir).collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    expect_n = sum(1 for p in purchases if clicks[p["user_id"]])
+    assert len(got) == expect_n
+    by_event = {r["event_id"]: r for r in got}
+    for p in purchases:
+        cs = clicks[p["user_id"]]
+        if not cs:
+            continue
+        # min |gap|, tie -> earlier click ts
+        best = min(cs, key=lambda c: (abs((p["ts"] - c).total_seconds()), c))
+        r = by_event[p["event_id"]]
+        assert r["click_ts"] == best, (p["event_id"], r["click_ts"], best)
+        td = p["ts"] - best if p["ts"] >= best else best - p["ts"]
+        assert r["gap_us"] == td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
+def test_contrastive_pairs_shape_and_determinism(spark, sf_dir):
+    """1 positive + N_NEGATIVES negatives per doc; positives aligned
+    (vec_id == doc_id); negatives never hit the anchor; and a second
+    run emits the identical pair set."""
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        N_NEGATIVES,
+    )
+
+    fn = all_queries()["data_contrastive_pairs"].fn
+    rows = fn(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs * (1 + N_NEGATIVES)
+    for r in rows:
+        if r["pair_type"] == "pos":
+            assert r["vec_id"] == r["doc_id"] and r["neg_rank"] == 0
+        else:
+            assert r["vec_id"] != r["doc_id"] and 1 <= r["neg_rank"] <= N_NEGATIVES
+    again = {(r["doc_id"], r["pair_type"], r["neg_rank"], r["vec_id"]) for r in fn(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["pair_type"], r["neg_rank"], r["vec_id"]) for r in rows}
