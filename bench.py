@@ -57,6 +57,8 @@ EXTRA = [
     "fn_url_suite",
     "window_sliding_distinct_users_7d",
     "agg_ols_two_features",
+    "join_asof_nearest_click",
+    "data_contrastive_pairs",
 ]
 
 

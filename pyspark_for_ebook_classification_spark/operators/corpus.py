@@ -125,7 +125,10 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Containment is directional, so (a,b) and (b,a) both appear when both
     directions clear the threshold — a contained-in b ≠ b contained-in a.
     """
-    ex = _shingled(spark, sf_dir)
+    # the shingle table feeds three consumers (sizes, the df gate, and
+    # both sides of the pair join) — checkpoint it so the corpus
+    # scan+tokenize+explode pipeline runs exactly once
+    ex = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # stop-shingle gate: df computed in one partial-agg pass; hot
     # shingles never reach the pair join (see SHINGLE_DF_MAX note)

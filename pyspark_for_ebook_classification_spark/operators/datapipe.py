@@ -599,95 +599,137 @@ N_NEGATIVES = 3
 
 @query(
     "data_contrastive_pairs",
-    survey_ref="L7,L5,J1,F7",
-    doc="Contrastive training pairs: each document with its aligned "
-    "embedding (positive) plus 3 hash-sampled negatives — deterministic "
-    "negative sampling as a relational plan.",
+    survey_ref="L7,L5,J1,F7,W1",
+    doc="Contrastive training pairs: each aligned (document, embedding) "
+    "anchor plus 3 hash-sampled negatives drawn through a rank table — "
+    "deterministic negative sampling with no assumptions about id layout.",
     oracle=f"""
-        WITH n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
-        cand AS (
-            SELECT d.doc_id, 'pos' AS pair_type, 0 AS neg_rank,
-                   d.doc_id AS vec_id
-            FROM documents d
-            UNION ALL
-            SELECT d.doc_id, 'neg' AS pair_type, g.k AS neg_rank,
-                   CAST(('0x' || substring(md5('neg' || CAST(g.k AS VARCHAR)
-                        || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                       % n.n_vec AS vec_id
-            FROM documents d, generate_series(1, {N_NEGATIVES}) g(k), n
+        WITH anchors AS (
+            SELECT d.doc_id, e.vec_id AS anchor_vec
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         ),
-        fixed AS (
-            SELECT doc_id, pair_type, CAST(neg_rank AS INT) AS neg_rank,
-                   CASE WHEN pair_type = 'neg' AND vec_id = doc_id
-                        THEN (vec_id + 1) % (SELECT n_vec FROM n)
-                        ELSE vec_id END AS vec_id
-            FROM cand
+        ranked AS (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS idx
+            FROM embeddings
+        ),
+        n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+        cand AS (
+            SELECT a.doc_id, a.anchor_vec, g.k AS neg_rank, c.cand_rank,
+                   (CAST(('0x' || substring(md5('neg' || CAST(g.k AS VARCHAR)
+                        || ':' || CAST(a.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + c.cand_rank) % n.n_vec AS idx
+            FROM anchors a, generate_series(1, {N_NEGATIVES}) g(k),
+                 (VALUES (0), (1)) c(cand_rank), n
+        ),
+        negs AS (
+            SELECT doc_id, neg_rank, vec_id
+            FROM (
+                SELECT cand.doc_id, cand.neg_rank, r.vec_id,
+                       row_number() OVER (
+                           PARTITION BY cand.doc_id, cand.neg_rank
+                           ORDER BY cand.cand_rank
+                       ) AS pick
+                FROM cand JOIN ranked r ON r.idx = cand.idx
+                WHERE r.vec_id <> cand.anchor_vec
+            ) WHERE pick = 1
+        ),
+        pairs AS (
+            SELECT doc_id, 'pos' AS pair_type, 0 AS neg_rank,
+                   anchor_vec AS vec_id
+            FROM anchors
+            UNION ALL
+            SELECT doc_id, 'neg' AS pair_type, neg_rank, vec_id FROM negs
         )
-        SELECT f.doc_id, f.pair_type, f.neg_rank, f.vec_id,
+        SELECT p.doc_id, p.pair_type, CAST(p.neg_rank AS INT) AS neg_rank,
+               p.vec_id,
                CAST(e.label AS INT) AS label,
                round(sqrt({sql_dot("e.embedding", "e.embedding")}), 6)
                    AS embedding_norm
-        FROM fixed f JOIN embeddings e ON e.vec_id = f.vec_id
+        FROM pairs p JOIN embeddings e ON e.vec_id = p.vec_id
     """,
 )
 def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (anchor, positive) + (anchor, k negatives) rows for
     contrastive objectives (CLIP-style text-embedding alignment).
 
-    The scale content is the NEGATIVE SAMPLER: vec_id =
-    md5('neg{k}:'||doc_id) mod |V| — uniform, per-anchor-distinct seeds,
-    and deterministic, so a retried task or a backfill rerun emits the
-    same pairs (rand() would silently break pair reproducibility, and
-    true global sampling would need a shuffle per epoch). A sampled id
-    colliding with the anchor advances by one (mod |V|) — the standard
-    rejection-free fix, mirrored in the oracle. The candidate build is
-    map-side (corpus-size count broadcast as one row); the only
-    shuffle is the equi-join attaching the embedding payloads, which a
-    production job co-partitions by vec_id. Output: 1 + k rows per
-    document with the joined label and norm proving real payloads
-    travel with the pairs."""
+    The scale content is the NEGATIVE SAMPLER: a deterministic hash
+    md5('neg{k}:'||doc_id) picks a RANK in [0, |V|), and a rank table
+    (with_global_rank over vec_id — the scalable two-pass rank) maps
+    ranks to actual embedding ids. Sampling by rank rather than by id
+    arithmetic makes the sampler independent of id layout — gaps,
+    1-based ids, or deleted vectors change nothing — while staying
+    reproducible across task retries, engines and backfills (rand()
+    or true global sampling would not be). Each draw carries two
+    candidate ranks (h, h+1 mod |V|); the rank table is bijective, so
+    at most one candidate collides with the anchor's own embedding and
+    the earlier surviving candidate is picked — rejection-free, no
+    resampling loop. Anchors are defined by the aligned inner join
+    documents⋈embeddings, so every emitted anchor has its positive and,
+    whenever |V| > 1, exactly k negatives by construction.
+    The only data-sized shuffles are the rank lookup and the final
+    payload join, both plain equi-joins a production job co-partitions
+    by vec_id."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     e = load(spark, sf_dir, "embeddings")
+    anchors = d.join(
+        e.select(F.col("vec_id").alias("anchor_vec")),
+        d.doc_id == F.col("anchor_vec"),
+    )
+    ranked = with_global_rank(
+        e.select("vec_id"), ["vec_id"], out="rk"
+    ).select("vec_id", (F.col("rk") - 1).alias("idx"))
     n = e.groupBy().agg(F.count(F.lit(1)).alias("n_vec"))
 
-    pos = d.select(
-        "doc_id",
-        F.lit("pos").alias("pair_type"),
-        F.lit(0).cast("int").alias("neg_rank"),
-        F.col("doc_id").alias("vec_id"),
-    )
-    negs = (
-        d.crossJoin(F.broadcast(n))
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
         .select(
             "doc_id",
+            "anchor_vec",
             "n_vec",
             F.explode(
                 F.array(*[F.lit(k) for k in range(1, N_NEGATIVES + 1)])
-            ).alias("k"),
+            ).alias("neg_rank"),
         )
         .select(
             "doc_id",
-            F.lit("neg").alias("pair_type"),
-            F.col("k").cast("int").alias("neg_rank"),
-            (
-                F.expr(
-                    "CAST(conv(substring(md5(concat('neg', CAST(k AS STRING), ':',"
-                    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-                )
-                % F.col("n_vec")
-            ).alias("raw_vec"),
+            "anchor_vec",
+            "neg_rank",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("cand_rank"),
             "n_vec",
         )
         .select(
             "doc_id",
-            "pair_type",
+            "anchor_vec",
             "neg_rank",
-            F.when(F.col("raw_vec") == F.col("doc_id"), (F.col("raw_vec") + 1) % F.col("n_vec"))
-            .otherwise(F.col("raw_vec"))
-            .alias("vec_id"),
+            "cand_rank",
+            (
+                (
+                    F.expr(
+                        "CAST(conv(substring(md5(concat('neg',"
+                        " CAST(neg_rank AS STRING), ':',"
+                        " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                    )
+                    + F.col("cand_rank")
+                )
+                % F.col("n_vec")
+            ).alias("idx"),
         )
     )
-    pairs = pos.unionByName(negs)
+    w_pick = Window.partitionBy("doc_id", "neg_rank").orderBy("cand_rank")
+    negs = (
+        cand.join(ranked, "idx")
+        .filter(F.col("vec_id") != F.col("anchor_vec"))
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", F.lit("neg").alias("pair_type"), F.col("neg_rank").cast("int").alias("neg_rank"), "vec_id")
+    )
+    pos = anchors.select(
+        "doc_id",
+        F.lit("pos").alias("pair_type"),
+        F.lit(0).cast("int").alias("neg_rank"),
+        F.col("anchor_vec").alias("vec_id"),
+    )
     payload = e.select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -695,6 +737,6 @@ def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_norm"
         ),
     )
-    return pairs.join(payload, "vec_id").select(
+    return pos.unionByName(negs).join(payload, "vec_id").select(
         "doc_id", "pair_type", "neg_rank", "vec_id", "label", "embedding_norm"
     )

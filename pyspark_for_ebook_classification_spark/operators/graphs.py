@@ -134,22 +134,26 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("rank_units"))
 
 
-def _ship_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct directed supplier ship-sequence edges (see module doc)."""
+def _ship_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw directed (src, dst) supplier ship-sequence adjacencies, one row
+    per consecutive lineitem pair (see module doc) — NOT deduplicated, so
+    callers can either .distinct() (pagerank) or weight by multiplicity
+    (triangle counting's strong-tie weights)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
     )
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_shipdate", "l_linenumber", "l_suppkey"
     )
-    return (
-        li.select(
-            F.col("l_suppkey").alias("src"),
-            F.lead("l_suppkey").over(w).alias("dst"),
-        )
-        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
-        .distinct()
-    )
+    return li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lead("l_suppkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+
+
+def _ship_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed supplier ship-sequence edges."""
+    return _ship_sequence_pairs(spark, sf_dir).distinct()
 
 
 #: shared CTE chain: undirected edge set -> degrees -> degree-oriented
@@ -255,16 +259,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
        against the oriented edge set.
 
     All stages are partial-agg / shuffle-hash shapes; no cartesian."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
-    )
-    w_seq = Window.partitionBy("l_orderkey").orderBy(
-        "l_shipdate", "l_linenumber", "l_suppkey"
-    )
-    seq = li.select(
-        F.col("l_suppkey").alias("src"),
-        F.lead("l_suppkey").over(w_seq).alias("dst"),
-    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    seq = _ship_sequence_pairs(spark, sf_dir)
     wp = (
         seq.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

@@ -38,9 +38,9 @@ def main() -> None:
     qs = all_queries()
     failed = []
     for name in args.names:
-        q = qs[name]
         t0 = time.perf_counter()
         try:
+            q = qs[name]
             spark_pdf = q.fn(spark, args.sf).toPandas()
             if q.oracle is None:
                 print(f"PASS(rows-only) {name}: {len(spark_pdf)} rows")
