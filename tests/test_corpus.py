@@ -194,3 +194,39 @@ def test_contrastive_pairs_shape_and_determinism(spark, sf_dir):
             assert r["vec_id"] != r["doc_id"] and 1 <= r["neg_rank"] <= N_NEGATIVES
     again = {(r["doc_id"], r["pair_type"], r["neg_rank"], r["vec_id"]) for r in fn(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["pair_type"], r["neg_rank"], r["vec_id"]) for r in rows}
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """The integer reconstruction must equal SQL ntile(n) for every rank
+    at many total sizes, including N < n, N % n == 0, and N % n != 0."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        ntile_from_rank,
+    )
+
+    rows = [(n, r) for n in (1, 2, 3, 4, 5, 7, 8, 12, 97) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n_rows bigint, rank bigint")
+    got = {
+        (r["n_rows"], r["rank"]): r["tile"]
+        for r in df.select(
+            "n_rows", "rank", ntile_from_rank("rank", "n_rows", 4).alias("tile")
+        ).collect()
+    }
+
+    def sql_ntile(rank, n_rows, n_tiles=4):
+        q, rem = divmod(n_rows, n_tiles)
+        big = (q + 1) * rem
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return rem + (rank - big - 1) // q + 1
+
+    # cross-check the reference itself against a literal bucket layout
+    for n_rows in (5, 8, 97):
+        sizes = [0] * 4
+        for r in range(1, n_rows + 1):
+            sizes[sql_ntile(r, n_rows) - 1] += 1
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        assert sum(sizes) == n_rows
+
+    for (n_rows, rank), tile in got.items():
+        assert tile == sql_ntile(rank, n_rows), (n_rows, rank)
