@@ -266,3 +266,154 @@ def data_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["stage", "_ok", "doc_id"],
         out="global_pos",
     ).select("doc_id", "n_chars", "stage", "global_pos")
+
+
+_DATASET_CARD_SQL = """
+    WITH base AS (
+        SELECT source, lang, n_chars,
+               length(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars,
+           round(CAST(quantile_cont(n_chars, 0.9) AS DOUBLE), 4) AS p90_chars
+    FROM base
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+
+
+@query(
+    "data_dataset_card_stats",
+    survey_ref="L4,A4,A7,A1",
+    doc="Dataset-card release stats: doc/token counts and length "
+    "quantiles per (source, lang), per source, per lang, and overall — "
+    "one GROUPING SETS pass.",
+    oracle=_DATASET_CARD_SQL,
+)
+def data_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-release reporting query: every marginal a dataset card
+    needs, in ONE aggregation over one scan. GROUPING SETS computes the
+    (source, lang) cells plus both marginals plus the grand total
+    without rescanning — at 100 TB the difference between one pass and
+    four. Exact percentiles interpolate identically in both engines
+    (rounded per the ulp note on agg_percentile_median); token counts
+    come from the same split the text operators use, so card numbers
+    are consistent with the pipeline's own tokenization. NULL group
+    keys from the rollup are COALESCEd to '<all>' so the driver's hash
+    never compares bare NULL markers."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("n_tokens"),
+    )
+    return (
+        base.groupingSets(
+            [["source", "lang"], ["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "min_chars",
+            "max_chars",
+            "p50_chars",
+            "p90_chars",
+        )
+    )
+
+
+#: fixed quality-model weights (intercept, length, entropy-proxy,
+#: mean-token-length): stands in for a trained classifier's coefficients —
+#: the deployment artifact is a weight VECTOR, and applying it at corpus
+#: scale is a map-side projection, which is the point this op pins down.
+_QM_W0 = -1.5
+_QM_W_LEN = 0.004
+_QM_W_DISTINCT = 2.0
+_QM_W_TOKLEN = 0.1
+
+
+@query(
+    "data_quality_model_score",
+    survey_ref="L4,F3,P1",
+    doc="Model-based quality filtering: a fixed-weight logistic scorer "
+    "over per-doc features, applied as a pure projection.",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(n_chars AS DOUBLE) AS len_chars,
+                   CAST(length(list_distinct(list_filter(
+                        string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+                   / length(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS distinct_ratio,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / length(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS mean_tok_len
+            FROM documents
+            WHERE length(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({_QM_W0} + {_QM_W_LEN} * len_chars
+                   + {_QM_W_DISTINCT} * distinct_ratio
+                   + {_QM_W_TOKLEN} * mean_tok_len))), 6) AS quality_prob,
+               CASE WHEN 1.0 / (1.0 + exp(-({_QM_W0} + {_QM_W_LEN} * len_chars
+                   + {_QM_W_DISTINCT} * distinct_ratio
+                   + {_QM_W_TOKLEN} * mean_tok_len))) >= 0.5
+                    THEN 1 ELSE 0 END AS keep
+        FROM feats
+    """,
+)
+def data_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quality-gate deployment shape: the classifier is a weight
+    vector; inference is sigmoid(w·x) computed per row inside
+    whole-stage codegen — no model server, no UDF, no shuffle. This is
+    how fastText-style quality filters actually run over a 100 TB
+    corpus (train offline, ship coefficients, score as a projection);
+    the MLlib LR pipeline (ml/) is the training half of the same
+    story. Features reuse the pipeline's tokenization; sigmoid's exp()
+    is libm, so the probability is rounded to the declared 6 places,
+    and the keep decision thresholds the UNrounded value identically
+    in both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    feats = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_chars"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("distinct_ratio"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("mean_tok_len"),
+    ).filter(F.size(toks) > 0)
+    z = (
+        _QM_W0
+        + _QM_W_LEN * F.col("len_chars")
+        + _QM_W_DISTINCT * F.col("distinct_ratio")
+        + _QM_W_TOKLEN * F.col("mean_tok_len")
+    )
+    prob = 1.0 / (1.0 + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
+    )

@@ -198,8 +198,9 @@ _PRIORITY: tuple[str, ...] = (
 # sketch_hll_estimate, sim_product_quantization, graph_triangle_count,
 # stream_hourly_topk_twin, fn_url_suite, data_reservoir_per_source,
 # window_sliding_distinct_users_7d, agg_ols_two_features,
-# join_asof_nearest_click, data_contrastive_pairs —
-# 32 + 24 + 15 = 71 oracle-backed names; r4 fronts 50, leaving twenty-one
+# join_asof_nearest_click, data_contrastive_pairs,
+# data_dataset_card_stats, data_quality_model_score —
+# 32 + 24 + 17 = 73 oracle-backed names; r4 fronts 50, leaving twenty-three
 # plus the five rows-only for r5's slots.
 
 
