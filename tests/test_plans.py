@@ -251,3 +251,74 @@ def test_topn_window_gets_group_limit_pushdown(spark, sf_dir):
     q = all_queries()["window_topn_revenue_per_segment"]
     plan = audit(q.fn(spark, sf_dir))["plan"]
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_reservoir_sample_pushes_group_limit(spark, sf_dir):
+    """data_reservoir_per_source's rank<=10 must plan as WindowGroupLimit
+    (partial + final): map tasks keep 10 rows per source BEFORE the
+    shuffle, so the exchange never carries the corpus."""
+    q = all_queries()["data_reservoir_per_source"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["plan"].count("WindowGroupLimit") >= 2, rep["plan"]
+
+
+def test_pq_codebook_broadcasts_dim_stats(spark, sf_dir):
+    """sim_product_quantization's per-dimension stats table (64 rows at
+    any corpus size) must reach the encode via broadcast, and the encode
+    itself must stay partial-aggregated."""
+    q = all_queries()["sim_product_quantization"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+
+
+def test_containment_joins_stay_hash_based(spark, sf_dir):
+    """The shared-shingle pair join and the df-gate join must be hash
+    joins (shuffle or broadcast) — a nested-loop fallback would mean the
+    sparse-join premise is broken."""
+    q = all_queries()["text_minhash_containment"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+
+
+def test_sessionize_uses_single_user_exchange(spark, sf_dir):
+    """Both windows and the per-session aggregate share ONE shuffle on
+    user_id (plus at most the AQE final coalesce) — the lag, the running
+    sum and the groupBy all reuse the same (user_id, ts) sort order."""
+    q = all_queries()["window_sessionize_gap"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 2, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_contrastive_pairs_broadcast_count_no_python(spark, sf_dir):
+    """The corpus-size row and candidate fan-out must be map-side
+    (broadcast), with the only data-sized joins being rank lookup and
+    payload attach — and nothing drops to Python."""
+    q = all_queries()["data_contrastive_pairs"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_dataset_card_single_scan(spark, sf_dir):
+    """GROUPING SETS must expand to one aggregation over ONE scan of
+    documents — four separate GROUP BYs would read the corpus 4x."""
+    q = all_queries()["data_dataset_card_stats"]
+    rep = audit(q.fn(spark, sf_dir))
+    # formatted plans list each node twice (tree line + detail header)
+    assert rep["plan"].count("Scan parquet") == 2, rep["plan"]
+    assert "Expand" in rep["plan"], rep["plan"]  # grouping-sets expansion
+    assert rep["partial_agg"], rep["plan"]
+
+
+def test_quality_model_is_pure_projection(spark, sf_dir):
+    """The learned gate must compile to scan+project only: no shuffle,
+    no join, no Python — model inference as codegen arithmetic."""
+    q = all_queries()["data_quality_model_score"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] == 0, rep["plan"]
+    assert rep["broadcast_joins"] == 0 and rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
