@@ -768,3 +768,84 @@ def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prev_wins, gp).otherwise(gn).cast("bigint").alias("gap_us"),
         )
     )
+
+
+#: time-proximity window for the banded self-join (seconds)
+_BAND_S = 600
+
+
+@query(
+    "join_time_band_pairs",
+    survey_ref="J5,J8,F2,A1",
+    doc="Banded temporal self-join: pairs of purchases by different "
+    "users within 10 minutes of each other, found via time-bucket "
+    "blocking (never an all-pairs range join).",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                       // {_BAND_S} AS b
+            FROM events WHERE event_type = 'purchase'
+        ),
+        probe AS (
+            SELECT event_id, user_id, ts, b + g.i AS key
+            FROM p, generate_series(0, 1) g(i)
+        ),
+        hits AS (
+            SELECT least(a.event_id, c.event_id) AS event_a,
+                   greatest(a.event_id, c.event_id) AS event_b,
+                   abs(epoch_us(a.ts) - epoch_us(c.ts)) AS gap_us
+            FROM probe a JOIN p c ON c.b = a.key
+            WHERE a.event_id <> c.event_id
+              AND a.user_id <> c.user_id
+              AND abs(epoch_us(a.ts) - epoch_us(c.ts)) <= {_BAND_S} * 1000000
+        )
+        SELECT DISTINCT event_a, event_b, CAST(gap_us AS BIGINT) AS gap_us
+        FROM hits
+    """,
+)
+def join_time_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal proximity pairs via bucket blocking — the scale-safe
+    form of ``|t1 - t2| <= T`` self-joins.
+
+    A naive range self-join is quadratic; the banded form buckets time
+    into T-second cells and probes each event against its OWN cell and
+    the NEXT one (two join keys per probe row cover every pair within
+    T, because such a pair spans at most adjacent cells). The range
+    predicate then runs only inside matched cells: work is
+    Σ per-bucket count² — linear for time-uniform streams — and the
+    join is a plain shuffle-hash equi-join on the bucket key, skew-safe
+    under AQE. least/greatest + DISTINCT canonicalizes the pair
+    regardless of which side probed. Same blocking idea as the LSH
+    bucket joins, applied to the time axis; microsecond-exact BIGINT
+    gaps as in join_asof_nearest_click."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(f"CAST(floor(unix_micros(ts) / 1000000) AS BIGINT) div {_BAND_S}").alias(
+            "b"
+        ),
+    )
+    probe = p.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("key"),
+    )
+    gap = F.abs(F.unix_micros("a_ts") - F.unix_micros("ts"))
+    return (
+        probe.join(p, probe.key == p.b)
+        .filter(
+            (F.col("a_id") != F.col("event_id"))
+            & (F.col("a_user") != F.col("user_id"))
+            & (gap <= _BAND_S * 1_000_000)
+        )
+        .select(
+            F.least("a_id", "event_id").alias("event_a"),
+            F.greatest("a_id", "event_id").alias("event_b"),
+            gap.cast("bigint").alias("gap_us"),
+        )
+        .distinct()
+    )

@@ -230,3 +230,27 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
 
     for (n_rows, rank), tile in got.items():
         assert tile == sql_ntile(rank, n_rows), (n_rows, rank)
+
+
+def test_time_band_pairs_blocking_is_lossless(spark, sf_dir):
+    """The bucket blocking must find EXACTLY the brute-force pair set:
+    every cross-user purchase pair within 10 minutes, each once."""
+    purchases = [
+        (r["event_id"], r["user_id"], r["ts"])
+        for r in load(spark, sf_dir, "events").collect()
+        if r["event_type"] == "purchase"
+    ]
+    expected = set()
+    for i, (ida, ua, ta) in enumerate(purchases):
+        for idb, ub, tb in purchases[i + 1 :]:
+            if ua == ub:
+                continue
+            td = ta - tb if ta >= tb else tb - ta
+            gap = td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+            if gap <= 600 * 1_000_000:
+                expected.add((min(ida, idb), max(ida, idb), gap))
+    got = {
+        (r["event_a"], r["event_b"], r["gap_us"])
+        for r in all_queries()["join_time_band_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
