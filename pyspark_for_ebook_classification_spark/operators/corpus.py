@@ -417,3 +417,81 @@ def data_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("quality_prob"),
         F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
     )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+        -- deterministic simulated next crawl: every 17th doc dropped,
+        -- every 13th doc re-extracted with changed content, every 19th
+        -- doc's id re-minted as a brand-new document
+        SELECT CASE WHEN doc_id % 19 = 0 THEN doc_id + 1000000
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN md5(text || ':v2')
+                    ELSE md5(text) END AS h
+        FROM documents
+        WHERE doc_id % 17 <> 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+"""
+
+
+@query(
+    "data_snapshot_diff",
+    survey_ref="L1,J2,F7,P1",
+    doc="Corpus version diff: added / removed / changed documents "
+    "between two snapshots by content hash — full-outer join CDC.",
+    oracle=_SNAPSHOT_DIFF_SQL,
+)
+def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The between-crawls change feed every corpus pipeline needs:
+    full-outer join the two snapshots on document id, compare content
+    HASHES (never the text — the shuffle carries 32-byte digests, the
+    same trick as dedup_exact_sha), and emit only the changed rows.
+    Downstream, 'added'+'changed' is the incremental processing set
+    (re-embed, re-score, re-dedup) and 'removed' drives retention —
+    re-running the whole pipeline on the unchanged 99% is the cost
+    this query exists to avoid. The second snapshot is simulated
+    deterministically from the first (drop/modify/re-mint by id
+    arithmetic, mirrored in the oracle) since the fixture ships one
+    corpus version; swap v2 for a real second parquet path and
+    nothing else changes. At scale both sides pre-partition by doc_id
+    (bucketed snapshots make the diff shuffle-free)."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            F.when(F.col("doc_id") % 19 == 0, F.col("doc_id") + 1_000_000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.md5(F.concat(F.col("text"), F.lit(":v2")))
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+    )
+    a = v1.select(F.col("doc_id").alias("id1"), F.col("h").alias("h1"))
+    b = v2.select(F.col("doc_id").alias("id2"), F.col("h").alias("h2"))
+    joined = a.join(b, a.id1 == b.id2, "full_outer")
+    status = (
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("id1", "id2").alias("doc_id"), status.alias("status")
+        )
+        .filter(F.col("status") != "unchanged")
+    )

@@ -199,8 +199,9 @@ _PRIORITY: tuple[str, ...] = (
 # stream_hourly_topk_twin, fn_url_suite, data_reservoir_per_source,
 # window_sliding_distinct_users_7d, agg_ols_two_features,
 # join_asof_nearest_click, data_contrastive_pairs,
-# data_dataset_card_stats, data_quality_model_score, join_time_band_pairs —
-# 32 + 24 + 18 = 74 oracle-backed names; r4 fronts 50, leaving twenty-four
+# data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
+# data_snapshot_diff —
+# 32 + 24 + 19 = 75 oracle-backed names; r4 fronts 50, leaving twenty-five
 # plus the five rows-only for r5's slots.
 
 
