@@ -260,3 +260,39 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query(
+    "scan_python_ds_pushdown",
+    survey_ref="S1,S4,P2,P3",
+    oracle="""
+        SELECT i AS id, CAST(i % 10 AS BIGINT) AS bucket,
+               CAST((i * 2654435761) % 1000003 AS BIGINT) AS val
+        FROM generate_series(0, 4999) t(i)
+        WHERE i >= 1200 AND i < 3800 AND i % 10 = 7
+    """,
+)
+def scan_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 Python Data Source FILTER PUSHDOWN (pyds.pushFilters):
+    the id range predicates clip the connector's split plan (splits
+    outside [1200, 3800) are never created — connector-side partition
+    pruning) and the bucket equality becomes a modular stride inside
+    read(), so of 5,000 plannable rows only the 260 matching ones are
+    ever GENERATED, not generated-then-filtered. The oracle applies the
+    same predicates to the same integer hash math; equal values prove
+    the pushdown is semantics-preserving (tests/test_sources.py
+    additionally proves it actually prunes: clipped splits + strided
+    generation observed on the reader, pushed filters visible in the
+    scan plan)."""
+    from pyspark_for_ebook_classification_spark.sources.pyds import register
+
+    register(spark)
+    src = (
+        spark.read.format("synth_corpus")
+        .option("rows", 5000)
+        .option("parts", 8)
+        .load()
+    )
+    return src.filter(
+        (F.col("id") >= 1200) & (F.col("id") < 3800) & (F.col("bucket") == 7)
+    )

@@ -16,7 +16,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 
@@ -37,22 +42,60 @@ class SynthCorpusReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.parts = int(options.get("parts", 8))
+        #: pushdown state: id range [lo, hi) clipped at PLANNING time,
+        #: bucket equality turned into a stride at READ time
+        self.lo = 0
+        self.hi = self.rows
+        self.bucket_eq: int | None = None
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown (SupportsPushDownFilters for Python
+        sources). Range predicates on `id` clip the split plan — whole
+        partitions are never planned, the connector equivalent of
+        partition pruning; `bucket = k` becomes a modular STRIDE inside
+        read() (bucket ≡ id mod 10 by construction), so non-matching
+        rows are never generated rather than generated-then-filtered.
+        Everything else is yielded back for Spark to evaluate — the
+        contract is AND-semantics, handle a subset, return the rest."""
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.attribute == ("id",):
+                bound = f.value + 1 if isinstance(f, GreaterThan) else f.value
+                self.lo = max(self.lo, int(bound))
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and f.attribute == ("id",):
+                bound = f.value if isinstance(f, LessThan) else f.value + 1
+                self.hi = min(self.hi, int(bound))
+            elif isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                self.bucket_eq = int(f.value) % 10
+            else:
+                yield f
 
     def partitions(self):
-        """Driver-side split planning: contiguous id ranges, one per task.
-        At 100 TB-equivalent row counts this is the only driver work —
-        O(parts) split objects, never row data."""
-        step = max(1, -(-self.rows // self.parts))
+        """Driver-side split planning over the (possibly clipped) id
+        range: O(parts) split objects, never row data. Splits fully
+        outside pushed id bounds simply do not exist."""
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(lo, lo)]
+        step = max(1, -(-n // self.parts))
         return [
-            _RangePartition(lo, min(lo + step, self.rows))
-            for lo in range(0, self.rows, step)
+            _RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
         ]
 
     def read(self, partition):
         """Executor-side row stream for one split — pure generator, so
         rows flow straight into Arrow batches without buffering the
-        partition in memory."""
-        for i in range(partition.start, partition.end):
+        partition in memory. A pushed bucket equality advances by 10s
+        from the first matching id instead of testing every row."""
+        if self.bucket_eq is None:
+            ids = range(partition.start, partition.end)
+        else:
+            first = partition.start + (self.bucket_eq - partition.start) % 10
+            ids = range(first, partition.end, 10)
+        for i in ids:
             yield (i, i % 10, (i * _MULT) % _MOD)
 
 
@@ -80,6 +123,12 @@ def register(spark) -> None:
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # SynthCorpusReader implements pushFilters(); Spark 4.1 gates Python-
+    # source pushdown behind this conf and raises (not ignores) when a
+    # reader defines pushFilters with the conf off — so enabling it here,
+    # at the only entry point that makes these sources exist, IS the
+    # narrowest possible scope. It affects Python data sources only.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthCorpusDataSource)
     spark.dataSource.register(JsonlSinkDataSource)
 

@@ -364,3 +364,49 @@ def test_pandas_on_spark_api_delegates(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_python_ds_pushdown_prunes_and_strides(spark):
+    """Filter pushdown must (a) return only unhandled filters, (b) clip
+    the split plan to the pushed id range, (c) generate only matching
+    rows, and (d) produce the same result Spark computes without any
+    pushdown (semantics preserved)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from pyspark_for_ebook_classification_spark.sources.pyds import (
+        SynthCorpusReader,
+        register,
+    )
+
+    r = SynthCorpusReader({"rows": "5000", "parts": "8"})
+    left = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 1200),
+                LessThan(("id",), 3800),
+                EqualTo(("bucket",), 7),
+            ]
+        )
+    )
+    assert left == []  # all three handled by the source
+    splits = r.partitions()
+    assert min(p.start for p in splits) >= 1200
+    assert max(p.end for p in splits) <= 3800
+    rows = [row for p in splits for row in r.read(p)]
+    assert len(rows) == 260  # generated exactly the matching rows
+    assert all(1200 <= i < 3800 and i % 10 == 7 for i, _, _ in rows)
+
+    register(spark)
+    pushed = (
+        spark.read.format("synth_corpus")
+        .option("rows", 5000)
+        .option("parts", 8)
+        .load()
+        .filter("id >= 1200 and id < 3800 and bucket = 7")
+    )
+    expected = {(i, i % 10, (i * 2654435761) % 1000003) for i in range(1207, 3800, 10)}
+    assert {tuple(r) for r in pushed.collect()} == expected
