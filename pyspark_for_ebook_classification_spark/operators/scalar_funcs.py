@@ -873,3 +873,58 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain_label"
         ),
     )
+
+
+@query(
+    "fn_sql_udf_suite",
+    survey_ref="F3,F1,P2,§3-EP3",
+    doc="Spark 4 SQL UDFs: a scalar CREATE FUNCTION and a table-valued "
+    "one (RETURNS TABLE) composed in a single query.",
+    oracle="""
+        SELECT doc_id, n_chars,
+               round(CAST(n_chars AS DOUBLE) * (1 - 0.1) * (1 + 0.05), 6)
+                   AS adj_chars,
+               upper(substring(lang, 1, 1)) || lower(substring(source, 1, 1))
+                   AS tag
+        FROM documents
+        WHERE n_chars >= 300
+    """,
+)
+def fn_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`):
+    logic registered ONCE in the catalog as declarative SQL, reused
+    across queries — the engine's answer to shared business expressions
+    without Python UDF overhead. Catalyst INLINES the bodies at analysis
+    time (both functions below compile into the scan's projection and
+    the TVF's predicate pushes into the parquet read — there is no
+    function-call boundary at runtime, unlike every Python UDF tier in
+    operators/udfs.py). The scalar function applies a rate adjustment;
+    the table-valued function parameterizes a filtered projection of
+    documents; the oracle inlines both bodies, which is exactly what
+    Catalyst does."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION adj_rate(x DOUBLE, disc DOUBLE,"
+        " tax DOUBLE) RETURNS DOUBLE RETURN x * (1 - disc) * (1 + tax)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION lang_tag(l STRING, s STRING)"
+        " RETURNS STRING RETURN upper(substring(l, 1, 1)) ||"
+        " lower(substring(s, 1, 1))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION long_docs(min_chars INT)"
+        " RETURNS TABLE(doc_id BIGINT, n_chars BIGINT, lang STRING,"
+        " source STRING)"
+        " RETURN SELECT doc_id, n_chars, lang, source FROM documents"
+        " WHERE n_chars >= min_chars"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, n_chars,
+               round(adj_rate(CAST(n_chars AS DOUBLE), 0.1, 0.05), 6)
+                   AS adj_chars,
+               lang_tag(lang, source) AS tag
+        FROM long_docs(300)
+        """
+    )

@@ -200,8 +200,8 @@ _PRIORITY: tuple[str, ...] = (
 # window_sliding_distinct_users_7d, agg_ols_two_features,
 # join_asof_nearest_click, data_contrastive_pairs,
 # data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
-# data_snapshot_diff, scan_python_ds_pushdown —
-# 32 + 24 + 20 = 76 oracle-backed names; r4 fronts 50, leaving twenty-six
+# data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite —
+# 32 + 24 + 21 = 77 oracle-backed names; r4 fronts 50, leaving twenty-seven
 # plus the five rows-only for r5's slots.
 
 
