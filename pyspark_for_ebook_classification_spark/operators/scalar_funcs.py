@@ -11,6 +11,8 @@ rounded before output.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -927,4 +929,51 @@ def fn_sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                lang_tag(lang, source) AS tag
         FROM long_docs(300)
         """
+    )
+
+
+@query(
+    "sql_parameterized_markers",
+    survey_ref="P2,P3,A1,§3-EP3",
+    doc="Parameterized SQL (named markers + IDENTIFIER clause): the "
+    "injection-safe query-template surface.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_totalprice > 150000.0
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.sql(text, args={...})` with named parameter markers plus
+    `IDENTIFIER(:tbl)` for the table reference — the safe way to
+    template queries (markers bind as typed literals AFTER parsing, so
+    user values can never re-shape the query, and IDENTIFIER turns a
+    string into a validated identifier rather than spliced SQL). The
+    markers fold to constants at analysis time: the date and price
+    predicates still reach the parquet scan as pushed filters, exactly
+    as if they were written inline — parameterization costs nothing at
+    execution. The oracle is the same query with the literals inlined,
+    which is precisely post-binding equivalence."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff
+          AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "tbl": "orders",
+            "cutoff": datetime.date(1996, 1, 1),
+            "min_price": 150000.0,
+        },
     )

@@ -200,8 +200,9 @@ _PRIORITY: tuple[str, ...] = (
 # window_sliding_distinct_users_7d, agg_ols_two_features,
 # join_asof_nearest_click, data_contrastive_pairs,
 # data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
-# data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite —
-# 32 + 24 + 21 = 77 oracle-backed names; r4 fronts 50, leaving twenty-seven
+# data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite,
+# sql_parameterized_markers —
+# 32 + 24 + 22 = 78 oracle-backed names; r4 fronts 50, leaving twenty-eight
 # plus the five rows-only for r5's slots.
 
 
