@@ -59,6 +59,9 @@ EXTRA = [
     "agg_ols_two_features",
     "join_asof_nearest_click",
     "data_contrastive_pairs",
+    "join_time_band_pairs",
+    "data_snapshot_diff",
+    "data_dataset_card_stats",
 ]
 
 

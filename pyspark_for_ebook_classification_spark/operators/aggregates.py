@@ -790,3 +790,38 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_intercept"
         ),
     )
+
+
+_FILTER_CLAUSE_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT)
+               AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderdate
+                >= DATE '1997-01-01') AS BIGINT) AS cust_recent
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "agg_filter_clause_suite",
+    survey_ref="A5,A2,A1,§3-EP3",
+    doc="ANSI FILTER (WHERE) aggregates — per-aggregate predicates in "
+    "one grouping pass, identical SQL text on both engines.",
+    oracle=_FILTER_CLAUSE_SQL,
+)
+def agg_filter_clause_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard-SQL sibling of the CASE-WHEN conditional aggregate
+    (agg_conditional): each aggregate carries its own predicate, all
+    evaluated in ONE partial-aggregating pass over one scan — N metrics
+    with N different conditions never cost N queries. Catalyst compiles
+    FILTER clauses to the same conditional-update aggregate buffers the
+    CASE form produces, so the plan (and the cost) is identical; what
+    the clause buys is composability with aggregates CASE can't wrap,
+    like the filtered COUNT(DISTINCT) here. Same text runs on DuckDB —
+    this is pure ANSI surface."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_CLAUSE_SQL)

@@ -990,3 +990,35 @@ def window_sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
     )
+
+
+_INTERVAL_FRAME_SQL = """
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_7d
+    FROM events
+    WHERE user_id % 25 = 0
+"""
+
+
+@query(
+    "window_interval_range_frame",
+    survey_ref="W3,F2",
+    doc="Time-interval RANGE frame: trailing-7-day running sum directly "
+    "over the timestamp ordering — no day-number scaffolding.",
+    oracle=_INTERVAL_FRAME_SQL,
+)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE BETWEEN INTERVAL 7 DAYS PRECEDING over the raw timestamp:
+    the frame boundary is computed per row from the ORDER BY value, so
+    no derived day_no column is needed (contrast
+    window_moving_avg_range, which demonstrates the numeric-offset
+    form). RANGE semantics make ties (equal ts) share one frame, so no
+    unique tiebreak is required for determinism; the sum is
+    decimal-stabilized. One shuffle on user_id; within-partition sort
+    by ts — the same single-exchange shape as every other per-user
+    window here. Identical SQL text runs on both engines."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_INTERVAL_FRAME_SQL)

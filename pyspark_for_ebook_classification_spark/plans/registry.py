@@ -201,8 +201,9 @@ _PRIORITY: tuple[str, ...] = (
 # join_asof_nearest_click, data_contrastive_pairs,
 # data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
 # data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite,
-# sql_parameterized_markers —
-# 32 + 24 + 22 = 78 oracle-backed names; r4 fronts 50, leaving twenty-eight
+# sql_parameterized_markers, agg_filter_clause_suite,
+# window_interval_range_frame —
+# 32 + 24 + 24 = 80 oracle-backed names; r4 fronts 50, leaving thirty
 # plus the five rows-only for r5's slots.
 
 
