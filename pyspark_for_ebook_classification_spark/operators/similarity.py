@@ -870,3 +870,113 @@ def sim_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(F.sum("errpart").cast("double"), 9).alias("recon_err"),
     )
+
+
+_ADC_K = 5
+_ADC_NQ = 10
+
+
+@query(
+    "sim_pq_adc_topk",
+    survey_ref="L3,J4,W4,A1",
+    doc="PQ asymmetric-distance search: top-5 neighbors per query "
+    "computed from 1-bit-per-dim codes + a broadcast per-query lookup "
+    "table — the codes-only ANN probe.",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM ex GROUP BY pos
+        ),
+        bits AS (
+            SELECT vec_id, ex.pos,
+                   CASE WHEN v > (dmin + dmax) / 2 THEN 1 ELSE 0 END AS bit
+            FROM ex JOIN stats ON ex.pos = stats.pos
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, q.pos, b.bit,
+                   CAST((q.v - (s.dmin + (1 + 2*b.bit) * (s.dmax - s.dmin) / 4))
+                        * (q.v - (s.dmin + (1 + 2*b.bit) * (s.dmax - s.dmin) / 4))
+                        AS DECIMAL(38,18)) AS sq
+            FROM ex q JOIN stats s ON q.pos = s.pos,
+                 (VALUES (0), (1)) b(bit)
+            WHERE q.vec_id < {_ADC_NQ}
+        ),
+        scored AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM(l.sq) AS DOUBLE) AS adc
+            FROM bits c
+            JOIN lut l ON l.pos = c.pos AND l.bit = c.bit
+            WHERE c.vec_id <> l.query_id
+            GROUP BY l.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, round(adc, 9) AS adc_dist, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {_ADC_K}
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric distance computation — how PQ indexes actually answer
+    queries: corpus vectors exist ONLY as codes (here 1 bit/dim from
+    the sim_product_quantization grid codebook); each query precomputes
+    a lookup table of its squared distance to every (dim, centroid)
+    cell (|Q| × 64 dims × 2 cells = 1,280 rows — constant in corpus
+    size, broadcast); scoring a corpus vector is then 64 table lookups
+    summed, never a float dot with the original embedding. At billions
+    of vectors this is the memory story that makes ANN fit in RAM
+    (codes are 64x smaller than float32 vectors) and the scan story
+    (LUT join + partial-agg sum, whole-stage codegen, no Python). The
+    per-pair sums accumulate in DECIMAL(38,18) so ranking ties are
+    impossible to get wrong cross-engine; top-5 per query via the same
+    WindowGroupLimit shape as sim_topk_bruteforce. Recall vs the exact
+    search is measured and pinned in tests/test_similarity_golden.py."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fv")
+    ).withColumn("v", F.col("fv").cast("double"))
+    stats = ex.groupBy("pos").agg(F.min("v").alias("dmin"), F.max("v").alias("dmax"))
+    bits = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("v") > (F.col("dmin") + F.col("dmax")) / 2, 1)
+        .otherwise(0)
+        .alias("bit"),
+    )
+    centroid = F.col("dmin") + (1 + 2 * F.col("bit")) * (F.col("dmax") - F.col("dmin")) / 4
+    lut = (
+        ex.filter(F.col("vec_id") < _ADC_NQ)
+        .join(F.broadcast(stats), "pos")
+        .crossJoin(F.broadcast(spark.range(2).select(F.col("id").cast("int").alias("bit"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            "bit",
+            ((F.col("v") - centroid) * (F.col("v") - centroid))
+            .cast("decimal(38,18)")
+            .alias("sq"),
+        )
+    )
+    scored = (
+        bits.join(F.broadcast(lut), ["pos", "bit"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("sq").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 9).alias("adc_dist"),
+            F.col("rn").alias("rank"),
+        )
+    )

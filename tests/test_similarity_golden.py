@@ -190,3 +190,49 @@ def test_product_quantization_error_bounded_by_grid(spark, sf_dir):
     bound = float((((mat.max(axis=0) - mat.min(axis=0)) / 4) ** 2).sum()) + 1e-9
     rows = all_queries()["sim_product_quantization"].fn(spark, sf_dir).collect()
     assert all(0 <= r["recon_err"] <= bound for r in rows)
+
+
+def test_pq_adc_matches_numpy_and_has_recall(spark, sf_dir):
+    """Recompute the ADC distances in numpy from the raw embeddings
+    (exact agreement) and measure recall@5 of the codes-only search
+    against exact euclidean top-5 — must beat the random-chance floor
+    decisively and the pinned measured floor."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    dmin, dmax = mat.min(axis=0), mat.max(axis=0)
+    mid = (dmin + dmax) / 2
+    bits = (mat > mid).astype(np.int64)
+    centroids = dmin + (1 + 2 * bits) * (dmax - dmin) / 4  # per (vec, dim)
+
+    rows = all_queries()["sim_pq_adc_topk"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+        q = emb[r["query_id"]]
+        c = centroids[ids.index(r["neighbor_id"])]
+        expected = float(((q - c) ** 2).sum())
+        assert abs(r["adc_dist"] - expected) < 1e-6, (r["query_id"], r["neighbor_id"])
+
+    hits = total = 0
+    for qid, rs in got.items():
+        assert len(rs) == 5
+        q = emb[qid]
+        exact = sorted(
+            (float(((q - emb[j]) ** 2).sum()), j) for j in ids if j != qid
+        )[:5]
+        exact_ids = {j for _, j in exact}
+        hits += len(exact_ids & {r["neighbor_id"] for r in rs})
+        total += 5
+    recall = hits / total
+    # random chance at k=5 over ~500 vectors is ~0.01; measured 0.30 at
+    # sf0.001 and 0.36 at sf0.01 (1-bit/dim codes — the coarsest PQ).
+    # Pin below measurement, far above chance.
+    assert recall >= 0.15, recall
