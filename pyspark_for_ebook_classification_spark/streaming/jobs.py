@@ -298,3 +298,89 @@ def run_hourly_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = twins.hourly_type_counts(events_stream(spark, sf_dir))
     sink = _run_to_memory(counts)
     return twins.topk_types_per_hour(sink)
+
+
+def run_custom_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 flagship: a CUSTOM gap-based sessionizer as an arbitrary
+    stateful processor (applyInPandasWithState) — the operator you write
+    when session_window's semantics aren't yours (here: the same 6h gap
+    rule as the batch islands query, so the two are comparable
+    row-for-row).
+
+    Per-user state = the OPEN session (last_ts, session_idx, n_events,
+    start, decimal value-sum). Each batch's events are processed in
+    (ts, event_id) order: a gap > 6h closes the open session — closed
+    sessions are emitted immediately (append semantics), the new one
+    replaces the state. State survives across micro-batches, so a
+    session spanning batch boundaries is stitched correctly; at stream
+    end exactly one session per user remains open (and unemitted) —
+    tests compare against the batch twin minus each user's final
+    session. Value sums accumulate in quantized Decimal replicating
+    functions/numeric.dsum exactly, so the comparison is bit-exact.
+    State is O(1) per user forever — the unbounded-state trap a naive
+    collect-then-split sessionizer would hit."""
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 21_600 * 1_000_000
+    Q6 = decimal.Decimal("0.000001")
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, idx, n, start_us, val_str = state.get
+            val = decimal.Decimal(val_str)
+        else:
+            last_us = None
+            idx, n, start_us, val = 0, 0, 0, decimal.Decimal(0)
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts_ns, v in zip(pdf["ts"].astype("int64"), pdf["value"]):
+                ts_us = int(ts_ns) // 1000
+                if last_us is None or ts_us - last_us > GAP_US:
+                    if last_us is not None:
+                        # duration = floor(end_s) - floor(start_s), matching
+                        # the batch twin's per-second truncation semantics
+                        out.append((
+                            key[0], idx, n, start_us,
+                            last_us // 1_000_000 - start_us // 1_000_000,
+                            val,
+                        ))
+                    idx += 1
+                    n, start_us, val = 0, ts_us, decimal.Decimal(0)
+                n += 1
+                last_us = ts_us
+                val += decimal.Decimal(repr(float(v))).quantize(
+                    Q6, rounding=decimal.ROUND_HALF_UP
+                )
+        state.update((last_us, idx, n, start_us, str(val)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_idx": [r[1] for r in out],
+                    "n_events": [r[2] for r in out],
+                    "session_start": [pd.to_datetime(r[3] * 1000) for r in out],
+                    "duration_s": [r[4] for r in out],
+                    "session_value": [float(r[5]) for r in out],
+                }
+            )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            "user_id long, session_idx long, n_events long,"
+            " session_start timestamp, duration_s long, session_value double"
+        ),
+        stateStructType=(
+            "last_us long, idx long, n long, start_us long, val string"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "append")

@@ -384,3 +384,16 @@ def test_hourly_topk_stream_equals_twin(spark, sf_dir):
     stream_pdf = jobs.run_hourly_topk_stream(spark, sf_dir).toPandas()
     batch_pdf = twins.stream_hourly_topk_twin(spark, sf_dir).toPandas()
     assert_frames_match(stream_pdf, batch_pdf, "hourly_topk")
+
+
+def test_custom_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
+    """ST6 custom gap sessionizer == the batch islands twin for every
+    CLOSED session (each user's final session stays open in state and is
+    deliberately unemitted). Bit-exact, including the decimal value sums."""
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    stream_pdf = jobs.run_custom_sessionize_stream(spark, sf_dir).toPandas()
+    batch_pdf = all_queries()["window_sessionize_gap"].fn(spark, sf_dir).toPandas()
+    last = batch_pdf.groupby("user_id")["session_idx"].transform("max")
+    closed = batch_pdf[batch_pdf["session_idx"] < last].reset_index(drop=True)
+    assert_frames_match(stream_pdf, closed, "custom_sessionize_closed")
