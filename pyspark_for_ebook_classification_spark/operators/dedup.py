@@ -932,3 +932,98 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "h", "left_anti").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
+
+
+def _sql_sig_cte_renamed() -> str:
+    """Signature CTE chain with mh_-prefixed names so it composes with
+    _NGRAM_PAIRS_CTES (which owns the plain `toks`) in one WITH clause."""
+    mins = ",\n                   ".join(
+        f"min(({_LCG_A[i]} * hm + {_LCG_B[i]}) % {MERSENNE_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+        mh_toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        mh_sh AS (
+            SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+            FROM mh_toks WHERE length(tokens) >= 1
+        ),
+        mh_hm AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                       % {MERSENNE_P} AS hm
+            FROM mh_sh
+        ),
+        mh_sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM mh_hm GROUP BY doc_id
+        )
+    """
+
+
+_EST_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+)
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    survey_ref="L2,A3,J8",
+    doc="Sketch honesty check: per-pair MinHash Jaccard ESTIMATE "
+    "(signature agreement fraction) next to the exact trigram Jaccard "
+    "and the absolute error.",
+    oracle=f"""
+        WITH {_NGRAM_PAIRS_CTES},
+        {_sql_sig_cte_renamed()}
+        SELECT p.doc_a, p.doc_b,
+               round(p.jac, 6) AS exact_jaccard,
+               round(CAST({_EST_MATCHES} AS DOUBLE) / {N_HASHES}, 6)
+                   AS minhash_estimate,
+               round(abs(CAST({_EST_MATCHES} AS DOUBLE) / {N_HASHES} - p.jac), 6)
+                   AS abs_err
+        FROM ngram_pairs p
+        JOIN mh_sig sa ON sa.doc_id = p.doc_a
+        JOIN mh_sig sb ON sb.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E[estimate] = true Jaccard is MinHash's whole premise; this query
+    MEASURES it on the corpus instead of assuming it, pairing each
+    ground-truth pair (exact trigram Jaccard ≥ 0.2, from the sparse
+    shared-shingle join) with the 12-hash signature agreement fraction.
+    At 100 TB this is the calibration job you run on a sample before
+    trusting LSH thresholds corpus-wide: the error column tells you
+    whether N_HASHES is sized right for the dedup threshold (stddev ≈
+    sqrt(j(1-j)/12) ≈ 0.14 at j=0.5 — visible in the data, and the
+    reason the LSH stage verifies candidates with exact Jaccard instead
+    of trusting the estimate). Signatures are computed once (12 mins in
+    one partial agg) and joined to the pair list — no per-pair signature
+    recomputation."""
+    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b", "jac_raw")
+    sig = _minhash_signature(load(spark, sf_dir, "documents"))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = matches.cast("double") / N_HASHES
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jac_raw", 6).alias("exact_jaccard"),
+            F.round(est, 6).alias("minhash_estimate"),
+            F.round(F.abs(est - F.col("jac_raw")), 6).alias("abs_err"),
+        )
+    )

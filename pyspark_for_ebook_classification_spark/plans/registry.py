@@ -202,8 +202,9 @@ _PRIORITY: tuple[str, ...] = (
 # data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
 # data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite,
 # sql_parameterized_markers, agg_filter_clause_suite,
-# window_interval_range_frame, sim_pq_adc_topk —
-# 32 + 24 + 25 = 81 oracle-backed names; r4 fronts 50, leaving thirty-one
+# window_interval_range_frame, sim_pq_adc_topk,
+# dedup_minhash_estimate_error —
+# 32 + 24 + 26 = 82 oracle-backed names; r4 fronts 50, leaving thirty-two
 # plus the five rows-only for r5's slots.
 
 
