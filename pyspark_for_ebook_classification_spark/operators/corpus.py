@@ -275,8 +275,10 @@ _DATASET_CARD_SQL = """
                    AS n_tokens
         FROM documents
     )
-    SELECT COALESCE(source, '<all>') AS source,
-           COALESCE(lang, '<all>') AS lang,
+    SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>'
+                ELSE COALESCE(source, '<null>') END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN '<all>'
+                ELSE COALESCE(lang, '<null>') END AS lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
@@ -304,9 +306,10 @@ def data_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     four. Exact percentiles interpolate identically in both engines
     (rounded per the ulp note on agg_percentile_median); token counts
     come from the same split the text operators use, so card numbers
-    are consistent with the pipeline's own tokenization. NULL group
-    keys from the rollup are COALESCEd to '<all>' so the driver's hash
-    never compares bare NULL markers."""
+    are consistent with the pipeline's own tokenization. Marginal rows are labeled '<all>'
+    via GROUPING() — not by coalescing the raw column, which would
+    collide a genuine NULL source/lang value with the rollup marker —
+    and real NULL keys surface as '<null>'."""
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "source",
@@ -327,10 +330,16 @@ def data_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
             F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
             F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+            F.grouping("source").alias("g_src"),
+            F.grouping("lang").alias("g_lang"),
         )
         .select(
-            F.coalesce("source", F.lit("<all>")).alias("source"),
-            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.when(F.col("g_src") == 1, "<all>")
+            .otherwise(F.coalesce("source", F.lit("<null>")))
+            .alias("source"),
+            F.when(F.col("g_lang") == 1, "<all>")
+            .otherwise(F.coalesce("lang", F.lit("<null>")))
+            .alias("lang"),
             "n_docs",
             "total_tokens",
             "min_chars",

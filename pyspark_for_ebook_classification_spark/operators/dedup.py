@@ -177,12 +177,41 @@ def _bands(sig: DataFrame) -> DataFrame:
     return out
 
 
-def _sql_minhash_cte() -> str:
-    """Oracle-side rendering of the identical shingle-MinHash pipeline."""
+def _sql_sig_chain(prefix: str = "") -> str:
+    """CTE chain (no WITH keyword) token-split → shingles → hash → the
+    N_HASHES-min signature, with every CTE name prefixed so the chain
+    composes into WITH clauses that already own the plain names."""
+    p = prefix
     mins = ",\n              ".join(
         f"min(({_LCG_A[i]} * hm + {_LCG_B[i]}) % {MERSENNE_P}) AS h{i}"
         for i in range(N_HASHES)
     )
+    return f"""{p}toks AS (
+            SELECT doc_id, tokens FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+                FROM documents
+            ) WHERE length(tokens) >= 1
+        ),
+        {p}shingled AS (
+            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM {p}toks
+        ),
+        {p}sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM {p}shingled),
+        {p}hm AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                       % {MERSENNE_P} AS hm
+            FROM {p}sh
+        ),
+        {p}sig AS (
+            SELECT doc_id,
+              {mins}
+            FROM {p}hm GROUP BY doc_id
+        )"""
+
+
+def _sql_minhash_cte() -> str:
+    """Oracle-side rendering of the identical shingle-MinHash pipeline."""
     bands = "\n            UNION ALL\n            ".join(
         "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sig".format(
             b=b,
@@ -193,28 +222,7 @@ def _sql_minhash_cte() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-        WITH toks AS (
-            SELECT doc_id, tokens FROM (
-                SELECT doc_id,
-                       list_filter(string_split(text, ' '), t -> t <> '') AS tokens
-                FROM documents
-            ) WHERE length(tokens) >= 1
-        ),
-        shingled AS (
-            SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
-        ),
-        sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-        hm AS (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
-                       % {MERSENNE_P} AS hm
-            FROM sh
-        ),
-        sig AS (
-            SELECT doc_id,
-              {mins}
-            FROM hm GROUP BY doc_id
-        ),
+        WITH {_sql_sig_chain()},
         bands AS (
             {bands}
         ),
@@ -934,37 +942,6 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sig_cte_renamed() -> str:
-    """Signature CTE chain with mh_-prefixed names so it composes with
-    _NGRAM_PAIRS_CTES (which owns the plain `toks`) in one WITH clause."""
-    mins = ",\n                   ".join(
-        f"min(({_LCG_A[i]} * hm + {_LCG_B[i]}) % {MERSENNE_P}) AS h{i}"
-        for i in range(N_HASHES)
-    )
-    return f"""
-        mh_toks AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
-            FROM documents
-        ),
-        mh_sh AS (
-            SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
-            FROM mh_toks WHERE length(tokens) >= 1
-        ),
-        mh_hm AS (
-            SELECT doc_id,
-                   CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
-                       % {MERSENNE_P} AS hm
-            FROM mh_sh
-        ),
-        mh_sig AS (
-            SELECT doc_id,
-                   {mins}
-            FROM mh_hm GROUP BY doc_id
-        )
-    """
-
-
 _EST_MATCHES = " + ".join(
     f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
 )
@@ -978,7 +955,7 @@ _EST_MATCHES = " + ".join(
     "and the absolute error.",
     oracle=f"""
         WITH {_NGRAM_PAIRS_CTES},
-        {_sql_sig_cte_renamed()}
+        {_sql_sig_chain('mh_')}
         SELECT p.doc_a, p.doc_b,
                round(p.jac, 6) AS exact_jaccard,
                round(CAST({_EST_MATCHES} AS DOUBLE) / {N_HASHES}, 6)

@@ -68,7 +68,15 @@ class SynthCorpusReader(DataSourceReader):
                 self.lo = max(self.lo, int(f.value))
                 self.hi = min(self.hi, int(f.value) + 1)
             elif isinstance(f, EqualTo) and f.attribute == ("bucket",):
-                self.bucket_eq = int(f.value) % 10
+                v = f.value
+                if isinstance(v, int) and 0 <= v <= 9 and self.bucket_eq in (None, v):
+                    self.bucket_eq = v
+                else:
+                    # out-of-domain (bucket is always id % 10 ∈ [0, 9]) or
+                    # contradicting an earlier bucket equality: the result
+                    # is provably empty — claim the filter and plan nothing,
+                    # never remap the value into the domain
+                    self.hi = self.lo
             else:
                 yield f
 

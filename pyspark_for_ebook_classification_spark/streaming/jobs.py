@@ -324,7 +324,6 @@ def run_custom_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    GAP_US = 21_600 * 1_000_000
     Q6 = decimal.Decimal("0.000001")
 
     def sessionize(key, pdfs, state: GroupState):
@@ -335,13 +334,21 @@ def run_custom_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_us = None
             idx, n, start_us, val = 0, 0, 0, decimal.Decimal(0)
         out = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts_ns, v in zip(pdf["ts"].astype("int64"), pdf["value"]):
+        # applyInPandasWithState delivers a group's batch as MULTIPLE
+        # Arrow chunks in no guaranteed order (chunking at
+        # arrow.maxRecordsPerBatch): concatenate and sort ONCE — memory
+        # is bounded by the user's events in this micro-batch, not by
+        # history (which lives compressed in the O(1) state)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts_ns, v in zip(allpdf["ts"].astype("int64"), allpdf["value"]):
                 ts_us = int(ts_ns) // 1000
-                if last_us is None or ts_us - last_us > GAP_US:
+                # gap compared on floor-second unix timestamps, exactly the
+                # batch twin's unix_timestamp(ts) - unix_timestamp(lag(ts))
+                if last_us is None or (
+                    ts_us // 1_000_000 - last_us // 1_000_000 > 21_600
+                ):
                     if last_us is not None:
                         # duration = floor(end_s) - floor(start_s), matching
                         # the batch twin's per-second truncation semantics
