@@ -977,3 +977,58 @@ def sql_parameterized_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 150000.0,
         },
     )
+
+
+@query(
+    "fn_collation_suite",
+    survey_ref="F1,A2,A1,§3-EP3",
+    doc="Spark 4 collations: UTF8_LCASE grouping, distinct-counting and "
+    "equality over deliberately case-mangled keys.",
+    oracle="""
+        WITH t AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                       AS k,
+                   CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+                       AS s
+            FROM documents
+        )
+        SELECT lower(k) AS lang_ci,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lower(s)) AS BIGINT) AS n_sources_ci,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sources_raw
+        FROM t
+        GROUP BY lower(k)
+    """,
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated semantics WITHOUT rewriting every expression through
+    lower(): the UTF8_LCASE collation changes comparison/grouping/
+    distinct behavior of the COLUMN TYPE, so the query text stays
+    `GROUP BY k` / `COUNT(DISTINCT s)` while matching
+    case-insensitively — the Spark 4 way to make an entire pipeline
+    case-insensitive at the schema level rather than per-call. On this
+    ASCII corpus UTF8_LCASE coincides with lower()-normalization, which
+    is exactly what the oracle does; n_sources_raw (binary collation)
+    sits alongside to show the two collations genuinely diverge on the
+    mangled keys. Hash aggregates on collated strings still partial-agg
+    map-side (the collation key is computed into the grouping hash)."""
+    d = load(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(F.col("lang"))
+    src = F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    t = d.select(
+        F.collate(k, "UTF8_LCASE").alias("k"),
+        src.alias("s"),
+        F.collate(src, "UTF8_LCASE").alias("s_ci"),
+    )
+    return t.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("s_ci").cast("bigint").alias("n_sources_ci"),
+        F.countDistinct("s").cast("bigint").alias("n_sources_raw"),
+    ).select(
+        F.lower(F.col("k").cast("string")).alias("lang_ci"),
+        "n_docs",
+        "n_sources_ci",
+        "n_sources_raw",
+    )
