@@ -825,3 +825,31 @@ def agg_filter_clause_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is pure ANSI surface."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@query(
+    "agg_approx_percentile",
+    survey_ref="A7,A3",
+    oracle=None,  # KLL/GK sketch internals are engine-specific → rows-only
+    doc="approx_percentile at accuracy 10000 — the quantile path when an "
+    "exact per-group sort is not worth it; error-bounded against the "
+    "exact percentiles in tests/test_corpus.py.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles: bounded-size mergeable
+    summaries instead of the per-group sort exact percentile pays.
+    Like the HLL entry (agg_approx_count_distinct) this is rows-only by
+    design — the sketch's answers are engine-private — but unlike HLL
+    the accuracy parameter gives a hard rank-error bound (±n/accuracy),
+    which the pytest verifies against F.percentile ground truth. For
+    the oracle-exact mergeable-quantile alternative this engine ships,
+    see sketch_histogram_quantiles."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99_approx"
+        ),
+    )

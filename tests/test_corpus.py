@@ -254,3 +254,28 @@ def test_time_band_pairs_blocking_is_lossless(spark, sf_dir):
         for r in all_queries()["join_time_band_pairs"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """GK sketches guarantee rank error <= n/accuracy; translate that to
+    a value interval from the exact sorted data and assert membership."""
+    vals_by_status: dict = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    ).collect():
+        vals_by_status.setdefault(r["l_linestatus"], []).append(
+            r["l_extendedprice"]
+        )
+    got = {
+        r["l_linestatus"]: r
+        for r in all_queries()["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    for status, vals in vals_by_status.items():
+        vals.sort()
+        n = len(vals)
+        slack = max(2, n // 10000 + 1)
+        for q, col in ((0.5, "p50_approx"), (0.99, "p99_approx")):
+            rank = int(q * (n - 1))
+            lo = vals[max(0, rank - slack)]
+            hi = vals[min(n - 1, rank + slack)]
+            assert lo <= got[status][col] <= hi, (status, col)
