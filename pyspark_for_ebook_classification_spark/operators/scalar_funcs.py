@@ -1032,3 +1032,76 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources_ci",
         "n_sources_raw",
     )
+
+
+@query(
+    "fn_map_hof_suite",
+    survey_ref="F5,F4,A1",
+    doc="Map higher-order functions: map_from_entries / map_zip_with / "
+    "transform_keys / transform_values / map_filter composed over "
+    "per-user event profiles, verified by exploding back to rows.",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+            FROM events WHERE user_id % 25 = 0
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               upper(event_type) AS etype,
+               n,
+               round(sv, 6) AS sum_value,
+               round(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY user_id), 6) AS share,
+               CAST(n >= 10 AS BOOLEAN) AS is_frequent
+        FROM per
+    """,
+)
+def fn_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full map-HOF surface in one pipeline: per-user profiles are
+    materialized AS MAPS (map_from_entries over grouped counts/sums),
+    then map_zip_with merges the two maps key-wise, transform_keys
+    normalizes the keys, transform_values derives shares against the
+    user total, and map_filter marks frequent types — finally exploded
+    back to rows because relational rows, not map columns, are what the
+    driver's value hash (and any downstream join) wants. The oracle
+    never touches a map: it computes the identical rows with plain
+    aggregation + a window share, which is the semantic contract — map
+    HOFs are a LAYOUT choice (entries stay one row-object per user,
+    useful when profiles ride along wide rows), not new semantics. All
+    lambdas execute in codegen; no Python."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sv"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("cm"),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "sv"))).alias("sm"),
+        F.sum("n").alias("total"),
+    )
+    z = F.map_zip_with(
+        "cm", "sm", lambda k, c, s: F.struct(c.alias("n"), s.alias("sv"))
+    )
+    zk = F.transform_keys(z, lambda k, v: F.upper(k))
+    shares = F.transform_values(
+        "cm", lambda k, v: F.round(v.cast("double") / F.col("total"), 6)
+    )
+    freq = F.map_filter("cm", lambda k, v: v >= 10)
+    composed = maps.select(
+        "user_id",
+        F.explode(zk).alias("etype", "cs"),
+        shares.alias("share_map"),
+        freq.alias("freq_map"),
+    )
+    return composed.select(
+        "user_id",
+        "etype",
+        F.col("cs.n").alias("n"),
+        F.round(F.col("cs.sv"), 6).alias("sum_value"),
+        F.element_at(F.col("share_map"), F.lower("etype")).alias("share"),
+        F.map_contains_key(F.col("freq_map"), F.lower("etype")).alias(
+            "is_frequent"
+        ),
+    )
