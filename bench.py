@@ -62,6 +62,8 @@ EXTRA = [
     "join_time_band_pairs",
     "data_snapshot_diff",
     "data_dataset_card_stats",
+    "sim_pq_adc_topk",
+    "dedup_minhash_estimate_error",
 ]
 
 
