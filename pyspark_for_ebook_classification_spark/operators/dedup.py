@@ -1025,3 +1025,106 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jac_raw")), 6).alias("abs_err"),
         )
     )
+
+
+def _sql_mh_cand_cte() -> str:
+    """mh_-prefixed band/bucket/candidate CTEs over _sql_sig_chain('mh_')."""
+    bands = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM mh_sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""mh_bands AS (
+            {bands}
+        ),
+        mh_ok AS (
+            SELECT band_id, band_hash FROM mh_bands
+            GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        mh_capped AS (
+            SELECT b.* FROM mh_bands b JOIN mh_ok USING (band_id, band_hash)
+        ),
+        mh_cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM mh_capped a
+            JOIN mh_capped b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )"""
+
+
+@query(
+    "dedup_lsh_candidate_recall",
+    survey_ref="L2,A3,A1",
+    doc="LSH banding calibration: of the true near-dup pairs (exact "
+    "Jaccard >= 0.7), what fraction did the 2x6 banding surface as "
+    "candidates — the go/no-go number for an LSH rollout.",
+    oracle=f"""
+        WITH {_NGRAM_PAIRS_CTES},
+        {_sql_sig_chain('mh_')},
+        {_sql_mh_cand_cte()},
+        truth AS (
+            SELECT doc_a, doc_b FROM ngram_pairs WHERE jac >= {JACCARD_THRESHOLD}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_captured,
+               round(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS candidate_recall
+        FROM truth t
+        LEFT JOIN mh_cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """,
+)
+def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of LSH calibration (the estimator-error query is
+    the first): banding theory says a true pair at Jaccard j becomes a
+    candidate with probability 1-(1-j^6)^2 (≥ 0.87 at j = 0.95, 0.50 at
+    j ≈ 0.83) — this query MEASURES the realized candidate recall
+    against exact ground truth, the acceptance number you compute on a
+    sample before letting banded LSH replace exact dedup corpus-wide.
+    Ground truth comes from the sparse shared-shingle join, candidates
+    from the very banding pipeline dedup_minhash_lsh ships — same
+    signatures, same bucket cap — so the number audits the production
+    configuration, not a simplified model of it."""
+    truth = (
+        _ngram_pairs(spark, sf_dir)
+        .filter(F.col("jac_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sig = _minhash_signature(load(spark, sf_dir, "documents"))
+    bands = _bands(sig)
+    ok = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= MAX_BUCKET)
+        .select("band_id", "band_hash")
+    )
+    capped = bands.join(ok, ["band_id", "band_hash"])
+    ca = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    cb = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    cand = (
+        ca.join(cb, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hit = F.when(F.col("c_a").isNotNull(), 1).otherwise(0)
+    joined = truth.join(
+        cand.select(
+            F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+        ),
+        (F.col("doc_a") == F.col("c_a")) & (F.col("doc_b") == F.col("c_b")),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"),
+        F.sum(hit).cast("bigint").alias("n_captured"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+            "candidate_recall"
+        ),
+    )
