@@ -279,3 +279,20 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             lo = vals[max(0, rank - slack)]
             hi = vals[min(n - 1, rank + slack)]
             assert lo <= got[status][col] <= hi, (status, col)
+
+
+def test_lsh_calibration_numbers_in_theory_range(spark, sf_dir):
+    """Banding capture at j >= 0.7 has probability >= 1-(1-0.7^6)^2 ~ 0.22
+    per pair and >= 0.87 at j >= 0.95; the measured recall (0.86 at
+    sf0.001, 1.0 at sf0.01) must stay above a conservative floor, and
+    every estimator error must stay within ~4 sigma of its Jaccard."""
+    rec = all_queries()["dedup_lsh_candidate_recall"].fn(spark, sf_dir).collect()[0]
+    assert rec["n_true_pairs"] >= 1
+    assert rec["candidate_recall"] >= 0.5
+    assert 0 <= rec["n_captured"] <= rec["n_true_pairs"]
+
+    for r in all_queries()["dedup_minhash_estimate_error"].fn(spark, sf_dir).collect():
+        j = r["exact_jaccard"]
+        sigma = (j * (1 - j) / 12) ** 0.5
+        assert r["abs_err"] <= max(4 * sigma, 0.26), (r["doc_a"], r["doc_b"])
+        assert 0 <= r["minhash_estimate"] <= 1
