@@ -504,3 +504,146 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("status") != "unchanged")
     )
+
+
+_FUNNEL_SQL = """
+    WITH toks AS (
+        SELECT doc_id, text,
+               length(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    gated AS (SELECT doc_id, text FROM toks WHERE n_tok >= 20),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, length(list_filter(string_split(text, ' '),
+                             t -> t <> '')) - 1),
+                         i -> list_filter(string_split(text, ' '), t -> t <> '')[i]
+                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+1]
+                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+2]
+                     )) AS sh
+              FROM gated) a
+        JOIN (SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, length(list_filter(string_split(text, ' '),
+                             t -> t <> '')) - 1),
+                         i -> list_filter(string_split(text, ' '), t -> t <> '')[i]
+                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+1]
+                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+2]
+                     )) AS sh
+              FROM gated) b
+          ON a.doc_id < b.doc_id
+         AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / length(list_distinct(a.sh || b.sh)) >= 0.7
+    ),
+    near_drop AS (SELECT DISTINCT doc_b FROM pairs)
+    SELECT 1 AS stage_no, 'raw' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    UNION ALL
+    SELECT 2, 'min_20_tokens',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gated)
+    UNION ALL
+    SELECT 3, 'exact_dedup',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_keep)
+    UNION ALL
+    SELECT 4, 'near_dedup',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_keep
+            WHERE doc_id NOT IN (SELECT doc_b FROM near_drop))
+"""
+
+
+@query(
+    "data_curation_funnel",
+    survey_ref="L1,L2,L4,A1",
+    doc="Curation funnel report: surviving document counts after each "
+    "pipeline gate (length, exact dedup, near dedup) in one query.",
+    oracle=_FUNNEL_SQL,
+)
+def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard row every curation run publishes: how many
+    documents survive each gate. Gates reuse the pipeline's own
+    definitions — the 20-token floor of text_quality_score, sha256
+    keep-first exact dedup, and the jac ≥ 0.7 near-dup rule with
+    keep-lower-id pair dropping (the funnel's summary simplification of
+    the full connected-components canonicalization;
+    dedup_cluster_keep_best is the production variant). Each stage
+    count derives from the previous stage's survivor set, so the
+    numbers are an actual funnel, not independent estimates. Spark
+    computes the shared survivor frames once (checkpointed) and
+    aggregates four counts; at 100 TB each count is a partial-agg
+    reduction, and the near-dup stage rides the same sparse
+    shared-shingle join every dedup operator here uses."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    gated = (
+        d.select("doc_id", "text")
+        .filter(F.size(toks) >= 20)
+        .localCheckpoint(eager=True)
+    )
+    exact_keep = (
+        gated.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # near-dup pairs among gated docs (same rule as _ngram_pairs at 0.7,
+    # but self-contained over the gated frame)
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, size(tokens) - 2), "
+        "i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), "
+        "element_at(tokens, i + 2))))"
+    )
+    ex = (
+        gated.select("doc_id", toks.alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    near_drop = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("isz").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("isz"))
+            >= 0.7
+        )
+        .select("doc_b")
+        .distinct()
+    )
+    n_raw = d.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_gated = gated.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_exact = exact_keep.select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_near = (
+        exact_keep.join(near_drop, exact_keep.doc_id == near_drop.doc_b, "left_anti")
+        .select(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def stage(no: int, name: str, cnt):
+        return cnt.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col("n").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", n_raw)
+        .unionByName(stage(2, "min_20_tokens", n_gated))
+        .unionByName(stage(3, "exact_dedup", n_exact))
+        .unionByName(stage(4, "near_dedup", n_near))
+    )
