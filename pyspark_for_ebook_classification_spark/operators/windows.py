@@ -1022,3 +1022,62 @@ def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     window here. Identical SQL text runs on both engines."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_INTERVAL_FRAME_SQL)
+
+
+_USER_PATHS_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ordered WHERE rn <= 5
+        GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+"""
+
+
+@query(
+    "window_user_paths",
+    survey_ref="W1,W2,A6,A1",
+    doc="Path mining: each user's first five event types as an ordered "
+    "path string, counted across users — the onboarding-flow analysis.",
+    oracle=_USER_PATHS_SQL,
+)
+def window_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: rank each user's events by (ts,
+    event_id) — the unique tiebreak keeps every path deterministic —
+    keep the first 5, concatenate in order, count identical paths.
+    The rank-filter plans as WindowGroupLimit (map tasks keep 5 rows
+    per user before the shuffle), and the ordered concatenation uses
+    sort_array over (rn, type) structs so the aggregation itself stays
+    order-insensitive — the ORDER is encoded in the data, not in row
+    arrival, which is what makes this exact on a cluster where arrival
+    order is never guaranteed. Path cardinality is bounded by
+    |event_types|^5, not user count, so the final count table is small
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
