@@ -12,6 +12,7 @@ functions/numeric.py keeps sums order-independent).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import sql_dsum
 from pyspark_for_ebook_classification_spark.plans.registry import query
@@ -673,3 +674,143 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, and date_trunc agree across engines."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+_RFM_SQL = """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, round(monetary, 6) AS monetary,
+           CAST(5 - ntile(4) OVER (ORDER BY recency_days, custkey) AS INT)
+               AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency, custkey) AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary, custkey) AS INT) AS m_score
+    FROM base
+"""
+
+
+@query(
+    "window_rfm_segments",
+    survey_ref="W1,A1,F2,§3-EP3",
+    doc="RFM customer scoring: recency/frequency/monetary quartiles per "
+    "customer, every quartile computed with the scalable two-pass "
+    "global rank instead of a single-task ntile window.",
+    oracle=_RFM_SQL,
+)
+def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic customer-value segmentation, engineered for scale:
+    each of the three quartile columns needs a GLOBAL ntile, and a bare
+    `ntile(4) OVER (ORDER BY metric)` single-tasks the customer table —
+    so all three go through functions/ranks.with_global_rank +
+    ntile_from_rank (range partition → rank within → integer tile
+    arithmetic), the same machinery the curriculum query pins. Recency
+    is inverted (recent = high score) per RFM convention; every order
+    key ends in custkey so tile assignment is total. The oracle keeps
+    plain ntile windows — single-node DuckDB has no single-task trap —
+    and equality proves the reconstruction exact. Monetary sums are
+    decimal-stabilized."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    maxd = o.groupBy().agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("maxd", "lastd").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n = base.groupBy().agg(F.count(F.lit(1)).alias("n_cust"))
+    ranked = with_global_rank(base, ["recency_days", "custkey"], out="rr")
+    ranked = with_global_rank(ranked, ["frequency", "custkey"], out="fr")
+    ranked = with_global_rank(ranked, ["monetary", "custkey"], out="mr").join(
+        F.broadcast(n)
+    )
+    return ranked.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        (5 - ntile_from_rank("rr", "n_cust", 4)).cast("int").alias("r_score"),
+        ntile_from_rank("fr", "n_cust", 4).cast("int").alias("f_score"),
+        ntile_from_rank("mr", "n_cust", 4).cast("int").alias("m_score"),
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    survey_ref="A9,A1,§3-EP3",
+    doc="The SQL PIVOT clause (vs the DataFrame .pivot of "
+    "agg_pivot_status_priority): per-priority order counts and decimal "
+    "value sums spread across status columns.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                    AS BIGINT) AS F_n,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                    AS BIGINT) AS O_n,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                    AS BIGINT) AS P_n,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(28,6)) END), 0)
+                    AS DOUBLE) AS F_value,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(28,6)) END), 0)
+                    AS DOUBLE) AS O_value,
+               CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(o_totalprice AS DECIMAL(28,6)) END), 0)
+                    AS DOUBLE) AS P_value
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`FROM ... PIVOT (aggs FOR col IN (values))` — the SQL-clause form
+    with an EXPLICIT value list and multiple aggregates per cell
+    (count + decimal sum). Catalyst compiles it to exactly the
+    conditional-aggregate plan the oracle spells out, which is the
+    point worth pinning: PIVOT is syntax, not a new operator, and the
+    explicit IN list keeps it one pass (omitting it would cost a
+    distinct-scan planning job — the same rule the DataFrame-API pivot
+    query documents)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(F_n, 0) AS F_n,
+               COALESCE(O_n, 0) AS O_n,
+               COALESCE(P_n, 0) AS P_n,
+               CAST(COALESCE(F_value, 0) AS DOUBLE) AS F_value,
+               CAST(COALESCE(O_value, 0) AS DOUBLE) AS O_value,
+               CAST(COALESCE(P_value, 0) AS DOUBLE) AS P_value
+        FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(28,6)) AS price
+            FROM orders
+        )
+        PIVOT (
+            COUNT(*) AS n, SUM(price) AS value
+            FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
+        )
+        """
+    )

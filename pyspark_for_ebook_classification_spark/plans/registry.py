@@ -204,8 +204,9 @@ _PRIORITY: tuple[str, ...] = (
 # sql_parameterized_markers, agg_filter_clause_suite,
 # window_interval_range_frame, sim_pq_adc_topk,
 # dedup_minhash_estimate_error, fn_collation_suite, fn_map_hof_suite,
-# dedup_lsh_candidate_recall, data_curation_funnel, window_user_paths —
-# 32 + 24 + 31 = 87 oracle-backed names; r4 fronts 50, leaving thirty-three
+# dedup_lsh_candidate_recall, data_curation_funnel, window_user_paths,
+# window_rfm_segments, sql_pivot_clause —
+# 32 + 24 + 33 = 89 oracle-backed names; r4 fronts 50, leaving thirty-three
 # plus the five rows-only for r5's slots.
 
 
