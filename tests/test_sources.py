@@ -410,3 +410,51 @@ def test_python_ds_pushdown_prunes_and_strides(spark):
     )
     expected = {(i, i % 10, (i * 2654435761) % 1000003) for i in range(1207, 3800, 10)}
     assert {tuple(r) for r in pushed.collect()} == expected
+
+
+def test_csv_permissive_mode_captures_corrupt_rows(spark, tmp_path):
+    """S2 robustness: PERMISSIVE mode must load every parseable row and
+    route malformed ones into the _corrupt_record column instead of
+    failing the job — the only viable semantics for dirty data at scale
+    (FAILFAST on row 10^12 of a crawl is not an option)."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,not_a_number,20.0\n"
+        "3,7,30.25\n"
+        "broken row without commas\n"
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["qty"] == 5 and rows[1]["_corrupt_record"] is None
+    assert rows[3]["price"] == 30.25
+    # malformed rows survive WITH their raw text attached
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 2
+    assert any("not_a_number" in r["_corrupt_record"] for r in bad)
+    assert all(r["qty"] is None for r in bad)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """S5 evolution: two parquet generations with different columns read
+    back as ONE table under mergeSchema — old rows surface NULL for new
+    columns. This is how a 100 TB dataset adds a column without
+    rewriting history."""
+    v1 = spark.createDataFrame([(1, "a")], "id BIGINT, name STRING")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id BIGINT, name STRING, score DOUBLE"
+    )
+    v1.write.parquet(str(tmp_path / "t" / "gen=1"))
+    v2.write.parquet(str(tmp_path / "t" / "gen=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"id", "name", "score", "gen"}
+    got = {r["id"]: r for r in merged.collect()}
+    assert got[1]["score"] is None and got[1]["gen"] == 1
+    assert got[2]["score"] == 0.5 and got[2]["gen"] == 2
