@@ -177,37 +177,48 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Rotation bookkeeping: r1 verified 50 queries, r2 a disjoint 50 (see
-# CORRECTNESS_r0{1,2}.json). The 87 names above are exactly the remainder;
-# after r3 verifies the first 50, promote the r4 queue (and any queries
-# added during r3, which register after the listed names) to the front.
+# CORRECTNESS_r0{1,2}.json; 99 driver-green — one r1 slot was the
+# no_oracle HLL row). The 50-name front block above is r3's batch.
 #
-# r4 TODO (write the next _PRIORITY front block from this): the never-
-# driver-verified set after r3 = the 32-name r4 queue above + the 5
-# rows-only + the 24 round-3 additions: join_fuzzy_supplier_names,
-# agg_skew_kurtosis, window_rolling_median, window_ewma_quantity,
-# fn_binary_string_suite, fn_date_suite2, fn_time_suite,
-# sql_recursive_month_spine, dedup_simhash_hamming_pairs,
-# dedup_incremental_exact, text_zipf_slope, text_vocab_overlap_sources,
-# data_mixture_budget_plan, sketch_bloom_semijoin, sketch_countmin_topk,
-# sketch_kmv_distinct, sketch_theta_set_overlap, sim_gram_matrix_block,
-# sim_random_projection_reduce, graph_pagerank_fixedpoint,
-# window_interpolate_linear, agg_weighted_median,
-# sketch_histogram_quantiles, stream_countmin_grid_twin — plus the 8
-# later r3 additions: text_minhash_containment, text_token_entropy,
-# data_curriculum_order, window_sessionize_gap, sketch_hll_registers,
-# sketch_hll_estimate, sim_product_quantization, graph_triangle_count,
-# stream_hourly_topk_twin, fn_url_suite, data_reservoir_per_source,
-# window_sliding_distinct_users_7d, agg_ols_two_features,
-# join_asof_nearest_click, data_contrastive_pairs,
-# data_dataset_card_stats, data_quality_model_score, join_time_band_pairs,
-# data_snapshot_diff, scan_python_ds_pushdown, fn_sql_udf_suite,
-# sql_parameterized_markers, agg_filter_clause_suite,
-# window_interval_range_frame, sim_pq_adc_topk,
-# dedup_minhash_estimate_error, fn_collation_suite, fn_map_hof_suite,
-# dedup_lsh_candidate_recall, data_curation_funnel, window_user_paths,
-# window_rfm_segments, sql_pivot_clause —
-# 32 + 24 + 33 = 89 oracle-backed names; r4 fronts 50, leaving thirty-three
-# plus the five rows-only for r5's slots.
+# r4 TODO (authoritative, computed from the registry + CORRECTNESS
+# files this session): the never-driver-verified oracle-backed set
+# after r3 is exactly these 89 names — front the FIRST 50 of them in
+# r4, the remaining 39 plus the 8 rows-only entries in r5:
+# merge_upsert_emulation, join_pit_scd2_state, join_basket_part_pairs,
+# join_lateral_topn_per_nation, join_interval_overlap_windows,
+# agg_min_max_by, agg_corr_regr, agg_mode_deterministic,
+# agg_histogram_width_bucket, agg_group_by_all, agg_bool_count_if,
+# window_nth_value_frames, window_cohort_retention, window_gapfill_daily,
+# window_scd2_intervals, window_anomaly_zscore, window_streak_islands,
+# window_yoy_revenue_growth, window_pct_of_total_share,
+# window_share_within_region, window_cumulative_distinct_users,
+# window_minmax_normalize, fn_bitwise_suite, text_pii_scrub,
+# text_repetition_ratio, text_normalize_clean, text_gopher_quality_rules,
+# data_decontaminate_ngram, data_train_valid_split,
+# data_shuffle_deterministic, data_interleave_sources,
+# data_e2e_prep_pipeline, scan_python_ds_pushdown,
+# join_fuzzy_supplier_names, join_asof_nearest_click,
+# join_time_band_pairs, agg_skew_kurtosis, agg_weighted_median,
+# agg_ols_two_features, agg_filter_clause_suite, window_rolling_median,
+# window_ewma_quantity, window_interpolate_linear, window_sessionize_gap,
+# window_sliding_distinct_users_7d, window_interval_range_frame,
+# window_user_paths, fn_binary_string_suite, fn_date_suite2,
+# fn_time_suite, fn_url_suite, fn_sql_udf_suite,
+# sql_parameterized_markers, fn_collation_suite, fn_map_hof_suite,
+# sql_recursive_month_spine, window_rfm_segments, sql_pivot_clause,
+# dedup_simhash_hamming_pairs, dedup_incremental_exact,
+# dedup_minhash_estimate_error, dedup_lsh_candidate_recall,
+# sim_gram_matrix_block, sim_random_projection_reduce,
+# sim_product_quantization, sim_pq_adc_topk, text_zipf_slope,
+# text_vocab_overlap_sources, data_mixture_budget_plan,
+# data_reservoir_per_source, data_contrastive_pairs,
+# sketch_bloom_semijoin, sketch_countmin_topk, sketch_kmv_distinct,
+# sketch_theta_set_overlap, sketch_histogram_quantiles,
+# sketch_hll_registers, sketch_hll_estimate, graph_pagerank_fixedpoint,
+# graph_triangle_count, text_minhash_containment, text_token_entropy,
+# data_curriculum_order, data_dataset_card_stats,
+# data_quality_model_score, data_snapshot_diff, data_curation_funnel,
+# stream_countmin_grid_twin, stream_hourly_topk_twin
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
