@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+from pyspark_for_ebook_classification_spark.operators.dedup import (
+    _NGRAM_PAIRS_CTES,
+    JACCARD_THRESHOLD,
+    _ngram_pairs,
+)
 from pyspark_for_ebook_classification_spark.functions.ranks import (
     ntile_from_rank,
     with_global_rank,
@@ -506,42 +511,24 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_SQL = """
-    WITH toks AS (
+_FUNNEL_SQL = f"""
+    WITH {_NGRAM_PAIRS_CTES},
+    fn_toks AS (
         SELECT doc_id, text,
                length(list_filter(string_split(text, ' '), t -> t <> ''))
                    AS n_tok
         FROM documents
     ),
-    gated AS (SELECT doc_id, text FROM toks WHERE n_tok >= 20),
+    gated AS (SELECT doc_id, text FROM fn_toks WHERE n_tok >= 20),
     exact_keep AS (
         SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
     ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id,
-                     list_distinct(list_transform(
-                         range(1, length(list_filter(string_split(text, ' '),
-                             t -> t <> '')) - 1),
-                         i -> list_filter(string_split(text, ' '), t -> t <> '')[i]
-                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+1]
-                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+2]
-                     )) AS sh
-              FROM gated) a
-        JOIN (SELECT doc_id,
-                     list_distinct(list_transform(
-                         range(1, length(list_filter(string_split(text, ' '),
-                             t -> t <> '')) - 1),
-                         i -> list_filter(string_split(text, ' '), t -> t <> '')[i]
-                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+1]
-                           || ' ' || list_filter(string_split(text, ' '), t -> t <> '')[i+2]
-                     )) AS sh
-              FROM gated) b
-          ON a.doc_id < b.doc_id
-         AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / length(list_distinct(a.sh || b.sh)) >= 0.7
-    ),
-    near_drop AS (SELECT DISTINCT doc_b FROM pairs)
+    near_drop AS (
+        SELECT DISTINCT doc_b FROM ngram_pairs
+        WHERE jac >= {JACCARD_THRESHOLD}
+          AND doc_a IN (SELECT doc_id FROM exact_keep)
+          AND doc_b IN (SELECT doc_id FROM exact_keep)
+    )
     SELECT 1 AS stage_no, 'raw' AS stage,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
     UNION ALL
@@ -568,10 +555,12 @@ def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dashboard row every curation run publishes: how many
     documents survive each gate. Gates reuse the pipeline's own
     definitions — the 20-token floor of text_quality_score, sha256
-    keep-first exact dedup, and the jac ≥ 0.7 near-dup rule with
-    keep-lower-id pair dropping (the funnel's summary simplification of
-    the full connected-components canonicalization;
-    dedup_cluster_keep_best is the production variant). Each stage
+    keep-first exact dedup, and the PRODUCTION near-dup pair rule
+    (_ngram_pairs: blocked sparse shared-shingle join at
+    JACCARD_THRESHOLD) with keep-lower-id pair dropping — the summary
+    simplification of the full connected-components canonicalization
+    (dedup_cluster_keep_best), but over the exact pair set the dedup
+    operators compute, so the dashboard cannot drift from them. Each stage
     count derives from the previous stage's survivor set, so the
     numbers are an actual funnel, not independent estimates. Spark
     computes the shared survivor frames once (checkpointed) and
@@ -591,38 +580,15 @@ def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
-    # near-dup pairs among gated docs (same rule as _ngram_pairs at 0.7,
-    # but self-contained over the gated frame)
-    sh = F.expr(
-        "array_distinct(transform(sequence(1, size(tokens) - 2), "
-        "i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), "
-        "element_at(tokens, i + 2))))"
-    )
-    ex = (
-        gated.select("doc_id", toks.alias("tokens"))
-        .filter(F.size("tokens") >= 3)
-        .select("doc_id", F.explode(sh).alias("s"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("isz"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # near-dup drops: the PRODUCTION pair rule verbatim (_ngram_pairs —
+    # blocked by (lang, len_bucket), sparse shared-shingle join) at the
+    # production JACCARD_THRESHOLD, restricted to exact-dedup survivors,
+    # so the funnel reports what the dedup operators would actually do
     near_drop = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("isz").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("isz"))
-            >= 0.7
-        )
+        _ngram_pairs(spark, sf_dir)
+        .filter(F.col("jac_raw") >= JACCARD_THRESHOLD)
+        .join(exact_keep.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .join(exact_keep.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
         .select("doc_b")
         .distinct()
     )

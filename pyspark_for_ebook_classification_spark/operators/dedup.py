@@ -215,39 +215,73 @@ def _sql_sig_chain(prefix: str = "", doc_filter: str = "") -> str:
         )"""
 
 
-def _sql_minhash_cte() -> str:
-    """Oracle-side rendering of the identical shingle-MinHash pipeline."""
+def _sql_band_cand_chain(prefix: str = "") -> str:
+    """band → bucket-cap → candidate CTEs over ``{prefix}sig`` (no WITH
+    keyword) — single source for both the production dedup oracle and
+    the calibration oracle."""
+    p = prefix
     bands = "\n            UNION ALL\n            ".join(
-        "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM sig".format(
+        "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM {p}sig".format(
             b=b,
+            p=p,
             expr=" || '|' || ".join(
                 f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
             ),
         )
         for b in range(N_BANDS)
     )
-    return f"""
-        WITH {_sql_sig_chain()},
-        bands AS (
+    return f"""{p}bands AS (
             {bands}
         ),
-        ok_buckets AS (
-            SELECT band_id, band_hash FROM bands
+        {p}ok_buckets AS (
+            SELECT band_id, band_hash FROM {p}bands
             GROUP BY band_id, band_hash
             HAVING COUNT(*) <= {MAX_BUCKET}
         ),
-        capped AS (
-            SELECT b.* FROM bands b
-            JOIN ok_buckets USING (band_id, band_hash)
+        {p}capped AS (
+            SELECT b.* FROM {p}bands b
+            JOIN {p}ok_buckets USING (band_id, band_hash)
         ),
-        cand AS (
+        {p}cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM capped a
-            JOIN capped b
+            FROM {p}capped a
+            JOIN {p}capped b
               ON a.band_id = b.band_id AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+def _sql_minhash_cte() -> str:
+    """Oracle-side rendering of the identical shingle-MinHash pipeline."""
+    return f"""
+        WITH {_sql_sig_chain()},
+        {_sql_band_cand_chain()}
     """
+
+
+def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from a band frame — THE banding
+    configuration: bucket on (band_id, band_hash), keep bucket sizes in
+    [2, MAX_BUCKET], expand pairs in-bucket (no self-join; signatures
+    are computed once). Shared by dedup_minhash_lsh (production dedup)
+    and dedup_lsh_candidate_recall (its calibration), so the audited
+    pipeline and the audited-against pipeline cannot drift apart."""
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    # docs is sorted, so i<j expansion yields doc_a < doc_b directly
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(docs) - 1), "
+        "i -> transform(sequence(i + 1, size(docs)), "
+        "j -> struct(element_at(docs, i) AS doc_a, element_at(docs, j) AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
 
 
 @query(
@@ -289,24 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("tokens") >= 1)
         .select("doc_id", _shingles_expr().alias("shingles"))
     )
-    bands = _bands(_minhash_signature(d))
-
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
-    )
-    # docs is sorted, so i<j expansion yields doc_a < doc_b directly
-    pair_expr = F.expr(
-        "flatten(transform(sequence(1, size(docs) - 1), "
-        "i -> transform(sequence(i + 1, size(docs)), "
-        "j -> struct(element_at(docs, i) AS doc_a, element_at(docs, j) AS doc_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(_bands(_minhash_signature(d)))
 
     ta = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     tb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -993,9 +1010,10 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "jac_raw"
     ).localCheckpoint(eager=True)
     # signatures only for pair PARTICIPANTS: the pair set is tiny relative
-    # to the corpus, so a semi-join before the signature explode cuts the
-    # dominant cost (measured 10.8s -> sub-second at sf0.1) — signatures
-    # on demand, the calibration-job dataflow
+    # to the corpus, so a semi-join before the signature explode makes the
+    # SIGNATURE stage sub-second at sf0.1 (whole query 10.8s -> 5.8s; the
+    # remainder is the ground-truth pair stage itself) — signatures on
+    # demand, the calibration-job dataflow
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -1027,36 +1045,6 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_mh_cand_cte() -> str:
-    """mh_-prefixed band/bucket/candidate CTEs over _sql_sig_chain('mh_')."""
-    bands = "\n            UNION ALL\n            ".join(
-        "SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM mh_sig".format(
-            b=b,
-            expr=" || '|' || ".join(
-                f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
-            ),
-        )
-        for b in range(N_BANDS)
-    )
-    return f"""mh_bands AS (
-            {bands}
-        ),
-        mh_ok AS (
-            SELECT band_id, band_hash FROM mh_bands
-            GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}
-        ),
-        mh_capped AS (
-            SELECT b.* FROM mh_bands b JOIN mh_ok USING (band_id, band_hash)
-        ),
-        mh_cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM mh_capped a
-            JOIN mh_capped b
-              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-        )"""
-
-
 @query(
     "dedup_lsh_candidate_recall",
     survey_ref="L2,A3,A1",
@@ -1066,7 +1054,7 @@ def _sql_mh_cand_cte() -> str:
     oracle=f"""
         WITH {_NGRAM_PAIRS_CTES},
         {_sql_sig_chain('mh_')},
-        {_sql_mh_cand_cte()},
+        {_sql_band_cand_chain('mh_')},
         truth AS (
             SELECT doc_a, doc_b FROM ngram_pairs WHERE jac >= {JACCARD_THRESHOLD}
         )
@@ -1096,22 +1084,8 @@ def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    sig = _minhash_signature(load(spark, sf_dir, "documents"))
-    bands = _bands(sig)
-    ok = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") <= MAX_BUCKET)
-        .select("band_id", "band_hash")
-    )
-    capped = bands.join(ok, ["band_id", "band_hash"])
-    ca = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    cb = capped.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
-    cand = (
-        ca.join(cb, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    cand = _lsh_candidate_pairs(
+        _bands(_minhash_signature(load(spark, sf_dir, "documents")))
     )
     hit = F.when(F.col("c_a").isNotNull(), 1).otherwise(0)
     joined = truth.join(
