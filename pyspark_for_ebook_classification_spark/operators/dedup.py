@@ -1102,3 +1102,63 @@ def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_recall"
         ),
     )
+
+
+@query(
+    "dedup_cluster_size_distribution",
+    survey_ref="L2,L1,A1",
+    doc="Near-dup cluster-size histogram: how many components of each "
+    "size the similarity graph contains — the dedup-savings summary.",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM ngram_pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM ngram_pairs
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lab
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, MIN(lab) AS component_id
+            FROM reach GROUP BY doc_id
+        ),
+        sizes AS (
+            SELECT component_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY component_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removable
+        FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The summary a dedup run reports up: the component-size histogram
+    plus, per size, how many documents canonicalization would remove
+    (size − 1 each). Derived from the SAME fixpoint the CC operator
+    computes (its callable is reused directly — no second propagation
+    loop definition to drift), then two bounded aggregations: components
+    → sizes → histogram. The histogram is at most max-cluster-size rows
+    at any corpus scale, and Σ n_docs reconciling to the corpus count is
+    the built-in sanity check (asserted in tests/test_corpus.py)."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("docs_removable"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "docs_removable",
+    )

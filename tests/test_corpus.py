@@ -296,3 +296,15 @@ def test_lsh_calibration_numbers_in_theory_range(spark, sf_dir):
         sigma = (j * (1 - j) / 12) ** 0.5
         assert r["abs_err"] <= max(4 * sigma, 0.26), (r["doc_a"], r["doc_b"])
         assert 0 <= r["minhash_estimate"] <= 1
+
+
+def test_cluster_size_distribution_reconciles(spark, sf_dir):
+    """Σ(size × clusters) must equal the corpus count, and removable =
+    Σ(size-1 × clusters) must equal corpus − number of components."""
+    rows = (
+        all_queries()["dedup_cluster_size_distribution"].fn(spark, sf_dir).collect()
+    )
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    n_components = sum(r["n_clusters"] for r in rows)
+    assert sum(r["docs_removable"] for r in rows) == n_docs - n_components
