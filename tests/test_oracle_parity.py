@@ -46,3 +46,39 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(QUERIES)
+
+
+def test_priority_rotation_names_exist():
+    """Every name in the driver-facing rotation list must be a registered
+    query — a typo here would silently push a query out of its verification
+    slot."""
+    from pyspark_for_ebook_classification_spark.plans.registry import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    missing = [n for n in _PRIORITY if n not in qs]
+    assert not missing, missing
+    assert len(set(_PRIORITY)) == len(_PRIORITY)  # no duplicate slots
+
+
+def test_bench_and_evidence_names_exist():
+    """bench.py's HEADLINE and EXTRA sets drive BENCH/SCALING/PLANS —
+    a renamed query must fail here, not silently vanish from evidence."""
+    import bench
+
+    qs = QUERIES
+    for name in bench.HEADLINE + bench.EXTRA:
+        assert name in qs, name
+    assert len(set(bench.HEADLINE + bench.EXTRA)) == len(
+        bench.HEADLINE + bench.EXTRA
+    )
+
+
+def test_r3_front_block_is_oracle_backed():
+    """The 50 rotation-front queries the driver will hash-check this
+    round must all carry oracle SQL (a rows-only query in a front slot
+    would burn a verification slot on a weaker check)."""
+    names = list(QUERIES)[:50]
+    assert all(QUERIES[n].oracle is not None for n in names)
