@@ -11,7 +11,7 @@ functions/numeric.py keeps sums order-independent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import sql_dsum
@@ -813,4 +813,136 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
         )
         """
+    )
+
+
+_ORDER_GAP_SQL = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           round(CAST(SUM(CAST(gap_days AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(gap_days), 6) AS avg_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+"""
+
+
+@query(
+    "window_order_gap_stats",
+    survey_ref="W2,A1,F2,§3-EP3",
+    doc="Inter-purchase intervals: per-customer gap statistics between "
+    "consecutive orders — the repurchase-cadence metric.",
+    oracle=_ORDER_GAP_SQL,
+)
+def window_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag over (custkey, orderdate, orderkey) — the unique orderkey
+    tiebreak makes same-day order sequences total, so every gap is
+    deterministic — then one partial-aggregated groupBy for the
+    cadence stats. The window and the aggregate share a single
+    custkey exchange. Average accumulates in decimal; gaps are
+    integer day arithmetic, identical in both engines."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(28,6)")).cast("double")
+            / F.count("gap_days"),
+            6,
+        ).alias("avg_gap_days"),
+    )
+
+
+_PARETO_SQL = """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT custkey, revenue,
+               ntile(10) OVER (ORDER BY revenue DESC, custkey) AS decile
+        FROM rev
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS t
+        FROM rev
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           round(CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS revenue_share
+    FROM tiled GROUP BY decile
+"""
+
+
+@query(
+    "agg_pareto_deciles",
+    survey_ref="W1,A1,A7,§3-EP3",
+    doc="Pareto analysis: customer revenue deciles with each decile's "
+    "share of total — computed with the scalable global rank, not a "
+    "single-task ntile.",
+    oracle=_PARETO_SQL,
+)
+def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 report: rank all customers by revenue (two-pass global
+    rank — at a billion customers a bare ntile window is one task),
+    derive the decile with exact integer arithmetic, aggregate each
+    decile's revenue and share of the decimal-exact total. Ten output
+    rows at any scale; the share denominator is a one-row broadcast."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    n = rev.groupBy().agg(F.count(F.lit(1)).alias("n_cust"))
+    tot = rev.groupBy().agg(
+        F.sum(F.col("revenue").cast("decimal(28,6)")).cast("double").alias("t")
+    )
+    ranked = (
+        with_global_rank(
+            rev.withColumn("neg_rev", -F.col("revenue")),
+            ["neg_rev", "custkey"],
+            out="rk",
+        )
+        .join(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank("rk", "n_cust", 10).cast("int"))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
+        )
     )

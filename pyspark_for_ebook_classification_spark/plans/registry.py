@@ -183,8 +183,9 @@ _PRIORITY: tuple[str, ...] = (
 # r4 TODO (authoritative, computed from the registry + CORRECTNESS
 # files this session): the never-driver-verified oracle-backed set
 # after r3 is exactly these 89 names (plus dedup_cluster_size_distribution,
-# added after this list was computed → 90) — front the FIRST 50 in
-# r4, the remaining 40 plus the 8 rows-only entries in r5:
+# window_order_gap_stats and agg_pareto_deciles, added after this list
+# was computed → 92) — front the FIRST 50 in r4, the remaining 42 plus
+# the 8 rows-only entries in r5:
 # merge_upsert_emulation, join_pit_scd2_state, join_basket_part_pairs,
 # join_lateral_topn_per_nation, join_interval_overlap_windows,
 # agg_min_max_by, agg_corr_regr, agg_mode_deterministic,
