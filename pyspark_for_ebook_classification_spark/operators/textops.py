@@ -703,8 +703,9 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             token,
             COUNT(DISTINCT doc_id) AS df,
             COUNT(*) AS tf,
-            list_sort(list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)))[1:20]
-                AS postings
+            array_to_string(
+                list_sort(list(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)))[1:20],
+                '|') AS postings
         FROM pos
         GROUP BY token
         HAVING COUNT(DISTINCT doc_id) >= 3
@@ -715,9 +716,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, group by token, and emit a BOUNDED, deterministically-ordered
     posting list (sort_array + slice to 20 — the unbounded collect_list
     is the classic 100 TB OOM, so the cap is part of the operator's
-    contract). Postings are 'doc:pos' strings so the list compares
-    identically across engines. One token-keyed shuffle; df/tf ride the
-    same aggregate."""
+    contract). Postings are 'doc:pos' strings, and the capped list is
+    flattened to ONE '|'-joined string column in both engines — the
+    driver's canonicalizer cannot hash list cells (r3 driver failure), so
+    registered outputs are scalar-only. One token-keyed shuffle; df/tf
+    ride the same aggregate."""
     d = load(spark, sf_dir, "documents")
     pos = (
         d.filter(F.col("doc_id") % 4 == 0)
@@ -733,7 +736,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("df"),
             F.count(F.lit(1)).alias("tf"),
-            F.slice(F.sort_array(F.collect_list("posting")), 1, 20).alias("postings"),
+            F.concat_ws(
+                "|", F.slice(F.sort_array(F.collect_list("posting")), 1, 20)
+            ).alias("postings"),
         )
         .filter(F.col("df") >= 3)
     )
