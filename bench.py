@@ -39,13 +39,20 @@ HEADLINE = [
     "text_tfidf_vocab",           # explode-heavy text agg
     "text_lang_id_ngram",         # multi-stage text classifier
     "stream_session_window_twin",  # session windows
+    # r5 additions (r4 verdict item 6): the three worst sub-linear scaling
+    # ratios from SCALING.md — pair-generating jobs whose candidate sets
+    # grow super-linearly in corpus density — now tracked round-over-round.
+    # NOTE: the 13-query r1–r4 total is comparable via sum(queries) minus
+    # these three; per-query timings stay directly comparable.
+    "text_minhash_containment",   # shared-shingle containment pairs
+    "dedup_minhash_estimate_error",  # LSH estimate vs exact Jaccard
+    "graph_triangle_count",       # degree-oriented triangle counting
 ]
 
 #: round-3 additions measured by scripts/scaling_check.py and plan-dumped
 #: by scripts/dump_plans.py (not part of the driver-facing headline wall
 #: number, which stays comparable across rounds).
 EXTRA = [
-    "text_minhash_containment",
     "text_token_entropy",
     "data_curriculum_order",
     "data_reservoir_per_source",
@@ -53,7 +60,6 @@ EXTRA = [
     "stream_hourly_topk_twin",
     "sketch_hll_registers",
     "sim_product_quantization",
-    "graph_triangle_count",
     "fn_url_suite",
     "window_sliding_distinct_users_7d",
     "agg_ols_two_features",
@@ -63,7 +69,6 @@ EXTRA = [
     "data_snapshot_diff",
     "data_dataset_card_stats",
     "sim_pq_adc_topk",
-    "dedup_minhash_estimate_error",
 ]
 
 

@@ -37,8 +37,20 @@ def with_global_rank(
     ``order_cols`` must define a TOTAL order (end with a unique key) or
     ranks would be sample-dependent. All original columns are kept.
     """
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "_gr_pid", F.spark_partition_id()
+    # localCheckpoint pins ONE physical materialization of the
+    # nondeterministic repartitionByRange + spark_partition_id() subplan.
+    # Both consumers below (the counts pipeline and the final join) read
+    # the same checkpointed partitions, so correctness no longer depends
+    # on Spark's exchange-reuse collapsing the two branches — if the
+    # sampled range boundaries differed between branches, offsets and
+    # in-partition ranks would disagree and every consumer (RFM, Pareto
+    # deciles, curriculum order, deterministic shuffle, histogram
+    # quantiles) would silently corrupt. Same pattern as the CC fixpoint
+    # in operators/dedup.py (labels localCheckpoint).
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_gr_n"))
     # prefix offsets via a triangular self-join: the counts table has

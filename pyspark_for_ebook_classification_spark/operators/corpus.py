@@ -441,7 +441,7 @@ _SNAPSHOT_DIFF_SQL = """
         -- deterministic simulated next crawl: every 17th doc dropped,
         -- every 13th doc re-extracted with changed content, every 19th
         -- doc's id re-minted as a brand-new document
-        SELECT CASE WHEN doc_id % 19 = 0 THEN doc_id + 1000000
+        SELECT CASE WHEN doc_id % 19 = 0 THEN doc_id + 1000000000000
                     ELSE doc_id END AS doc_id,
                CASE WHEN doc_id % 13 = 0 THEN md5(text || ':v2')
                     ELSE md5(text) END AS h
@@ -484,7 +484,11 @@ def data_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = (
         d.filter(F.col("doc_id") % 17 != 0)
         .select(
-            F.when(F.col("doc_id") % 19 == 0, F.col("doc_id") + 1_000_000)
+            # re-mint offset is 10^12, far above any real doc_id range —
+            # a 10^6 offset would collide with genuine ids once the corpus
+            # exceeds 1e6 docs, and the oracle mirrors the arithmetic so
+            # parity alone could never catch the collision
+            F.when(F.col("doc_id") % 19 == 0, F.col("doc_id") + 1_000_000_000_000)
             .otherwise(F.col("doc_id"))
             .alias("doc_id"),
             F.when(

@@ -656,7 +656,7 @@ def fn_explode_outer_preserves_rows(spark: SparkSession, sf_dir: str) -> DataFra
             contains(text, 'data') AS has_data,
             starts_with(text, 'the ') AS starts_the,
             ends_with(text, '.') AS ends_period,
-            array_to_string(regexp_extract_all(text, '[0-9]+'), '|') AS numbers,
+            COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), '|'), '') AS numbers,
             repeat('ab', 3) AS abab,
             reverse(split_part(text, ' ', 1)) AS first_tok_rev
         FROM documents
@@ -671,7 +671,10 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
     '|'-joined string in BOTH engines — the driver's canonicalizer sorts
     raw pandas columns and cannot hash list cells (r3 driver failure), so
     every registered query emits scalar columns only (guard:
-    tests/test_oracle_parity.py::test_no_nested_output_columns)."""
+    tests/test_oracle_parity.py::test_no_nested_output_columns). On docs
+    with ZERO matches, Spark's array_join([], '|') is '' while DuckDB's
+    array_to_string (string_agg) is NULL — the oracle COALESCEs to ''
+    so both engines agree on the empty-match case (r4 verdict item 2)."""
     d = load(spark, sf_dir, "documents")
     return d.filter(F.col("doc_id") % 15 == 0).select(
         "doc_id",
@@ -1046,14 +1049,14 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-user event profiles, verified by exploding back to rows.",
     oracle="""
         WITH per AS (
-            SELECT user_id, event_type,
+            SELECT user_id, upper(event_type) AS etype,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
             FROM events WHERE user_id % 25 = 0
-            GROUP BY user_id, event_type
+            GROUP BY user_id, upper(event_type)
         )
         SELECT user_id,
-               upper(event_type) AS etype,
+               etype,
                n,
                round(sv, 6) AS sum_value,
                round(CAST(n AS DOUBLE)
@@ -1066,46 +1069,61 @@ def fn_map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full map-HOF surface in one pipeline: per-user profiles are
     materialized AS MAPS (map_from_entries over grouped counts/sums),
     then map_zip_with merges the two maps key-wise, transform_keys
-    normalizes the keys, transform_values derives shares against the
-    user total, and map_filter marks frequent types — finally exploded
-    back to rows because relational rows, not map columns, are what the
-    driver's value hash (and any downstream join) wants. The oracle
-    never touches a map: it computes the identical rows with plain
-    aggregation + a window share, which is the semantic contract — map
-    HOFs are a LAYOUT choice (entries stay one row-object per user,
-    useful when profiles ride along wide rows), not new semantics. All
-    lambdas execute in codegen; no Python."""
+    re-tags the keys (an INJECTIVE transform — upper-casing inside
+    transform_keys would throw Spark's duplicate-map-key error the moment
+    two raw event types collide after normalization, e.g. 'buy'/'Buy';
+    case normalization therefore happens at AGGREGATION time in both
+    engines, where colliding raws merge into one group, pinned by
+    tests/test_regressions.py::test_map_hof_suite_mixed_case_keys),
+    transform_values derives shares against the user total, and
+    map_filter marks frequent types — finally exploded back to rows
+    because relational rows, not map columns, are what the driver's
+    value hash (and any downstream join) wants. The oracle never touches
+    a map: it computes the identical rows with plain aggregation + a
+    window share, which is the semantic contract — map HOFs are a LAYOUT
+    choice (entries stay one row-object per user, useful when profiles
+    ride along wide rows), not new semantics. Lookups into
+    share_map/freq_map use the key carried through the zipped struct, so
+    they survive any re-tagging of the outer map's keys. All lambdas
+    execute in codegen; no Python."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
-    per = ev.groupBy("user_id", "event_type").agg(
+    per = ev.groupBy(
+        "user_id", F.upper("event_type").alias("etype_norm")
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sv"),
     )
     maps = per.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("cm"),
-        F.map_from_entries(F.collect_list(F.struct("event_type", "sv"))).alias("sm"),
+        F.map_from_entries(F.collect_list(F.struct("etype_norm", "n"))).alias("cm"),
+        F.map_from_entries(F.collect_list(F.struct("etype_norm", "sv"))).alias("sm"),
         F.sum("n").alias("total"),
     )
+    # carry the map key through the zipped struct: after transform_keys
+    # re-tags the outer keys, share_map/freq_map (keyed by the untagged
+    # etype) are still looked up with the exact original key
     z = F.map_zip_with(
-        "cm", "sm", lambda k, c, s: F.struct(c.alias("n"), s.alias("sv"))
+        "cm",
+        "sm",
+        lambda k, c, s: F.struct(c.alias("n"), s.alias("sv"), k.alias("orig_key")),
     )
-    zk = F.transform_keys(z, lambda k, v: F.upper(k))
+    zk = F.transform_keys(z, lambda k, v: F.concat(F.lit("evt:"), k))
     shares = F.transform_values(
         "cm", lambda k, v: F.round(v.cast("double") / F.col("total"), 6)
     )
     freq = F.map_filter("cm", lambda k, v: v >= 10)
     composed = maps.select(
         "user_id",
-        F.explode(zk).alias("etype", "cs"),
+        F.explode(zk).alias("tagged_etype", "cs"),
         shares.alias("share_map"),
         freq.alias("freq_map"),
     )
     return composed.select(
         "user_id",
-        "etype",
+        F.col("cs.orig_key").alias("etype"),
         F.col("cs.n").alias("n"),
         F.round(F.col("cs.sv"), 6).alias("sum_value"),
-        F.element_at(F.col("share_map"), F.lower("etype")).alias("share"),
-        F.map_contains_key(F.col("freq_map"), F.lower("etype")).alias(
+        F.element_at(F.col("share_map"), F.col("cs.orig_key")).alias("share"),
+        F.map_contains_key(F.col("freq_map"), F.col("cs.orig_key")).alias(
             "is_frequent"
         ),
     )

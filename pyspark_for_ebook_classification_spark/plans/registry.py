@@ -74,73 +74,81 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ================= r3 front block: 50 oracle-checked queries =========
-    # never driver-verified in r1/r2; hand-picked so every SURVEY §2
-    # operator row still lacking a driver-green entry gets one this round.
-    # — sources & sinks (S2/S3/S5/S6) —
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "scan_partitioned_pruned_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "scan_python_datasource",
-    # — join variants (J7 forward, null-safe eq) —
-    "join_asof_forward_next_error",
-    "join_null_safe_eq",
-    # — remaining aggregate surface (A7 robust/geo-mean) —
-    "agg_robust_median_mad",
-    "agg_geometric_mean_log",
-    # — scalar-function suites (F1/F4/F5/F6/F8) —
-    "fn_string_suite2",
-    "fn_higher_order_suite",
-    "fn_posexplode_positions",
-    "fn_explode_outer_preserves_rows",
-    "fn_map_suite",
-    "fn_struct_suite",
-    "fn_variant_suite",
-    "fn_xml_parse_suite",
-    "fn_null_suite",
-    "fn_try_suite",
-    # — LLM-data-pipeline additions (L1/L2/L3/L5/L6) —
-    "dedup_chunk_global",
-    "dedup_cluster_keep_best",
-    "sim_ann_ivf_label_cells",
-    "sim_quantize_int8",
-    "sim_label_centroids",
-    "multimodal_frame_sample",
-    "text_bpe_pair_stats",
-    "text_bigram_lm_score",
-    "text_inverted_index",
-    "text_keyword_topk",
-    # — UDF/UDTF surface (UF3/UF4/UF5/UF7) —
-    "udf_arrow_grouped_summary",
-    "udf_arrow_map_batches",
-    "udtf_polymorphic_first_tokens",
-    "udtf_table_arg_longest_doc",
-    "udf_cogrouped_merge_asof",
-    # — streaming beyond-survey twins (ST8/ST9) —
-    "stream_stream_join_twin",
-    "stream_chained_window_twin",
-    # — TPC-H classic sweep completion (13 remaining numbers) —
-    "sql_min_cost_supplier_q2",
-    "sql_volume_shipping_q7",
-    "sql_market_share_q8",
-    "sql_product_profit_q9",
-    "sql_important_stock_q11",
-    "sql_ship_priority_split_q12",
-    "sql_customer_distribution_q13",
-    "sql_top_supplier_q15",
-    "sql_parts_supplier_cnt_q16",
-    "sql_small_qty_revenue_q17",
-    "sql_excess_stock_suppliers_q20",
-    "sql_waiting_suppliers_q21",
-    "sql_sales_opportunity_q22",
-    # ================= r4 queue: remaining 32 oracle-checked =============
+    # ================= r5 front block: 50 oracle-checked queries =========
+    # the first 50 of the 92 oracle-backed queries never driver-verified
+    # after r1–r4 (r4 re-checked r3's set; this block finally advances the
+    # rotation). Leads with the zero-driver-green §2 families: L8 sketches,
+    # L9 graphs, L7 datapipe, PQ/JL/Gram similarity, LSH calibration.
+    # — L8 mergeable sketches (sketches.py) —
+    "sketch_bloom_semijoin",
+    "sketch_countmin_topk",
+    "sketch_kmv_distinct",
+    "sketch_theta_set_overlap",
+    "sketch_histogram_quantiles",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    # — L9 iterative graph (graphs.py) —
+    "graph_pagerank_fixedpoint",
+    "graph_triangle_count",
+    # — L7 sampling/mixing/packing + corpus curation (datapipe.py, corpus.py) —
+    "data_mixture_budget_plan",
+    "data_reservoir_per_source",
+    "data_contrastive_pairs",
+    "data_curriculum_order",
+    "data_dataset_card_stats",
+    "data_quality_model_score",
+    "data_snapshot_diff",
+    "data_curation_funnel",
+    "data_decontaminate_ngram",
+    "data_train_valid_split",
+    "data_shuffle_deterministic",
+    "data_interleave_sources",
+    "data_e2e_prep_pipeline",
+    # — L3 PQ/ADC, JL projection, Gram block (similarity.py) —
+    "sim_gram_matrix_block",
+    "sim_random_projection_reduce",
+    "sim_product_quantization",
+    "sim_pq_adc_topk",
+    # — L2 LSH calibration + dedup completions (dedup.py) —
+    "dedup_minhash_estimate_error",
+    "dedup_lsh_candidate_recall",
+    "dedup_simhash_hamming_pairs",
+    "dedup_incremental_exact",
+    "dedup_cluster_size_distribution",
+    # — L4/L6 text analysis completions (textops.py) —
+    "text_minhash_containment",
+    "text_token_entropy",
+    "text_zipf_slope",
+    "text_vocab_overlap_sources",
+    # — F5 map HOFs (case-sensitivity fix this round) —
+    "fn_map_hof_suite",
+    # — streaming relational twins (streaming/twins.py) —
+    "stream_countmin_grid_twin",
+    "stream_hourly_topk_twin",
+    # — global-rank consumers (ranks.py localCheckpoint fix this round) —
+    "window_rfm_segments",
+    "agg_pareto_deciles",
+    "window_order_gap_stats",
+    # — W3 frame-spec completions + A7 stats + misc —
+    "window_rolling_median",
+    "window_ewma_quantity",
+    "window_interpolate_linear",
+    "agg_skew_kurtosis",
+    "agg_weighted_median",
+    "agg_ols_two_features",
+    "agg_filter_clause_suite",
+    "join_asof_nearest_click",
+    "scan_python_ds_pushdown",
+    # ================= r6 queue: the remaining 42 oracle-checked =========
+    # after r5 these are the ONLY oracle-backed queries without a driver
+    # verdict; fronting them in r6 closes the book (zero never-verified).
     "merge_upsert_emulation",
     "join_pit_scd2_state",
     "join_basket_part_pairs",
     "join_lateral_topn_per_nation",
     "join_interval_overlap_windows",
+    "join_fuzzy_supplier_names",
+    "join_time_band_pairs",
     "agg_min_max_by",
     "agg_corr_regr",
     "agg_mode_deterministic",
@@ -158,69 +166,48 @@ _PRIORITY: tuple[str, ...] = (
     "window_share_within_region",
     "window_cumulative_distinct_users",
     "window_minmax_normalize",
+    "window_sessionize_gap",
+    "window_sliding_distinct_users_7d",
+    "window_interval_range_frame",
+    "window_user_paths",
     "fn_bitwise_suite",
+    "fn_binary_string_suite",
+    "fn_date_suite2",
+    "fn_time_suite",
+    "fn_url_suite",
+    "fn_sql_udf_suite",
+    "fn_collation_suite",
+    "sql_parameterized_markers",
+    "sql_recursive_month_spine",
+    "sql_pivot_clause",
     "text_pii_scrub",
     "text_repetition_ratio",
     "text_normalize_clean",
     "text_gopher_quality_rules",
-    "data_decontaminate_ngram",
-    "data_train_valid_split",
-    "data_shuffle_deterministic",
-    "data_interleave_sources",
-    "data_e2e_prep_pipeline",
     # — rows-only (no_oracle) — queue last so green-capable rows go first —
     "agg_hll_mergeable_sketch",
+    "agg_approx_percentile",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",
     "ml_eval_metrics",
 )
 
-# Rotation bookkeeping: r1 verified 50 queries, r2 a disjoint 50 (see
-# CORRECTNESS_r0{1,2}.json; 99 driver-green — one r1 slot was the
-# no_oracle HLL row). The 50-name front block above is r3's batch.
-#
-# r4 TODO (authoritative, computed from the registry + CORRECTNESS
-# files this session): the never-driver-verified oracle-backed set
-# after r3 is exactly these 89 names (plus dedup_cluster_size_distribution,
-# window_order_gap_stats and agg_pareto_deciles, added after this list
-# was computed → 92) — front the FIRST 50 in r4, the remaining 42 plus
-# the 8 rows-only entries in r5:
-# merge_upsert_emulation, join_pit_scd2_state, join_basket_part_pairs,
-# join_lateral_topn_per_nation, join_interval_overlap_windows,
-# agg_min_max_by, agg_corr_regr, agg_mode_deterministic,
-# agg_histogram_width_bucket, agg_group_by_all, agg_bool_count_if,
-# window_nth_value_frames, window_cohort_retention, window_gapfill_daily,
-# window_scd2_intervals, window_anomaly_zscore, window_streak_islands,
-# window_yoy_revenue_growth, window_pct_of_total_share,
-# window_share_within_region, window_cumulative_distinct_users,
-# window_minmax_normalize, fn_bitwise_suite, text_pii_scrub,
-# text_repetition_ratio, text_normalize_clean, text_gopher_quality_rules,
-# data_decontaminate_ngram, data_train_valid_split,
-# data_shuffle_deterministic, data_interleave_sources,
-# data_e2e_prep_pipeline, scan_python_ds_pushdown,
-# join_fuzzy_supplier_names, join_asof_nearest_click,
-# join_time_band_pairs, agg_skew_kurtosis, agg_weighted_median,
-# agg_ols_two_features, agg_filter_clause_suite, window_rolling_median,
-# window_ewma_quantity, window_interpolate_linear, window_sessionize_gap,
-# window_sliding_distinct_users_7d, window_interval_range_frame,
-# window_user_paths, fn_binary_string_suite, fn_date_suite2,
-# fn_time_suite, fn_url_suite, fn_sql_udf_suite,
-# sql_parameterized_markers, fn_collation_suite, fn_map_hof_suite,
-# sql_recursive_month_spine, window_rfm_segments, sql_pivot_clause,
-# dedup_simhash_hamming_pairs, dedup_incremental_exact,
-# dedup_minhash_estimate_error, dedup_lsh_candidate_recall,
-# sim_gram_matrix_block, sim_random_projection_reduce,
-# sim_product_quantization, sim_pq_adc_topk, text_zipf_slope,
-# text_vocab_overlap_sources, data_mixture_budget_plan,
-# data_reservoir_per_source, data_contrastive_pairs,
-# sketch_bloom_semijoin, sketch_countmin_topk, sketch_kmv_distinct,
-# sketch_theta_set_overlap, sketch_histogram_quantiles,
-# sketch_hll_registers, sketch_hll_estimate, graph_pagerank_fixedpoint,
-# graph_triangle_count, text_minhash_containment, text_token_entropy,
-# data_curriculum_order, data_dataset_card_stats,
-# data_quality_model_score, data_snapshot_diff, data_curation_funnel,
-# stream_countmin_grid_twin, stream_hourly_topk_twin
+# Rotation bookkeeping (authoritative — recomputed each round from
+# union(CORRECTNESS_r0*.json) vs the registry):
+#   r1: 50 verified (49 oracle + 1 rows-only HLL slot)
+#   r2: a disjoint 50
+#   r3: a disjoint 50 (the scan/fn/TPC-H block)
+#   r4: WASTED — re-verified r3's identical set ( _PRIORITY wasn't rotated)
+#   r5 (this file's front block): first 50 of the 92 oracle-backed
+#       never-verified names — sketches, graphs, datapipe, PQ/JL/Gram,
+#       LSH calibration, map-HOF, streaming twins, rank consumers.
+#   r6 plan: promote the "r6 queue" block above to the front — its 42
+#       oracle names are then the ONLY ones without a driver verdict, so
+#       after r6 every oracle-backed query (239) is driver-green and only
+#       the 6 by-design rows-only entries (ml_*, HLL, approx-percentile)
+#       remain on the weaker rows-only check. tests/test_oracle_parity.py
+#       ::test_r5_front_block_targets_never_verified pins this partition.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:

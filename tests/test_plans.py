@@ -322,3 +322,33 @@ def test_quality_model_is_pure_projection(spark, sf_dir):
     assert rep["shuffles"] == 0, rep["plan"]
     assert rep["broadcast_joins"] == 0 and rep["sortmerge_joins"] == 0, rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_global_rank_single_materialization(spark, sf_dir):
+    """with_global_rank pins its nondeterministic repartitionByRange +
+    spark_partition_id() subplan with localCheckpoint(eager=True): the
+    counts pipeline and the final join must BOTH read the checkpointed
+    RDD, never re-evaluate the range exchange. If the exchange appeared
+    in the downstream plan, a second (differently-sampled) partitioning
+    could silently corrupt every rank consumer (RFM, Pareto deciles,
+    curriculum order, deterministic shuffle, histogram quantiles)."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        with_global_rank,
+    )
+
+    df = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_rank(df, [F.col("o_totalprice"), F.col("o_orderkey")])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # the range exchange ran once at build time; downstream both branches
+    # scan the checkpointed RDD — no range partitioning left in the plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    # and the ranks themselves are an exact 1..N permutation
+    n = df.count()
+    got = ranked.agg(
+        F.count("global_pos").alias("c"),
+        F.countDistinct("global_pos").alias("d"),
+        F.min("global_pos").alias("lo"),
+        F.max("global_pos").alias("hi"),
+    ).collect()[0]
+    assert (got.c, got.d, got.lo, got.hi) == (n, n, 1, n)

@@ -1,0 +1,100 @@
+"""Regression tests for latent semantic bugs found by the r3/r4 audits —
+each one builds a tiny adversarial fixture the driver's testdata can't
+express (mixed-case keys, 7-digit ids) and runs the REGISTERED query fn
+against the DuckDB oracle over the same parquet, so the exact failure
+mode that parity-on-fixture-data could never catch is pinned forever.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark_for_ebook_classification_spark.plans.registry import get
+from tests.compare import assert_frames_match
+
+
+def _oracle(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
+    return con.sql(sql).df()
+
+
+@pytest.fixture()
+def duck_tmp():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_map_hof_suite_mixed_case_keys(spark, tmp_path, duck_tmp):
+    """fn_map_hof_suite once looked up share_map/freq_map (keyed by the
+    ORIGINAL event_type) with lower(upper(event_type)) — correct only
+    while every fixture event type was lowercase: mixed-case input made
+    share NULL and is_frequent false while the oracle returned values.
+    Writing this test also surfaced a second failure mode — upper-casing
+    inside transform_keys throws Spark's duplicate-map-key error when two
+    raw types collide after normalization ('buy'/'Buy'), where the
+    relational oracle just merges the group. The contract is now: case
+    normalization happens at aggregation time in BOTH engines, map keys
+    are unique by construction, lookups use the carried key."""
+    rows = []
+    # user 0: 12 'Click' (mixed case → is_frequent TRUE), 3 'VIEW'
+    rows += [(0, "Click", 1.5)] * 12 + [(0, "VIEW", 2.0)] * 3
+    # user 25: 2 'buy' + 2 'Buy' — collide after normalization; both
+    # engines must merge them into one BUY group (n=4)
+    rows += [(25, "buy", 10.0)] * 2 + [(25, "Buy", 4.0)] * 2
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    # load() normalizes the events ts column across testdata generations —
+    # the fixture must carry one even though the query never reads it
+    pdf["ts"] = pd.Timestamp("2024-01-01", tz="UTC") + pd.to_timedelta(
+        pdf.index, unit="min"
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("fn_map_hof_suite")
+    # the query fn loads f"{sf_dir}/events.parquet" — both engines read
+    # the identical file
+    spark_pdf = q.fn(spark, str(tmp_path)).toPandas()
+    # sanity: mixed-case keys must not produce NULL shares
+    assert spark_pdf["share"].notna().all(), spark_pdf
+    assert bool(
+        spark_pdf.loc[spark_pdf["etype"] == "CLICK", "is_frequent"].iloc[0]
+    )
+    # case-colliding raws merged, not thrown on and not duplicated
+    buy = spark_pdf[spark_pdf["etype"] == "BUY"]
+    assert len(buy) == 1 and int(buy["n"].iloc[0]) == 4, buy
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(spark_pdf, oracle_pdf, "fn_map_hof_suite[mixed-case]")
+
+
+def test_snapshot_diff_large_ids_no_remint_collision(spark, tmp_path, duck_tmp):
+    """data_snapshot_diff once re-minted ids as doc_id + 1e6 — colliding
+    with GENUINE ids once the corpus exceeds a million documents, and the
+    oracle mirrored the arithmetic so parity alone could never catch it.
+    With the 1e12 offset, a corpus holding both doc_id=19 (re-minted) and
+    doc_id=1_000_019 (genuine) must keep them distinct."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [19, 1_000_019, 5, 13],
+            "text": ["remint me", "genuine big id", "stable", "changes"],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("data_snapshot_diff")
+    spark_pdf = q.fn(spark, str(tmp_path)).toPandas()
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(spark_pdf, oracle_pdf, "data_snapshot_diff[large-id]")
+    by_id = dict(zip(spark_pdf["doc_id"], spark_pdf["status"]))
+    # old doc 19 is gone (removed) and reappears re-minted far above any
+    # real id; genuine 1_000_019 is untouched (absent from the diff)
+    assert by_id.get(19) == "removed"
+    assert by_id.get(19 + 10**12) == "added"
+    assert 1_000_019 not in by_id
+    assert 19 + 10**6 not in by_id  # the old colliding remint scheme
