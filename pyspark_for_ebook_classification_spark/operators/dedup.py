@@ -611,18 +611,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked trigram-Jaccard pairs ≥ 0.2: (doc_a, doc_b, jac_raw).
 
-    Candidate generation is a SPARSE similarity join, not a block² loop:
-    explode the distinct shingles, self-join on (shingle, lang,
-    len_bucket) with doc_a < doc_b, and count matches per pair — because
-    the shingle lists are distinct, that count IS |A∩B|, so the exact
-    Jaccard needs no array_intersect at all. Pairs sharing zero shingles
-    (jac = 0 < 0.2) never materialize, which is the lossless prune that
-    makes this the 100 TB shape: work scales with shared-shingle
-    co-occurrence (measured ~8× below the blocked pair count at sf0.1,
-    max per-shingle bucket 6), not with block size squared. The blocked
-    semantics (same lang + token-count bucket of 10) ride along as join
-    keys, so results are identical to the blocked definition the oracle
-    CTE computes."""
+    Candidate generation is a SPARSE similarity pass, not a block² loop:
+    explode the distinct shingles, group by (shingle, lang, len_bucket),
+    and expand ordered pairs INSIDE each co-occurrence bucket — because
+    the shingle lists are distinct, the per-pair row count IS |A∩B|, so
+    the exact Jaccard needs no array_intersect at all. Pairs sharing
+    zero shingles (jac = 0 < 0.2) never materialize, which is the
+    lossless prune that makes this the 100 TB shape: work scales with
+    shared-shingle co-occurrence (measured ~8× below the blocked pair
+    count at sf0.1, max per-shingle bucket 7), not with block size
+    squared. The blocked semantics (same lang + token-count bucket of
+    10) ride along as group keys, so results are identical to the
+    blocked definition the oracle CTE computes.
+
+    One corpus-sized shuffle total (the groupBy on the shingle key) vs
+    the equivalent exploded self-join's two — the r4 shape; wall time at
+    sf0.1 is Spark-floor-equal (±5%), but the shuffled bytes halve and
+    the localCheckpoint barrier is gone because the exploded table now
+    has exactly one consumer — the delta that matters at 100 TB, where
+    the exploded shingle table is corpus-sized × shingle-width. Buckets
+    are bounded by shingle document-frequency; a corpus-wide run would
+    gate hot boilerplate shingles first (SHINGLE_DF_MAX as in
+    text_minhash_containment) — at this corpus the bound is 7 by
+    measurement, so no gate is mirrored into the oracle."""
     d = load(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     # element_at is 1-based in both engines; transform over sequence(1, n-2)
@@ -647,26 +658,25 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("shingles").alias("n_sh"),
             F.explode("shingles").alias("shingle"),
         )
-        # both sides of the self-join consume this — checkpoint so the
-        # tokenize+shingle+explode pipeline runs once, not per side
-        # (measured 8.8s -> 5.7s at sf0.1; same fix as containment's gate)
-        .localCheckpoint(eager=True)
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    # one shuffle: co-occurrence buckets on the shingle key; array_sort
+    # orders by doc_id (first struct field) so the triangular expansion
+    # below emits each unordered pair exactly once with doc_a < doc_b
+    buckets = (
+        exploded.groupBy("shingle", "lang", "len_bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expand = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.n_sh AS n_a, y.n_sh AS n_b))))"
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        buckets.select(F.explode(pair_expand).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("isz"))
     )
     jac = F.col("isz") / (F.col("n_a") + F.col("n_b") - F.col("isz"))
@@ -1161,4 +1171,129 @@ def dedup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         "n_clusters",
         "n_docs",
         "docs_removable",
+    )
+
+
+# ----------------------------------------------- segment-level boilerplate
+
+#: boilerplate segmentation: consecutive token runs of this length
+SEG_LEN = 3
+#: a segment repeated verbatim across at least this many DISTINCT docs is
+#: boilerplate (headers, footers, license banners, nav text)
+BOILER_MIN_DOCS = 3
+
+
+@query(
+    "dedup_boilerplate_segments",
+    survey_ref="L1,L4,F4,A2",
+    doc="CCNet/RefinedWeb-style sub-document dedup: token segments repeated "
+    "verbatim across many distinct docs are boilerplate; each doc is "
+    "reconstructed without them.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, i AS seg_pos,
+                   array_to_string(
+                       list_slice(toks, i*{SEG_LEN}+1, i*{SEG_LEN}+{SEG_LEN}),
+                       ' ') AS seg
+            FROM tok,
+                 LATERAL unnest(
+                     range(CAST(ceil(length(toks)/{SEG_LEN}.0) AS BIGINT))
+                 ) AS r(i)
+        ),
+        boiler AS (
+            SELECT seg FROM segs GROUP BY seg
+            HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.seg_pos, s.seg,
+                   (b.seg IS NOT NULL) AS is_boiler
+            FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler,
+               COALESCE(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+                                   ' ' ORDER BY seg_pos), '') AS cleaned_text
+        FROM flagged
+        GROUP BY doc_id
+    """,
+)
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup — the CCNet/RefinedWeb line-level pass that
+    whole-document dedup can't do: a header/footer/license banner repeated
+    across thousands of pages never makes the DOCUMENTS near-identical,
+    yet at training time the model sees it a million times. Segment each
+    doc into consecutive SEG_LEN-token runs, count DISTINCT docs per
+    verbatim segment globally, mark segments above BOILER_MIN_DOCS as
+    boilerplate, and rebuild every doc from its kept segments in original
+    order.
+
+    Scale shape: (1) one explode to segments (narrow, no shuffle);
+    (2) one groupBy on the segment string with a partial-aggregated
+    count(DISTINCT doc_id) — the only corpus-sized shuffle, keyed by
+    segment text exactly like dedup_exact_sha is keyed by content hash;
+    (3) the boilerplate set joins back by segment — NOT broadcast by
+    hint, because at 100 TB the boilerplate table is vocab-sized and
+    unknown ahead of time: AQE promotes it when it measures small;
+    (4) one groupBy doc_id to reconstruct. Docs whose every segment is
+    boilerplate keep a row with cleaned_text = '' (the conditional agg
+    makes the group survive, matching the oracle's COALESCE'd
+    string_agg). sort_array on (seg_pos, seg) structs restores original
+    segment order without an unpartitioned window."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_segs = F.ceil(F.size("toks") / F.lit(float(SEG_LEN))).cast("int")
+    segs = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice("toks", i * SEG_LEN + 1, SEG_LEN), " "
+                    ),
+                )
+            ).alias("seg_pos", "seg"),
+        )
+        # sequence(0, -1) on an empty doc yields [0] in Spark but range()
+        # yields [] in DuckDB; documents here always have tokens, and the
+        # filter also guards the degenerate case identically to the oracle
+        .filter(F.col("seg") != "")
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("seg", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(boiler, "seg", "left").select(
+        "doc_id",
+        "seg_pos",
+        "seg",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    kept_sorted = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("is_boiler"), F.struct("seg_pos", "seg")
+                    )
+                )
+            ),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_boiler"),
+        kept_sorted.alias("cleaned_text"),
     )

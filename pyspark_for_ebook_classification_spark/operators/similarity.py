@@ -980,3 +980,111 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank"),
         )
     )
+
+
+#: hard-negative margin: a negative within this cosine distance of the best
+#: positive is "semi-hard" (the contrastive-training sweet spot)
+_HN_MARGIN = 0.05
+
+
+@query(
+    "sim_hard_negative_mining",
+    survey_ref="L3,L4,J6,W4,A1",
+    doc="Contrastive-training hard negatives: per query, the top-k most "
+    "similar OTHER-label vectors, each with its margin against the best "
+    "same-label positive and a semi-hard flag.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        q AS (SELECT vec_id AS query_id, label AS qlabel,
+                     embedding AS qe, nrm AS qn
+              FROM normed WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, q.qlabel, e.vec_id AS cand_id, e.label,
+                   {sql_dot('qe', 'embedding')} / (qn * e.nrm) AS cos
+            FROM q JOIN normed e ON e.vec_id <> q.query_id
+        ),
+        best_pos AS (
+            SELECT query_id, MAX(cos) AS pos_cos
+            FROM scored WHERE label = qlabel GROUP BY query_id
+        )
+        SELECT s.query_id,
+               s.cand_id AS negative_id,
+               round(s.cos, 6) AS neg_cosine,
+               round(p.pos_cos, 6) AS best_pos_cosine,
+               round(s.cos - p.pos_cos, 6) AS margin,
+               (s.cos > p.pos_cos - {_HN_MARGIN}) AS semi_hard,
+               rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, cand_id
+            ) AS rn
+            FROM scored WHERE label <> qlabel
+        ) s
+        JOIN best_pos p USING (query_id)
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the selection step a contrastive-training
+    data pipeline runs between dedup and packing: for each anchor (query)
+    vector, the top-k most-similar vectors with a DIFFERENT label are the
+    hard negatives, and each is labeled with its margin against the best
+    same-label positive (cos(neg) − max cos(pos)). Negatives inside
+    _HN_MARGIN of the positive are "semi-hard" — close enough to teach
+    the model something, not so close they're probably label noise
+    (data_contrastive_pairs is the hash-random-negative counterpart; this
+    is the quality-over-randomness upgrade).
+
+    Scale shape: the anchor set broadcasts (it's a mining batch, always
+    small relative to the corpus); the corpus streams ONCE through a
+    codegen'd scoring stage shared by both branches — positives collapse
+    to one MAX per query (map-side partial agg), negatives keep top-k via
+    a per-query window — and the two per-query tables (≤|Q| rows each)
+    join at the end: broadcast-sized however big the corpus is. No corpus
+    self-shuffle anywhere."""
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+        # one materialization feeds the positive MAX and the negative
+        # top-k: the corpus is scored once, same discipline as
+        # functions/ranks.py (and the plan stays exchange-reuse-proof)
+        .localCheckpoint(eager=True)
+    )
+    best_pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    negs = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+    )
+    # best_pos is ≤|Q| rows by construction — broadcast it so the final
+    # join never sorts the negative side
+    return negs.join(F.broadcast(best_pos), "query_id").select(
+        "query_id",
+        F.col("cand_id").alias("negative_id"),
+        F.round("cos", 6).alias("neg_cosine"),
+        F.round("pos_cos", 6).alias("best_pos_cosine"),
+        F.round(F.col("cos") - F.col("pos_cos"), 6).alias("margin"),
+        (F.col("cos") > F.col("pos_cos") - _HN_MARGIN).alias("semi_hard"),
+        F.col("rn").alias("rank"),
+    )
