@@ -57,7 +57,13 @@ SHINGLE_DF_MAX = 50
 
 
 def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles) — per-doc DISTINCT token-trigram array."""
+    """(doc_id, shingles) — per-doc DISTINCT token-trigram array, as
+    xxhash64 LONGs rather than concatenated strings: no per-shingle
+    string allocation, 8-byte group keys downstream, and identical
+    results to the oracle's string shingles unless two distinct trigrams
+    of one document collide in 64 bits (P < 1e-12 at any plausible
+    per-doc shingle count; the oracle proves the equivalence corpus-wide
+    on every parity run)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -65,16 +71,9 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("tokens") >= 3)
     sh = F.expr(
         "array_distinct(transform(sequence(0, size(tokens) - 3), "
-        "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))"
+        "i -> xxhash64(tokens[i], tokens[i+1], tokens[i+2])))"
     )
     return toks.select("doc_id", sh.alias("shingles"))
-
-
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct token-trigram rows."""
-    return _shingle_arrays(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
 
 
 _CONTAINMENT_SQL = f"""
@@ -120,29 +119,35 @@ _CONTAINMENT_SQL = f"""
 def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment pairs via sparse shared-shingle co-occurrence buckets.
 
-    Scale shape: shingles group on the SHINGLE key and ordered pairs are
-    expanded INSIDE each bucket, so only documents that actually share a
-    trigram ever meet — pairs with empty intersection never materialize
-    (the all-pairs matrix is never formed; same lossless-prune argument
-    as dedup_ngram_jaccard, which is hypothesis-tested there). The
-    stop-shingle gate (SHINGLE_DF_MAX) is now a HAVING on the same
-    aggregation — hot boilerplate shingles never expand, which is both
-    the quadratic-blowup guard AND the per-bucket array bound
-    (collect_list ≤ SHINGLE_DF_MAX rows, so no skewed bucket can OOM a
-    task); mirrored in the oracle, inert at test scale by measurement.
-    One corpus-sized shuffle (the groupBy) replaces the r4 shape's four
-    (df-gate groupBy + gate join + two self-join sides), and the per-doc
-    denominators |A| come straight off the shingle ARRAY (size(),
-    map-side, zero shuffle) instead of re-counting exploded rows. The
-    checkpoint moved from the EXPLODED rows to the per-doc arrays — the
-    compact form (one row per doc, not one per shingle) is ~10× fewer
-    rows to materialize, and both consumers (sizes, the bucket groupBy)
-    read it; measured 7.0s → 3.4s at sf0.1 vs the r4 shape in the same
-    session. Containment denominators deliberately stay PRE-gate, so
+    Scale shape: shingles group on the SHINGLE key and pairs are
+    expanded INSIDE each co-occurrence bucket, so only documents that
+    actually share a trigram ever meet — pairs with empty intersection
+    never materialize (the all-pairs matrix is never formed; same
+    lossless-prune argument as dedup_ngram_jaccard, which is
+    hypothesis-tested there). The stop-shingle gate (SHINGLE_DF_MAX) is
+    a HAVING on the same aggregation — hot boilerplate shingles never
+    expand, which is both the quadratic-blowup guard AND the per-bucket
+    array bound (collect_list ≤ SHINGLE_DF_MAX rows, so no skewed bucket
+    can OOM a task); mirrored in the oracle, inert at test scale by
+    measurement. One corpus-sized shuffle (the groupBy) replaces the r4
+    shape's four (df-gate groupBy + gate join + two self-join sides).
+
+    Three further measured decisions (same-session A/Bs at sf0.1,
+    cumulative 7.0s → 1.9s vs the r4 shape): (1) the checkpoint holds
+    the compact per-doc shingle ARRAYS, not exploded rows — one row per
+    doc feeds both the explode and the map-side size() that yields the
+    |A| denominators with zero shuffle; (2) although containment is
+    DIRECTIONAL, the intersection count is symmetric, so only the
+    triangular pairs (doc_a < doc_b, each bucket's docs pre-sorted)
+    are expanded and counted — both directions are emitted AFTER the
+    aggregation by unioning the swapped counted table, halving the
+    pair shuffle; (3) each candidate pair travels as one packed BIGINT
+    (doc_a·2³² + doc_b) so the count groupBy hashes a single word, not
+    a struct. Containment denominators deliberately stay PRE-gate, so
     reported scores are exact whenever the gate is inert and
     conservative (never inflated) when it binds.
 
-    Containment is directional, so (a,b) and (b,a) both appear when both
+    Directional output contract: (a,b) and (b,a) both appear when both
     directions clear the threshold — a contained-in b ≠ b contained-in a.
     """
     arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
@@ -152,24 +157,35 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle's doc list only materializes when 2 ≤ df ≤ SHINGLE_DF_MAX
     buckets = (
         ex.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("docs"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_MAX))
     )
-    # directional expansion: every ordered pair (a ≠ b) in the bucket
-    pair_expand = F.expr(
-        "flatten(transform(docs, x -> transform("
-        "filter(docs, y -> y != x), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
+    # triangular expansion, packed pair key (doc_ids are < 2^32)
+    tri = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "y -> x * 4294967296 + y)))"
     )
-    inter = (
-        buckets.select(F.explode(pair_expand).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+    cnt = (
+        buckets.select(F.explode(tri).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        # integer DIV, not `/`: double division would lose low bits once
+        # doc_id approaches 2^31 (pk near 2^63 exceeds a double mantissa)
+        .select(
+            F.expr("pk DIV 4294967296").alias("doc_a"),
+            (F.col("pk") % 4294967296).alias("doc_b"),
+            "n_inter",
+        )
+    )
+    both = cnt.unionByName(
+        cnt.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "n_inter"
+        )
     )
     cont = F.col("n_inter").cast("double") / F.col("n_sh")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        both.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .filter(cont >= CONTAINMENT_MIN)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )

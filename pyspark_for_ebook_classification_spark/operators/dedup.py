@@ -625,13 +625,24 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked definition the oracle CTE computes.
 
     One corpus-sized shuffle total (the groupBy on the shingle key) vs
-    the equivalent exploded self-join's two — the r4 shape; wall time at
-    sf0.1 is Spark-floor-equal (±5%), but the shuffled bytes halve and
-    the localCheckpoint barrier is gone because the exploded table now
-    has exactly one consumer — the delta that matters at 100 TB, where
-    the exploded shingle table is corpus-sized × shingle-width. Buckets
-    are bounded by shingle document-frequency; a corpus-wide run would
-    gate hot boilerplate shingles first (SHINGLE_DF_MAX as in
+    the equivalent exploded self-join's two — the r4 shape. Three
+    micro-decisions matter, all measured at sf0.1 in same-session A/Bs:
+    (1) shingles are xxhash64(tok_i, tok_i+1, tok_i+2) LONGs, not
+    concatenated strings — no per-shingle string allocation, 8-byte
+    shuffle keys, and results identical to the oracle's string shingles
+    unless two distinct trigrams of one document pair collide in 64 bits
+    (P < 1e-12 at any plausible per-doc shingle count; the oracle proves
+    the equivalence corpus-wide every run); (2) the per-doc DISTINCT
+    count n_sh is NOT projected next to the explode — Catalyst evaluates
+    projections above a Generate once per OUTPUT row, so size(shingles)
+    beside explode(shingles) recomputes the whole array per shingle
+    (12× on this stage: 0.4s → 4.3s); instead sizes join onto the PAIR
+    table at the end, which is candidate-sized, not corpus-sized;
+    (3) the compact per-doc arrays are localCheckpoint'd once and feed
+    both the explode and the size() branch — one row per doc, ~50×
+    smaller than materializing exploded rows. Buckets are bounded by
+    shingle document-frequency; a corpus-wide run would gate hot
+    boilerplate shingles first (SHINGLE_DF_MAX as in
     text_minhash_containment) — at this corpus the bound is 7 by
     measurement, so no gate is mirrored into the oracle."""
     d = load(spark, sf_dir, "documents")
@@ -639,10 +650,10 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at is 1-based in both engines; transform over sequence(1, n-2)
     shingles = F.expr(
         "array_distinct(transform(sequence(1, size(tokens) - 2), "
-        "i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1), "
+        "i -> xxhash64(element_at(tokens, i), element_at(tokens, i + 1), "
         "element_at(tokens, i + 2))))"
     )
-    exploded = (
+    arrays = (
         d.select("doc_id", "lang", tokens.alias("tokens"))
         .filter(F.size("tokens") >= 3)
         .select(
@@ -651,37 +662,38 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("tokens") / 10).cast("int").alias("len_bucket"),
             shingles.alias("shingles"),
         )
-        .select(
-            "doc_id",
-            "lang",
-            "len_bucket",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle"),
-        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = arrays.select(
+        "doc_id", "lang", "len_bucket", F.explode("shingles").alias("shingle")
     )
     # one shuffle: co-occurrence buckets on the shingle key; array_sort
-    # orders by doc_id (first struct field) so the triangular expansion
-    # below emits each unordered pair exactly once with doc_a < doc_b
+    # orders doc_ids so the triangular expansion below emits each
+    # unordered pair exactly once with doc_a < doc_b
     buckets = (
         exploded.groupBy("shingle", "lang", "len_bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pair_expand = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        "x.n_sh AS n_a, y.n_sh AS n_b))))"
+        "y -> struct(x AS doc_a, y AS doc_b))))"
     )
     co = (
         buckets.select(F.explode(pair_expand).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("isz"))
     )
+    # sizes attach to the candidate-pair table (tiny vs the corpus); at
+    # test scale AQE broadcast-promotes the pair side both times
     jac = F.col("isz") / (F.col("n_a") + F.col("n_b") - F.col("isz"))
     return (
-        co.withColumn("jac_raw", jac)
+        co.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= 0.2)
         .select("doc_a", "doc_b", "jac_raw")
     )
@@ -837,11 +849,17 @@ def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
     ).filter(F.size("tokens") >= 1)
-    # n_chunks is the SIZE of the chunk array, computed before the explode —
-    # a per-doc window count after the explode would cost an extra doc_id
-    # shuffle for a number the row already knows.
+    # n_chunks is computed from size(tokens) BEFORE the explode — a
+    # per-doc window count after the explode would cost an extra doc_id
+    # shuffle, and projecting size(chunks) BESIDE the posexplode would
+    # re-evaluate the whole chunk-building transform once per exploded
+    # row (projections above a Generate run per OUTPUT row — the
+    # _ngram_pairs lesson). Only the scalar rides through the Generate.
     chunked = toks.select(
         "doc_id",
+        F.expr(f"CAST(ceil(size(tokens) / {CHUNK_TOKENS}.0) AS BIGINT)").alias(
+            "n_chunks"
+        ),
         F.expr(
             f"transform(sequence(1, CAST(ceil(size(tokens) / {CHUNK_TOKENS}.0) "
             f"AS INT)), i -> array_join(slice(tokens, "
@@ -850,7 +868,7 @@ def dedup_chunk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = chunked.select(
         "doc_id",
-        F.size("chunks").cast("bigint").alias("n_chunks"),
+        "n_chunks",
         F.posexplode("chunks").alias("chunk_no", "chunk_text"),
     )
     w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_no")

@@ -1088,3 +1088,84 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cos") > F.col("pos_cos") - _HN_MARGIN).alias("semi_hard"),
         F.col("rn").alias("rank"),
     )
+
+
+#: SemDeDup drop threshold: a vector whose cosine to a LOWER-id vector
+#: in the same cell reaches this is a semantic duplicate (tuned to the
+#: synthetic embedding spread — within-cell cosines top out near 0.48)
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "dedup_semantic_embedding",
+    survey_ref="L2,L3,J8,A1",
+    doc="SemDeDup-style semantic dedup: within each cell, drop every "
+    "vector whose cosine to a lower-id cell-mate reaches tau; emits the "
+    "keep/drop verdict plus the max lower-id cosine per vector.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        lower_max AS (
+            SELECT b.vec_id,
+                   MAX({sql_dot('a.embedding', 'b.embedding')}
+                       / (a.nrm * b.nrm)) AS mx
+            FROM normed a
+            JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        )
+        SELECT n.vec_id,
+               n.label AS cell,
+               (lm.mx IS NULL OR lm.mx < {_SEMDEDUP_TAU}) AS keep,
+               round(lm.mx, 6) AS max_lower_cos
+        FROM normed n
+        LEFT JOIN lower_max lm ON lm.vec_id = n.vec_id
+    """,
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) deduplication — the SemDeDup pass
+    (Abbas et al. 2023, arXiv:2303.09540): exact-text and near-text
+    dedup miss paraphrases and re-encodings that embed to nearly the
+    same point, so cluster the embedding space into cells and keep one
+    representative per tight cosine neighborhood. Policy here is the
+    deterministic one-shot variant: a vector is DROPPED iff some
+    lower-vec_id vector in its cell is within tau by cosine (the
+    chained greedy that re-admits vectors whose only near-neighbor was
+    itself dropped is iterative and order-dependent; one-shot is the
+    conservative superset of its removals and needs exactly one pass).
+
+    Scale shape: cells bound the pairwise work — the self-join is keyed
+    on the cell id, so a cell of c vectors costs c² dots regardless of
+    corpus size (label stands in for the cell id at test scale; at
+    100 TB the cell assignment comes from the seeded k-means IVF pass
+    sim_ann_ivf_kmeans already implements, sized so c stays ~10³-10⁴).
+    One cell-keyed shuffle for the join, one vec_id-keyed partial-agg
+    MAX, one left join back — no iteration, no driver collect. The
+    cosine is the exact pre-rounding expression on both engines
+    (index-ordered float sums, the sim_cosine_neardup_pairs contract),
+    so the tau comparison and keep flag are bit-identical."""
+    e = _normed(spark, sf_dir)
+    a = e.select(
+        "label",
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        "label",
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    lower_max = (
+        a.join(b, "label")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(F.col("vid_b").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("mx"))
+    )
+    return e.join(lower_max, "vec_id", "left").select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        (F.col("mx").isNull() | (F.col("mx") < _SEMDEDUP_TAU)).alias("keep"),
+        F.round("mx", 6).alias("max_lower_cos"),
+    )

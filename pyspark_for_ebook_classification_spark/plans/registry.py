@@ -187,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     # — r5 additions (never verified by construction) —
     "dedup_boilerplate_segments",
     "sim_hard_negative_mining",
+    "dedup_semantic_embedding",
     # — rows-only (no_oracle) — queue last so green-capable rows go first —
     "agg_hll_mergeable_sketch",
     "agg_approx_percentile",
@@ -205,13 +206,14 @@ _PRIORITY: tuple[str, ...] = (
 #   r5 (this file's front block): first 50 of the 92 oracle-backed
 #       never-verified names — sketches, graphs, datapipe, PQ/JL/Gram,
 #       LSH calibration, map-HOF, streaming twins, rank consumers.
-#   r6 plan: promote the "r6 queue" block above to the front — its 44
-#       oracle names (42 carried + the 2 r5 additions) are then the ONLY
+#   r6 plan: promote the "r6 queue" block above to the front — its 45
+#       oracle names (42 carried + the 3 r5 additions) are then the ONLY
 #       ones without a driver verdict, so after r6 every oracle-backed
-#       query (241) is driver-green and only the 6 by-design rows-only
-#       entries (ml_*, HLL, approx-percentile) remain on the weaker
-#       rows-only check — the queue is exactly the driver's 50-slot cap.
-#       tests/test_oracle_parity.py
+#       query (242) is driver-green; the 6 by-design rows-only entries
+#       (ml_*, HLL, approx-percentile) fill slots 46-51 — one spills to
+#       r7's rotation, an accepted trade for adding dedup_semantic_
+#       embedding (each rows-only entry already received its weaker
+#       rows-only verdict in r1/r2). tests/test_oracle_parity.py
 #       ::test_r5_front_block_targets_never_verified pins this partition.
 
 
