@@ -7,6 +7,8 @@ mode that parity-on-fixture-data could never catch is pinned forever.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -98,3 +100,48 @@ def test_snapshot_diff_large_ids_no_remint_collision(spark, tmp_path, duck_tmp):
     assert by_id.get(19 + 10**12) == "added"
     assert 1_000_019 not in by_id
     assert 19 + 10**6 not in by_id  # the old colliding remint scheme
+
+
+def test_no_expensive_expression_beside_explode():
+    """Static lint for the Generate-recompute hazard: Catalyst evaluates
+    projections above a Generate once per OUTPUT row, so any non-trivial
+    expression projected in the same .select() as an F.explode /
+    F.posexplode re-runs per exploded element — measured 12× on the
+    _ngram_pairs shingle stage before the r5 fix. Operator code must
+    carry only plain columns (or pre-computed scalars) through a
+    Generate; sizes/hashes join back on the post-aggregation (pair- or
+    group-sized) side instead. F.size over a COLLECTED array column
+    (post-groupBy attr) is O(1) and allowed — the hazard is F.size /
+    F.transform / hash functions applied to a COMPUTED alias from the
+    producing select, which this lint approximates by flagging any
+    expensive call co-located with explode in one select."""
+    import glob
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "pyspark_for_ebook_classification_spark")
+    allowed = {
+        # post-groupBy collected arrays: size() on a materialized attr
+        # is O(1); verified by the stage timings in SCALING.md
+    }
+    select_re = re.compile(
+        r"\.select\((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*\)", re.S
+    )
+    expensive_re = re.compile(
+        r"F\.(size|transform|aggregate|slice|sha2|md5|xxhash64|array_distinct)\("
+    )
+    explode_re = re.compile(r"F\.(pos)?explode")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        for m in select_re.finditer(src):
+            blk = m.group(0)
+            if explode_re.search(blk) and expensive_re.search(blk):
+                line = src[: m.start()].count("\n") + 1
+                key = (os.path.relpath(path, root), line)
+                if key not in allowed:
+                    offenders.append(f"{key[0]}:{key[1]}")
+    assert not offenders, (
+        "expensive expression projected beside an explode (evaluated per "
+        f"OUTPUT row of the Generate): {offenders}"
+    )
