@@ -69,6 +69,11 @@ EXTRA = [
     "data_snapshot_diff",
     "data_dataset_card_stats",
     "sim_pq_adc_topk",
+    # r5 additions: the three new operators, tracked but not headline
+    # (keeps the headline wall comparable round-over-round)
+    "dedup_boilerplate_segments",
+    "sim_hard_negative_mining",
+    "dedup_semantic_embedding",
 ]
 
 
