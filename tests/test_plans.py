@@ -352,3 +352,45 @@ def test_global_rank_single_materialization(spark, sf_dir):
         F.max("global_pos").alias("hi"),
     ).collect()[0]
     assert (got.c, got.d, got.lo, got.hi) == (n, n, 1, n)
+
+
+def test_ngram_pairs_single_corpus_shuffle(spark, sf_dir):
+    """The r5 bucket-expansion rebuild's contract: candidate generation
+    shuffles the corpus-sized exploded shingle table exactly ONCE (the
+    co-occurrence groupBy). Everything after operates on pair-sized data
+    — the pair-count groupBy and the two size joins are bounded by the
+    candidate set, and AQE may broadcast the pair side. No cartesian, no
+    Python, map-side combine on every aggregate."""
+    q = all_queries()["dedup_ngram_jaccard"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    # one corpus shuffle (shingle groupBy) + one pair-count shuffle +
+    # at most two pair-sized join exchanges and AQE coalesces
+    assert rep["shuffles"] <= 6, rep["plan"]
+
+
+def test_containment_triangular_no_selfjoin(spark, sf_dir):
+    """text_minhash_containment's rebuilt plan must contain no join at
+    all on the corpus side — pairs come from in-bucket expansion, and
+    the only joins left are the pair-vs-sizes attach (hash, never
+    nested-loop). The union of the two directions happens ABOVE the
+    aggregation, so exactly one pair-count shuffle exists."""
+    q = all_queries()["text_minhash_containment"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_semantic_dedup_cell_keyed_join(spark, sf_dir):
+    """dedup_semantic_embedding: the pairwise stage is a hash join keyed
+    on the cell id (never a cartesian/nested-loop over the corpus), the
+    lower-max aggregate combines map-side, and nothing drops to Python —
+    the cosine is codegen'd F.aggregate arithmetic."""
+    q = all_queries()["dedup_semantic_embedding"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]

@@ -145,3 +145,82 @@ def test_no_expensive_expression_beside_explode():
         "expensive expression projected beside an explode (evaluated per "
         f"OUTPUT row of the Generate): {offenders}"
     )
+
+
+def test_boilerplate_segments_reconstruction(spark, tmp_path, duck_tmp):
+    """dedup_boilerplate_segments on an adversarial fixture the driver
+    testdata can't express: three docs share an identical 3-token header
+    (boilerplate at BOILER_MIN_DOCS=3), one doc consists ONLY of that
+    header (must survive as a row with cleaned_text=''), and one unique
+    doc repeats a segment INTERNALLY (within-doc repetition alone is not
+    boilerplate — the count is DISTINCT docs)."""
+    header = "terms of service"
+    docs = [
+        (0, f"{header} alpha beta gamma"),
+        (1, f"{header} delta epsilon zeta"),
+        (2, header),  # all boilerplate → cleaned_text = ''
+        (3, f"one two three one two three"),  # internal repeat, 2 distinct? no - 1 doc
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("dedup_boilerplate_segments")
+    spark_pdf = q.fn(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    # header shared by docs 0,1,2 → boilerplate; trailing words survive
+    assert spark_pdf.loc[0, "cleaned_text"] == "alpha beta gamma"
+    assert spark_pdf.loc[1, "cleaned_text"] == "delta epsilon zeta"
+    # doc 2 is pure boilerplate but must keep its row, text emptied
+    assert spark_pdf.loc[2, "cleaned_text"] == ""
+    assert int(spark_pdf.loc[2, "n_boiler"]) == 1
+    # doc 3's internally-repeated segment appears in ONE distinct doc →
+    # not boilerplate, text unchanged
+    assert spark_pdf.loc[3, "cleaned_text"] == "one two three one two three"
+    assert int(spark_pdf.loc[3, "n_boiler"]) == 0
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(
+        spark_pdf.reset_index(), oracle_pdf, "dedup_boilerplate_segments[fixture]"
+    )
+
+
+def test_semantic_dedup_keep_lowest_id(spark, tmp_path, duck_tmp):
+    """dedup_semantic_embedding policy pin: two near-parallel vectors in
+    one cell → the lower vec_id is kept and the higher dropped; an
+    orthogonal cell-mate is kept; a lone vector in another cell is kept
+    with max_lower_cos NULL. One-shot semantics: vec 3, similar ONLY to
+    the dropped vec 2 (not to kept vec 1), is still dropped — the
+    documented conservative superset of the chained greedy."""
+    import numpy as np
+
+    e = np.eye(4, dtype=np.float32)
+    rows = [
+        (1, e[0], 7),                       # keep (first in cell)
+        (2, (e[0] * 0.8 + e[1] * 0.6), 7),  # cos 0.8 to vec 1 → drop
+        (3, e[1], 7),                       # cos 0 to kept vec 1, cos 0.6 to
+        #                                     DROPPED vec 2 → one-shot drops it
+        #                                     (chained greedy would keep it)
+        (4, e[2], 7),                       # orthogonal to all → keep
+        (5, e[3], 9),                       # other cell → keep, NULL
+    ]
+    pdf = pd.DataFrame(
+        [(v, list(map(float, emb)), lbl) for v, emb, lbl in rows],
+        columns=["vec_id", "embedding", "label"],
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("dedup_semantic_embedding")
+    spark_pdf = q.fn(spark, str(tmp_path)).toPandas().set_index("vec_id")
+    assert bool(spark_pdf.loc[1, "keep"]) and bool(spark_pdf.loc[4, "keep"])
+    assert not bool(spark_pdf.loc[2, "keep"]) and not bool(spark_pdf.loc[3, "keep"])
+    assert bool(spark_pdf.loc[5, "keep"]) and pd.isna(
+        spark_pdf.loc[5, "max_lower_cos"]
+    )
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(
+        spark_pdf.reset_index(), oracle_pdf, "dedup_semantic_embedding[fixture]"
+    )
