@@ -195,3 +195,95 @@ def test_simhash_banding_lossless_within_radius(fingerprints):
     # banding may over-generate (verified away by the exact distance
     # filter) but must never miss a within-radius pair
     assert truth <= candidates
+
+
+# --- containment == brute-force directional containment ------------------
+
+
+def _brute_containment(texts, df_max=50, cmin=0.5):
+    """Reference: directional |A∩B|/|A| over distinct-trigram sets with
+    the document-frequency stop-shingle gate applied BEFORE pairing and
+    denominators taken PRE-gate — the text_minhash_containment contract."""
+    from collections import Counter
+
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        if len(toks) < 3:
+            continue
+        sets[i] = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+    dfc = Counter(s for sh in sets.values() for s in sh)
+    kept = {i: {s for s in sh if dfc[s] <= df_max} for i, sh in sets.items()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(kept[a] & kept[b])
+            if inter and inter / len(sets[a]) >= cmin:
+                out[(a, b)] = inter / len(sets[a])
+    return out
+
+
+@PROP_SETTINGS
+@given(st.lists(DOC, min_size=2, max_size=15))
+def test_containment_equals_bruteforce(spark, tmp_path_factory, texts):
+    """The bucket-expansion containment (r5 rebuild: triangular packed
+    pairs, both directions re-emitted post-aggregation) must equal the
+    brute-force directional containment on arbitrary corpora — including
+    the df gate and the PRE-gate denominators."""
+    import os
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    tmp = tmp_path_factory.mktemp("contprop")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp), "documents.parquet")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in all_queries()["text_minhash_containment"].fn(spark, str(tmp)).collect()
+    }
+    want = _brute_containment(texts)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 6)) < 1e-9
+
+
+def test_containment_df_gate_truncates_hot_shingle(spark, tmp_path_factory):
+    """SHINGLE_DF_MAX is the quadratic-blowup guard: a shingle shared by
+    MORE than SHINGLE_DF_MAX docs must generate no pairs at all (its
+    bucket never materializes), while denominators stay pre-gate. Build
+    51+ docs sharing one boilerplate trigram plus two genuine near-dups
+    — only the genuine pair may survive."""
+    import os
+
+    from pyspark_for_ebook_classification_spark.operators.corpus import (
+        SHINGLE_DF_MAX,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    hot = "all rights reserved"
+    texts = [f"{hot} filler{i} pad{i} tail{i}" for i in range(SHINGLE_DF_MAX + 1)]
+    # two genuine near-dups whose shared trigrams are BELOW the gate
+    texts.append("unique shared trigram body one")
+    texts.append("unique shared trigram body two")
+    tmp = tmp_path_factory.mktemp("contgate")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp), "documents.parquet")
+    )
+    rows = all_queries()["text_minhash_containment"].fn(spark, str(tmp)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    n_hot = SHINGLE_DF_MAX + 1
+    # no pair involves two hot-only docs (their ONLY shared shingle is gated)
+    assert not any(a < n_hot and b < n_hot for a, b in pairs), pairs
+    # the genuine near-dup pair survives in both directions
+    assert (n_hot, n_hot + 1) in pairs and (n_hot + 1, n_hot) in pairs, pairs
