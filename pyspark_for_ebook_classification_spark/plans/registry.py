@@ -74,74 +74,15 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ================= r5 front block: 50 oracle-checked queries =========
-    # the first 50 of the 92 oracle-backed queries never driver-verified
-    # after r1–r4 (r4 re-checked r3's set; this block finally advances the
-    # rotation). Leads with the zero-driver-green §2 families: L8 sketches,
-    # L9 graphs, L7 datapipe, PQ/JL/Gram similarity, LSH calibration.
-    # — L8 mergeable sketches (sketches.py) —
-    "sketch_bloom_semijoin",
-    "sketch_countmin_topk",
-    "sketch_kmv_distinct",
-    "sketch_theta_set_overlap",
-    "sketch_histogram_quantiles",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    # — L9 iterative graph (graphs.py) —
-    "graph_pagerank_fixedpoint",
-    "graph_triangle_count",
-    # — L7 sampling/mixing/packing + corpus curation (datapipe.py, corpus.py) —
-    "data_mixture_budget_plan",
-    "data_reservoir_per_source",
-    "data_contrastive_pairs",
-    "data_curriculum_order",
-    "data_dataset_card_stats",
-    "data_quality_model_score",
-    "data_snapshot_diff",
-    "data_curation_funnel",
-    "data_decontaminate_ngram",
-    "data_train_valid_split",
-    "data_shuffle_deterministic",
-    "data_interleave_sources",
-    "data_e2e_prep_pipeline",
-    # — L3 PQ/ADC, JL projection, Gram block (similarity.py) —
-    "sim_gram_matrix_block",
-    "sim_random_projection_reduce",
-    "sim_product_quantization",
-    "sim_pq_adc_topk",
-    # — L2 LSH calibration + dedup completions (dedup.py) —
-    "dedup_minhash_estimate_error",
-    "dedup_lsh_candidate_recall",
-    "dedup_simhash_hamming_pairs",
-    "dedup_incremental_exact",
-    "dedup_cluster_size_distribution",
-    # — L4/L6 text analysis completions (textops.py) —
-    "text_minhash_containment",
-    "text_token_entropy",
-    "text_zipf_slope",
-    "text_vocab_overlap_sources",
-    # — F5 map HOFs (case-sensitivity fix this round) —
-    "fn_map_hof_suite",
-    # — streaming relational twins (streaming/twins.py) —
-    "stream_countmin_grid_twin",
-    "stream_hourly_topk_twin",
-    # — global-rank consumers (ranks.py localCheckpoint fix this round) —
-    "window_rfm_segments",
-    "agg_pareto_deciles",
-    "window_order_gap_stats",
-    # — W3 frame-spec completions + A7 stats + misc —
-    "window_rolling_median",
-    "window_ewma_quantity",
-    "window_interpolate_linear",
-    "agg_skew_kurtosis",
-    "agg_weighted_median",
-    "agg_ols_two_features",
-    "agg_filter_clause_suite",
-    "join_asof_nearest_click",
-    "scan_python_ds_pushdown",
-    # ================= r6 queue: the remaining 42 oracle-checked =========
-    # after r5 these are the ONLY oracle-backed queries without a driver
-    # verdict; fronting them in r6 closes the book (zero never-verified).
+    # ================= r6 front block: the LAST 51 never-verified =========
+    # After r1–r5 exactly 51 registered queries have no driver verdict of
+    # any kind: 45 oracle-backed (42 carried from the r5 tail + the 3
+    # operators added in r5) and 6 rows-only. The 45 oracle names go first
+    # (hash-match is the stronger verdict), then 5 rows-only fill slots
+    # 46–50; agg_approx_percentile spills to r7 (rationale at the
+    # bookkeeping note below). After this round every oracle-backed query
+    # (242) has a driver verdict.
+    # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
     "join_basket_part_pairs",
@@ -188,33 +129,48 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_boilerplate_segments",
     "sim_hard_negative_mining",
     "dedup_semantic_embedding",
-    # — rows-only (no_oracle) — queue last so green-capable rows go first —
-    "agg_hll_mergeable_sketch",
-    "agg_approx_percentile",
+    # — rows-only (no_oracle): slots 46–50 —
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",
     "ml_eval_metrics",
+    "agg_hll_mergeable_sketch",
+    # — slot 51: spills to r7 (see bookkeeping note) —
+    "agg_approx_percentile",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
 # union(CORRECTNESS_r0*.json) vs the registry):
-#   r1: 50 verified (49 oracle + 1 rows-only HLL slot)
-#   r2: a disjoint 50
+#   r1: 50 verified (49 oracle + agg_approx_count_distinct rows-only)
+#   r2: a disjoint 50 (49 oracle + sim_ann_ivf_kmeans rows-only)
 #   r3: a disjoint 50 (the scan/fn/TPC-H block)
-#   r4: WASTED — re-verified r3's identical set ( _PRIORITY wasn't rotated)
-#   r5 (this file's front block): first 50 of the 92 oracle-backed
-#       never-verified names — sketches, graphs, datapipe, PQ/JL/Gram,
-#       LSH calibration, map-HOF, streaming twins, rank consumers.
-#   r6 plan: promote the "r6 queue" block above to the front — its 45
-#       oracle names (42 carried + the 3 r5 additions) are then the ONLY
-#       ones without a driver verdict, so after r6 every oracle-backed
-#       query (242) is driver-green; the 6 by-design rows-only entries
-#       (ml_*, HLL, approx-percentile) fill slots 46-51 — one spills to
-#       r7's rotation, an accepted trade for adding dedup_semantic_
-#       embedding (each rows-only entry already received its weaker
-#       rows-only verdict in r1/r2). tests/test_oracle_parity.py
-#       ::test_r5_front_block_targets_never_verified pins this partition.
+#   r4: WASTED — re-verified r3's identical set (_PRIORITY wasn't rotated)
+#   r5: a disjoint 50 — sketches, graphs, datapipe, PQ/JL/Gram, LSH
+#       calibration, map-HOF, streaming twins, rank consumers.
+#   r6 (this file's front block): the 51 remaining never-verified names.
+#       CORRECTION (r5 verdict "What's wrong" #3): a prior revision of this
+#       note claimed the rows-only entries "already received [a] rows-only
+#       verdict in r1/r2" — FALSE for 6 of 8. Only agg_approx_count_distinct
+#       (r1) and sim_ann_ivf_kmeans (r2) appear in any CORRECTNESS file; the
+#       ml_* four, agg_hll_mergeable_sketch, and agg_approx_percentile have
+#       never received ANY driver verdict. Hence all 6 are in this block.
+#       The deliberate spill to r7 is agg_approx_percentile: its §2 row (A7)
+#       already carries four oracle hash-matched driver verdicts
+#       (percentiles r1; weighted-median / skew-kurtosis / rolling-median
+#       r5), so its approx twin is the least informative remaining check —
+#       vs the ml_* entries (rows M1–M11 have zero driver verdicts of any
+#       kind) and HLL-merge (distinct register-merge code path in
+#       sketches.py whose oracle twins check registers, not the merge).
+#   r7+ (post-closure rotation policy): once union(CORRECTNESS) covers every
+#       registered name, repurpose the 50-slot budget as a freshness
+#       rotation — front, in order: (1) any query whose implementation
+#       changed since its last verdict (keep evidence current as code
+#       evolves), (2) the highest-risk families on a standing cycle: the
+#       pair pipelines (minhash/ngram/containment/simhash), the
+#       with_global_rank consumers, the decimal-heavy aggregates
+#       (agg_ols_two_features, agg_weighted_median), then (3) oldest-verdict
+#       -first round-robin over the rest. Update _ROTATION_BASIS in
+#       tests/test_oracle_parity.py whenever the front block is recomputed.
 
 
 def _ordered(items: dict[str, Query]) -> dict[str, Query]:
