@@ -1095,29 +1095,73 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: synthetic embedding spread — within-cell cosines top out near 0.48)
 _SEMDEDUP_TAU = 0.3
 
+#: target EXPECTED cell population: SRP refinement bits are added until
+#: n / (n_labels · 2^bits) <= this, so per-cell pairwise cost is
+#: O(TARGET²·d) independent of corpus size.
+_SEMDEDUP_TARGET_CELL = 32
+#: static SRP signature width — the refinement DEPTH cap, a build-time
+#: constant: 8 bits · 10 labels ≈ 2.5k cells ≈ 80k vectors at target
+#: population. A 100 TB corpus raises this (each bit is one more inline
+#: plane; 32 bits covers ~10^13 vectors) — the bits LADDER below already
+#: generates from the constant, nothing else changes.
+_SEMDEDUP_MAX_REFINE = 8
+#: plane ids 32.. — disjoint from the ANN tables (planes 0–15) so cell
+#: refinement and ANN bucketing stay independent hash families.
+_SEMDEDUP_PLANE_OFFSET = 32
+
+#: corpus-adaptive refinement depth, exact integer arithmetic only (no
+#: log2 — libm rounding at power-of-two boundaries could diverge between
+#: engines): smallest b with n <= n_labels · TARGET · 2^b. The SAME text
+#: parses in Spark SQL and DuckDB, so both engines derive the identical
+#: depth from the identical (n, nl) scalars.
+_SEMDEDUP_BITS = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= nl * {_SEMDEDUP_TARGET_CELL * (1 << b)} THEN {b}"
+        for b in range(_SEMDEDUP_MAX_REFINE + 1)
+    )
+    + f" ELSE {_SEMDEDUP_MAX_REFINE} END"
+)
+
+#: cell id = label + '|' + first `bits` SRP sign-bits: same text both engines.
+_SEMDEDUP_CELL = f"concat(CAST(label AS STRING), '|', substring(sig, 1, {_SEMDEDUP_BITS}))"
+
 
 @query(
     "dedup_semantic_embedding",
     survey_ref="L2,L3,J8,A1",
-    doc="SemDeDup-style semantic dedup: within each cell, drop every "
-    "vector whose cosine to a lower-id cell-mate reaches tau; emits the "
-    "keep/drop verdict plus the max lower-id cosine per vector.",
+    doc="SemDeDup-style semantic dedup over corpus-adaptive cells "
+    "(label × SRP-prefix): within each cell, drop every vector whose "
+    "cosine to a lower-id cell-mate reaches tau; emits the keep/drop "
+    "verdict plus the max lower-id cosine per vector.",
     oracle=f"""
         WITH {_SQL_NORMED},
+        stats AS (
+            SELECT count(*) AS n, count(DISTINCT label) AS nl FROM normed
+        ),
+        sigged AS (
+            SELECT vec_id, embedding, label, nrm,
+                   {sql_lsh_bucket('embedding', _SEMDEDUP_MAX_REFINE, 64, _SEMDEDUP_PLANE_OFFSET)} AS sig
+            FROM normed
+        ),
+        celled AS (
+            SELECT vec_id, embedding, label, nrm, {_SEMDEDUP_CELL} AS cell
+            FROM sigged CROSS JOIN stats
+        ),
         lower_max AS (
             SELECT b.vec_id,
                    MAX({sql_dot('a.embedding', 'b.embedding')}
                        / (a.nrm * b.nrm)) AS mx
-            FROM normed a
-            JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM celled a
+            JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
             GROUP BY b.vec_id
         )
-        SELECT n.vec_id,
-               n.label AS cell,
+        SELECT c.vec_id,
+               c.cell,
                (lm.mx IS NULL OR lm.mx < {_SEMDEDUP_TAU}) AS keep,
                round(lm.mx, 6) AS max_lower_cos
-        FROM normed n
-        LEFT JOIN lower_max lm ON lm.vec_id = n.vec_id
+        FROM celled c
+        LEFT JOIN lower_max lm ON lm.vec_id = c.vec_id
     """,
 )
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,49 +1176,78 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself dropped is iterative and order-dependent; one-shot is the
     conservative superset of its removals and needs exactly one pass).
 
-    Scale shape: cells bound the pairwise work — the self-join is keyed
-    on the cell id, so a cell of c vectors costs c² dots regardless of
-    corpus size (label stands in for the cell id at test scale; at
-    100 TB the cell assignment comes from the seeded k-means IVF pass
-    sim_ann_ivf_kmeans already implements, sized so c stays ~10³-10⁴).
+    Cell assignment is CORPUS-ADAPTIVE (the r5-verdict fix: a fixed cell
+    count makes per-cell population linear in n and the pairwise stage
+    quadratic): cell = label + the first `bits` sign-random-projection
+    bits of the vector, where bits is the smallest b with
+    n <= n_labels·TARGET·2^b — an exact integer ladder computed from a
+    1-row broadcast aggregate, no log2, no driver collect. Cell count
+    therefore grows ∝ n while expected population stays ≤ TARGET (=32),
+    so a cell of c vectors costs c²·d dots with c bounded regardless of
+    corpus size; total pairwise work is O(n·TARGET·d) — linear. The SRP
+    planes are the deterministic LCG family of functions/vectors.py
+    (plane ids 32+, disjoint from the ANN tables), so both engines
+    derive bit-identical cells. Splitting by hyperplane sign costs
+    recall at cell boundaries exactly as SemDeDup's k-means cells do —
+    a cos≈0.95 duplicate pair co-locates per bit with p≈0.90 — and
+    production swaps in the learned k-means cells of sim_ann_ivf_kmeans
+    (density-aligned, higher co-location) at the same join key; the
+    relational shape is identical.
+
     One cell-keyed shuffle for the join, one vec_id-keyed partial-agg
     MAX, one left join back — no iteration, no driver collect. The
     cosine is the exact pre-rounding expression on both engines
     (index-ordered float sums, the sim_cosine_neardup_pairs contract),
-    so the tau comparison and keep flag are bit-identical.
+    so the tau comparison and keep flag are bit-identical. The SRP
+    signature is recomputed per use site (3×) instead of checkpointed:
+    linear CPU beats materializing a corpus-sized intermediate (the
+    sim_hard_negative_mining footprint lesson).
 
     The streamed side repartitions BEFORE the pairwise stage — the
     _minhash_signature principle (repartition before compute
     amplification): the corpus arrives as few input splits, the cell
     join broadcast-promotes the other side, and without the shuffle the
-    entire O(c²·d) dot-product stage would run at input-split
+    entire per-cell dot-product stage would run at input-split
     parallelism (measured: one task at sf0.1; 4.4s → 1.4s same-session
     worst-case A/B). One vector-table shuffle buys full-cluster
-    parallelism on the quadratic stage it feeds."""
+    parallelism on the amplifying stage it feeds."""
     e = _normed(spark, sf_dir)
-    a = e.repartition("vec_id").select(
-        "label",
+    stats = F.broadcast(
+        e.agg(F.count("*").alias("n"), F.count_distinct("label").alias("nl"))
+    )
+    celled = (
+        e.crossJoin(stats)
+        .withColumn(
+            "sig",
+            spark_lsh_bucket(
+                "embedding", _SEMDEDUP_MAX_REFINE, 64, _SEMDEDUP_PLANE_OFFSET
+            ),
+        )
+        .withColumn("cell", F.expr(_SEMDEDUP_CELL))
+    )
+    a = celled.repartition("vec_id").select(
+        "cell",
         F.col("vec_id").alias("vid_a"),
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = e.select(
-        "label",
+    b = celled.select(
+        "cell",
         F.col("vec_id").alias("vid_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     lower_max = (
-        a.join(b, "label")
+        a.join(b, "cell")
         .filter(F.col("vid_a") < F.col("vid_b"))
         .select(F.col("vid_b").alias("vec_id"), cos.alias("cos"))
         .groupBy("vec_id")
         .agg(F.max("cos").alias("mx"))
     )
-    return e.join(lower_max, "vec_id", "left").select(
+    return celled.join(lower_max, "vec_id", "left").select(
         "vec_id",
-        F.col("label").alias("cell"),
+        "cell",
         (F.col("mx").isNull() | (F.col("mx") < _SEMDEDUP_TAU)).alias("keep"),
         F.round("mx", 6).alias("max_lower_cos"),
     )
