@@ -142,10 +142,17 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     are expanded and counted — both directions are emitted AFTER the
     aggregation by unioning the swapped counted table, halving the
     pair shuffle; (3) each candidate pair travels as one packed BIGINT
-    (doc_a·2³² + doc_b) so the count groupBy hashes a single word, not
-    a struct. Containment denominators deliberately stay PRE-gate, so
-    reported scores are exact whenever the gate is inert and
-    conservative (never inflated) when it binds.
+    so the count groupBy hashes a single word, not a struct. Packing is
+    BIT-level (shiftleft(x,32)|y, decoded shiftrightunsigned/bitand),
+    not arithmetic x·2³²+y: the arithmetic form silently wraps in
+    non-ANSI Spark once doc_a ≥ 2³¹ and its DIV/% decode is wrong for
+    negative pk, whereas the bit form is exact for the full unsigned
+    doc_id < 2³² universe even when pk's sign bit is set (and never
+    throws under ANSI). Ids ≥ 2³² (data_snapshot_diff mints near 10¹²)
+    would truncate, so a map-side assert_true fails fast instead of
+    corrupting pairs. Containment denominators deliberately stay
+    PRE-gate, so reported scores are exact whenever the gate is inert
+    and conservative (never inflated) when it binds.
 
     Directional output contract: (a,b) and (b,a) both appear when both
     directions clear the threshold — a contained-in b ≠ b contained-in a.
@@ -160,21 +167,32 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= SHINGLE_DF_MAX))
     )
-    # triangular expansion, packed pair key (doc_ids are < 2^32)
+    # triangular expansion, bit-packed pair key: exact for any unsigned
+    # doc_id < 2^32 (sign-bit wrap included); ids beyond that would
+    # truncate into collisions, so fail fast per-bucket (assert_true is
+    # one comparison on the bucket's max id — docs is sorted ascending)
     tri = F.expr(
         "flatten(transform(docs, (x, i) -> "
         "transform(slice(docs, i + 2, size(docs) - i - 1), "
-        "y -> x * 4294967296 + y)))"
+        "y -> shiftleft(x, 32) | y)))"
+    )
+    # one comparison per BUCKET (docs is sorted: check ends only), applied
+    # BEFORE the explode so it never rides the Generate output
+    # (the projection-above-Generate recompute hazard, test_regressions)
+    guard = F.expr(
+        "assert_true(element_at(docs, -1) < 4294967296 AND docs[0] >= 0, "
+        "'text_minhash_containment: doc_id outside [0, 2^32) cannot bit-pack')"
     )
     cnt = (
-        buckets.select(F.explode(tri).alias("pk"))
+        buckets.filter(guard.isNull())
+        .select(F.explode(tri).alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        # integer DIV, not `/`: double division would lose low bits once
-        # doc_id approaches 2^31 (pk near 2^63 exceeds a double mantissa)
+        # unsigned decode: correct even when pk < 0 (doc_a >= 2^31 sets
+        # the sign bit); DIV/% would mis-decode those
         .select(
-            F.expr("pk DIV 4294967296").alias("doc_a"),
-            (F.col("pk") % 4294967296).alias("doc_b"),
+            F.expr("shiftrightunsigned(pk, 32)").alias("doc_a"),
+            F.expr("pk & 4294967295").alias("doc_b"),
             "n_inter",
         )
     )

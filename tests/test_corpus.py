@@ -308,3 +308,29 @@ def test_cluster_size_distribution_reconciles(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs
     n_components = sum(r["n_clusters"] for r in rows)
     assert sum(r["docs_removable"] for r in rows) == n_docs - n_components
+
+
+def test_containment_guard_rejects_unpackable_doc_ids(spark, tmp_path):
+    """The bit-packed pair key is exact only for doc_id < 2^32; beyond
+    that, packing would silently collide pairs (the r5 ADVICE finding —
+    data_snapshot_diff legitimately mints ids near 10^12, so large ids
+    are in-universe). The per-bucket assert_true must fail fast instead.
+    Also pin the positive side: ids ABOVE 2^31 (sign bit of the packed
+    key set) still round-trip exactly."""
+    import pandas as pd
+    import pytest
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    big, bigger = 3_000_000_000, 3_000_000_001  # > 2^31: sign-bit path
+    pd.DataFrame(
+        {"doc_id": [big, bigger], "text": [text, text]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    q = all_queries()["text_minhash_containment"]
+    rows = {(r["doc_a"], r["doc_b"]) for r in q.fn(spark, str(tmp_path)).collect()}
+    assert rows == {(big, bigger), (bigger, big)}
+
+    pd.DataFrame(
+        {"doc_id": [1, 2**32], "text": [text, text]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="cannot bit-pack"):
+        q.fn(spark, str(tmp_path)).collect()
