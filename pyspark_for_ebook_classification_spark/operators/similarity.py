@@ -985,6 +985,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: hard-negative margin: a negative within this cosine distance of the best
 #: positive is "semi-hard" (the contrastive-training sweet spot)
 _HN_MARGIN = 0.05
+#: two-phase top-k fan-out: per-(query, salt) local top-k bounds every
+#: window partition; size to cluster parallelism (a width knob, not a
+#: data knob — results are salt-invariant, pinned by test)
+_HN_SALT = 32
 
 
 @query(
@@ -1035,13 +1039,25 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data_contrastive_pairs is the hash-random-negative counterpart; this
     is the quality-over-randomness upgrade).
 
-    Scale shape: the anchor set broadcasts (it's a mining batch, always
-    small relative to the corpus); the corpus streams ONCE through a
-    codegen'd scoring stage shared by both branches — positives collapse
-    to one MAX per query (map-side partial agg), negatives keep top-k via
-    a per-query window — and the two per-query tables (≤|Q| rows each)
-    join at the end: broadcast-sized however big the corpus is. No corpus
-    self-shuffle anywhere."""
+    Scale shape — ONE corpus pass, ONE corpus-sized shuffle, nothing
+    materialized: the anchor set broadcasts (it's a mining batch, always
+    small relative to the corpus); the scored stream shuffles once on
+    (query_id, salt) where one salted window stage computes BOTH the
+    negatives-first local rank and a whole-frame conditional max over
+    the same-label positives. Salting is the lossless two-phase top-k
+    (every true global top-k negative survives its salt group's top-k),
+    so no window partition exceeds |corpus|/SALT rows — no
+    reducer-per-query bottleneck — and per salt group the rank-1 row is
+    kept as the positive-max carrier, so stage 2 sees ≤ (k+1)·SALT rows
+    per query: per-query global rank and the positive max reduce over a
+    trivially small exchange. The r5 shape instead forked two branches
+    off a localCheckpoint(eager) of the full |corpus|×|Q| scored table —
+    a corpus-proportional executor-disk materialization (and without
+    the checkpoint, Catalyst pushes each branch's filter below the
+    shared repartition, splitting it into two scoring passes — measured:
+    no ReusedExchange fires). The single-window shape needs neither the
+    checkpoint nor the reuse. _HN_SALT scales with cluster width, not
+    data."""
     e = _normed(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1054,39 +1070,57 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            "qlabel",
             F.col("vec_id").alias("cand_id"),
-            "label",
+            (F.col("label") != F.col("qlabel")).cast("int").alias("is_neg"),
+            F.pmod(F.col("vec_id"), F.lit(_HN_SALT)).alias("salt"),
             (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
                 "cos"
             ),
         )
-        # one materialization feeds the positive MAX and the negative
-        # top-k: the corpus is scored once, same discipline as
-        # functions/ranks.py (and the plan stays exchange-reuse-proof)
-        .localCheckpoint(eager=True)
     )
-    best_pos = (
-        scored.filter(F.col("label") == F.col("qlabel"))
-        .groupBy("query_id")
-        .agg(F.max("cos").alias("pos_cos"))
+    # stage 1: negatives-first rank + positive-max carrier, one window op
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(
+        F.desc("is_neg"), F.desc("cos"), F.asc("cand_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    negs = (
-        scored.filter(F.col("label") != F.col("qlabel"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
+    pos_mx_salt = F.max(F.when(F.col("is_neg") == 0, F.col("cos"))).over(
+        w_salt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    # best_pos is ≤|Q| rows by construction — broadcast it so the final
-    # join never sorts the negative side
-    return negs.join(F.broadcast(best_pos), "query_id").select(
-        "query_id",
-        F.col("cand_id").alias("negative_id"),
-        F.round("cos", 6).alias("neg_cosine"),
-        F.round("pos_cos", 6).alias("best_pos_cosine"),
-        F.round(F.col("cos") - F.col("pos_cos"), 6).alias("margin"),
-        (F.col("cos") > F.col("pos_cos") - _HN_MARGIN).alias("semi_hard"),
-        F.col("rn").alias("rank"),
+    kept = (
+        scored.withColumn("rn_salt", F.row_number().over(w_salt))
+        .withColumn("pos_mx_salt", pos_mx_salt)
+        # negatives rank 1..n_neg under the negatives-first order, so this
+        # is the per-salt top-k; rn_salt == 1 additionally keeps one row
+        # per salt group (possibly positive) purely to carry pos_mx_salt
+        .filter(
+            ((F.col("is_neg") == 1) & (F.col("rn_salt") <= TOP_K))
+            | (F.col("rn_salt") == 1)
+        )
+    )
+    # stage 2: ≤ (k+1)·SALT rows per query — global rank + positive max
+    w_q = Window.partitionBy("query_id")
+    w_rank = w_q.orderBy(F.desc("is_neg"), F.desc("cos"), F.asc("cand_id"))
+    pos_cos = F.max("pos_mx_salt").over(
+        w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        kept.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("pos_cos", pos_cos)
+        # pos_cos null = no same-label candidate exists for the query:
+        # drop, matching the oracle's inner join against best_pos
+        .filter(
+            (F.col("is_neg") == 1)
+            & (F.col("rn") <= TOP_K)
+            & F.col("pos_cos").isNotNull()
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("negative_id"),
+            F.round("cos", 6).alias("neg_cosine"),
+            F.round("pos_cos", 6).alias("best_pos_cosine"),
+            F.round(F.col("cos") - F.col("pos_cos"), 6).alias("margin"),
+            (F.col("cos") > F.col("pos_cos") - _HN_MARGIN).alias("semi_hard"),
+            F.col("rn").alias("rank"),
+        )
     )
 
 

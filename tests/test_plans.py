@@ -422,3 +422,19 @@ def test_semantic_dedup_cell_population_bounded(spark, sf_dir):
     assert b >= 1 and len(cells) > len(labels), "refinement inactive"
     assert n <= len(labels) * (1 << b) * _SEMDEDUP_TARGET_CELL
     assert max(r["count"] for r in cells) <= 2 * _SEMDEDUP_TARGET_CELL
+
+
+def test_hard_negative_mining_single_pass_no_checkpoint(spark, sf_dir):
+    """sim_hard_negative_mining: the r5 ADVICE fix pinned — the corpus
+    is scored once into ONE salted exchange (plus the trivially small
+    stage-2 exchange), the only nested-loop is the broadcast of the
+    |Q|-row anchor set, and nothing is checkpointed (a localCheckpoint
+    would surface as an ExistingRDD scan and a corpus-proportional
+    executor-disk materialization)."""
+    q = all_queries()["sim_hard_negative_mining"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["bnl_joins"] == 1, rep["plan"]
+    assert rep["shuffles"] <= 2, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert "ExistingRDD" not in rep["plan"], rep["plan"]
