@@ -113,34 +113,104 @@ def test_no_expensive_expression_beside_explode():
     group-sized) side instead. F.size over a COLLECTED array column
     (post-groupBy attr) is O(1) and allowed — the hazard is F.size /
     F.transform / hash functions applied to a COMPUTED alias from the
-    producing select, which this lint approximates by flagging any
-    expensive call co-located with explode in one select."""
+    producing select, which this lint detects per select block.
+
+    The scanner is tokenize-based (r5 ADVICE: the old bounded-depth regex
+    both skipped deeply nested select blocks and flagged expensive calls
+    that are ARGUMENTS to the explode — evaluated once per input row, not
+    per output row). Tokens make paren balancing exact regardless of
+    nesting and immune to unbalanced parens inside SQL strings; an
+    expensive call is an offender only when it lies OUTSIDE every
+    explode(...) argument span in the same select block."""
     import glob
+    import io
     import re
+    import tokenize
 
     root = os.path.join(os.path.dirname(__file__), "..",
                         "pyspark_for_ebook_classification_spark")
-    allowed = {
-        # post-groupBy collected arrays: size() on a materialized attr
-        # is O(1); verified by the stage timings in SCALING.md
+    EXPENSIVE = {
+        "size", "transform", "aggregate", "slice",
+        "sha2", "md5", "xxhash64", "array_distinct",
     }
-    select_re = re.compile(
-        r"\.select\((?:[^()]|\([^()]*(?:\([^()]*\)[^()]*)*\))*\)", re.S
-    )
-    expensive_re = re.compile(
-        r"F\.(size|transform|aggregate|slice|sha2|md5|xxhash64|array_distinct)\("
-    )
-    explode_re = re.compile(r"F\.(pos)?explode")
+    EXPLODE = {"explode", "posexplode", "explode_outer", "posexplode_outer"}
+    expensive_str_re = re.compile(
+        r"\b(" + "|".join(EXPENSIVE) + r")\s*\("
+    )  # also catch F.expr('... size(...)') smuggling in a sibling arg
+
+    def _select_blocks(toks):
+        """Yield (line, [token indices]) for each .select(...) call,
+        exact paren balancing on OP tokens (strings are atomic)."""
+        for i, t in enumerate(toks):
+            if (
+                t.type == tokenize.NAME
+                and t.string == "select"
+                and i >= 1
+                and toks[i - 1].string == "."
+                and i + 1 < len(toks)
+                and toks[i + 1].string == "("
+            ):
+                depth, j = 0, i + 1
+                while j < len(toks):
+                    if toks[j].string in "([{":
+                        depth += 1
+                    elif toks[j].string in ")]}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                yield t.start[0], list(range(i + 2, j))
+
+    def _call_spans(toks, idxs, names):
+        """Index ranges covering the argument list of F.<name>(...) calls."""
+        spans = []
+        for k in idxs:
+            if (
+                toks[k].type == tokenize.NAME
+                and toks[k].string in names
+                and k >= 2
+                and toks[k - 1].string == "."
+                and toks[k - 2].string == "F"
+                and k + 1 <= idxs[-1]
+                and toks[k + 1].string == "("
+            ):
+                depth, j = 0, k + 1
+                while j <= idxs[-1]:
+                    if toks[j].string in "([{":
+                        depth += 1
+                    elif toks[j].string in ")]}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                spans.append((k, j))
+        return spans
+
     offenders = []
     for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
         src = open(path).read()
-        for m in select_re.finditer(src):
-            blk = m.group(0)
-            if explode_re.search(blk) and expensive_re.search(blk):
-                line = src[: m.start()].count("\n") + 1
-                key = (os.path.relpath(path, root), line)
-                if key not in allowed:
-                    offenders.append(f"{key[0]}:{key[1]}")
+        toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+        rel = os.path.relpath(path, root)
+        for line, idxs in _select_blocks(toks):
+            if not idxs:
+                continue
+            explode_spans = _call_spans(toks, idxs, EXPLODE)
+            if not explode_spans:
+                continue
+
+            def _inside_explode(k):
+                return any(a < k <= b for a, b in explode_spans)
+
+            for k, _ in _call_spans(toks, idxs, EXPENSIVE):
+                if not _inside_explode(k):
+                    offenders.append(f"{rel}:{line} (F.{toks[k].string})")
+            for k in idxs:
+                if (
+                    toks[k].type == tokenize.STRING
+                    and expensive_str_re.search(toks[k].string)
+                    and not _inside_explode(k)
+                ):
+                    offenders.append(f"{rel}:{line} (string expr)")
     assert not offenders, (
         "expensive expression projected beside an explode (evaluated per "
         f"OUTPUT row of the Generate): {offenders}"
