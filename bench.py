@@ -47,6 +47,12 @@ HEADLINE = [
     "text_minhash_containment",   # shared-shingle containment pairs
     "dedup_minhash_estimate_error",  # LSH estimate vs exact Jaccard
     "graph_triangle_count",       # degree-oriented triangle counting
+    # r6 additions (r5 verdict item 4): the two worst SCALING.md ratios
+    # (4.42× and 4.04× under 10× data) now headline-tracked. The 13-query
+    # r1–r4 / 16-query r5 totals stay comparable via sum(queries) minus
+    # the later additions; per-query timings compare directly.
+    "dedup_semantic_embedding",   # corpus-adaptive SemDeDup cells
+    "agg_ols_two_features",       # decimal(38) moment-sum OLS
 ]
 
 #: round-3 additions measured by scripts/scaling_check.py and plan-dumped
@@ -62,18 +68,16 @@ EXTRA = [
     "sim_product_quantization",
     "fn_url_suite",
     "window_sliding_distinct_users_7d",
-    "agg_ols_two_features",
     "join_asof_nearest_click",
     "data_contrastive_pairs",
     "join_time_band_pairs",
     "data_snapshot_diff",
     "data_dataset_card_stats",
     "sim_pq_adc_topk",
-    # r5 additions: the three new operators, tracked but not headline
-    # (keeps the headline wall comparable round-over-round)
+    # r5 additions: tracked but not headline (dedup_semantic_embedding
+    # and agg_ols_two_features graduated to HEADLINE in r6)
     "dedup_boilerplate_segments",
     "sim_hard_negative_mining",
-    "dedup_semantic_embedding",
 ]
 
 

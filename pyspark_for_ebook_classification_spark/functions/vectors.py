@@ -161,3 +161,33 @@ def sql_lsh_tables_union(src: str) -> str:
             f"SELECT vec_id, embedding, nrm, {t} AS table_id, {bucket} AS bucket FROM {src}"
         )
     return "\n            UNION ALL\n            ".join(selects)
+
+
+def spark_srp_code(col: str, n_planes: int, dim: int = DIM, plane_offset: int = 0) -> Column:
+    """INTEGER sign-random-projection cell code: bit p set iff the plane-p
+    projection is >= 0. Same LCG plane family (and therefore the same
+    cross-engine bit-exactness argument) as the string buckets above, but
+    packed into a BIGINT so cells can be probed by XOR-ing bit flips —
+    the multi-probe trick string signatures can't express."""
+    bits = " + ".join(
+        f"(CASE WHEN aggregate("
+        f"  zip_with({col}, array("
+        + ", ".join(f"{_weight(plane_offset + p, j)!r}D" for j in range(dim))
+        + f"), (x, w) -> CAST(x AS DOUBLE) * w),"
+        f"  CAST(0 AS DOUBLE), (acc, v) -> acc + v"
+        f") >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(n_planes)
+    )
+    return F.expr(bits)
+
+
+def sql_srp_code(col: str, n_planes: int, dim: int = DIM, plane_offset: int = 0) -> str:
+    """DuckDB rendering of :func:`spark_srp_code` (inline LCG weights)."""
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> ((CAST(1103515245 AS BIGINT) * ({plane_offset + p} * {dim} + i - 1) + 12345) % 2001 - 1000) / 1000.0"
+        f"   * CAST({col}[i] AS DOUBLE)"
+        f")) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p in range(n_planes)
+    )
+    return f"({bits})"

@@ -1280,9 +1280,12 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seg_pos", "seg"),
         )
-        # sequence(0, -1) on an empty doc yields [0] in Spark but range()
-        # yields [] in DuckDB; documents here always have tokens, and the
-        # filter also guards the degenerate case identically to the oracle
+        # degenerate empty-token doc: Spark's sequence(0, -1) yields
+        # [0, -1] (default step -1 when start > stop) while DuckDB's
+        # range() yields [] — BOTH of Spark's phantom indices slice to
+        # empty arrays that join to '', so this seg != '' filter is what
+        # actually reconciles the engines (do not refactor it away; the
+        # guard is load-bearing, verified by re-running the expression)
         .filter(F.col("seg") != "")
     )
     boiler = (
@@ -1314,4 +1317,145 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_boiler"),
         kept_sorted.alias("cleaned_text"),
+    )
+
+
+# ------------------------------------------------- incremental near-dup L1/L2
+
+
+@query(
+    "dedup_incremental_neardup",
+    survey_ref="L1,L2,J1,W1",
+    doc="Ingest-time NEAR-dup gate: each arriving batch doc is LSH-banded "
+    "against the standing corpus, candidates are verified with exact "
+    "trigram Jaccard, and the doc is admitted only when no standing doc "
+    "reaches the dedup threshold; reports the best match per batch doc.",
+    oracle=f"""
+        WITH {_sql_sig_chain()},
+        {_sql_band_cand_chain()},
+        cross_cand AS (
+            SELECT CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_id,
+                   CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS old_id
+            FROM cand
+            WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)
+        ),
+        j AS (
+            SELECT c.new_id, c.old_id,
+                   CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (length(a.shingles) + length(b.shingles)
+                      - length(list_intersect(a.shingles, b.shingles))) AS jac
+            FROM cross_cand c
+            JOIN shingled a ON a.doc_id = c.new_id
+            JOIN shingled b ON b.doc_id = c.old_id
+        ),
+        best AS (
+            SELECT new_id, old_id, jac,
+                   COUNT(*) OVER (PARTITION BY new_id) AS n_cands,
+                   row_number() OVER (
+                       PARTITION BY new_id ORDER BY jac DESC, old_id
+                   ) AS rn
+            FROM j
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(b.n_cands, 0) AS BIGINT) AS n_cands,
+               b.old_id AS best_match,
+               round(b.jac, 6) AS best_jaccard,
+               (b.jac IS NULL OR b.jac < {JACCARD_THRESHOLD}) AS admit
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+        WHERE d.doc_id % 4 = 0
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-duplicate gate — the L2 counterpart of
+    dedup_incremental_exact: exact-hash admission misses paraphrases and
+    light edits, so continuous ingest also bands the arriving batch
+    (doc_id % 4 = 0 stands in for it) against the standing corpus and
+    verifies every bucket collision with exact trigram Jaccard before
+    admitting. Per batch doc it reports the candidate count, the best
+    standing match (max Jaccard, ties to the lowest doc_id) and the
+    admit verdict (no standing doc at or above JACCARD_THRESHOLD).
+    Within-batch duplicates are deliberately out of scope — they are the
+    standing pipeline's next dedup_minhash_lsh pass; this operator's job
+    is batch-vs-corpus only, which keeps the candidate join one-sided.
+
+    Scale shape — the production dataflow this compresses: the standing
+    corpus's band index is AT REST (written once, bucketed on
+    (band_id, band_hash) via sources/io.write_bucketed), so a daily
+    batch computes signatures for ITSELF only (one explode + one partial
+    agg over ~1e-3 of the corpus) and equi-joins the band index with
+    zero corpus-side shuffle; candidate verification joins shingle
+    arrays for candidate PARTICIPANTS only (semi-join before the array
+    build, the dedup_minhash_estimate_error discipline). Here both
+    sides derive from one table, so the shared signature pass runs once
+    (bands reuse it via column slicing, not recomputation) and the
+    bucket cap (MAX_BUCKET, mirrored in the oracle) bounds every pair
+    expansion exactly as in dedup_minhash_lsh. Per-doc candidate lists
+    are bucket-bounded, so the best-match window never sees a skewed
+    partition."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 4 == 0
+    pairs = _lsh_candidate_pairs(_bands(_minhash_signature(d)))
+    cross = pairs.filter(
+        (F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0)
+    ).select(
+        F.when(F.col("doc_a") % 4 == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("new_id"),
+        F.when(F.col("doc_a") % 4 == 0, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("old_id"),
+    )
+    members = (
+        cross.select(F.col("new_id").alias("doc_id"))
+        .unionByName(cross.select(F.col("old_id").alias("doc_id")))
+        .distinct()
+    )
+    arrays = (
+        d.join(members, "doc_id", "left_semi")
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr().alias("shingles"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    scored = (
+        cross.join(
+            arrays.select(
+                F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a")
+            ),
+            "new_id",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_b")
+            ),
+            "old_id",
+        )
+        .select("new_id", "old_id", jac.alias("jac"))
+    )
+    w = Window.partitionBy("new_id")
+    best = (
+        scored.withColumn("n_cands", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("jac"), F.asc("old_id"))),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        d.filter(is_batch)
+        .select("doc_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cands", F.lit(0)).cast("bigint").alias("n_cands"),
+            F.col("old_id").alias("best_match"),
+            F.round("jac", 6).alias("best_jaccard"),
+            (F.col("jac").isNull() | (F.col("jac") < JACCARD_THRESHOLD)).alias(
+                "admit"
+            ),
+        )
     )

@@ -29,9 +29,11 @@ from pyspark_for_ebook_classification_spark.functions.vectors import (
     spark_dot,
     spark_lsh_bucket,
     spark_lsh_tables,
+    spark_srp_code,
     sql_dot,
     sql_lsh_bucket,
     sql_lsh_tables_union,
+    sql_srp_code,
 )
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
@@ -1284,4 +1286,125 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (F.col("mx").isNull() | (F.col("mx") < _SEMDEDUP_TAU)).alias("keep"),
         F.round("mx", 6).alias("max_lower_cos"),
+    )
+
+
+#: grid multi-probe parameters: 2^_GRID_BITS cells; probing the home cell
+#: plus all Hamming-1 neighbors visits (_GRID_BITS + 1) / 2^_GRID_BITS of
+#: the corpus in expectation (3.5% at 8 bits) — the recall/cost dial.
+_GRID_BITS = 8
+#: plane family 48..55 — disjoint from the ANN tables (0–15) and the
+#: SemDeDup refinement planes (32–39).
+_GRID_PLANE_OFFSET = 48
+
+_SQL_GRID_CODED = f"""
+        coded AS (
+            SELECT vec_id, embedding, nrm,
+                   {sql_srp_code('embedding', _GRID_BITS, 64, _GRID_PLANE_OFFSET)} AS code
+            FROM normed
+        )
+"""
+
+
+@query(
+    "sim_ann_grid_multiprobe",
+    survey_ref="L3,J1,W4",
+    doc="Multi-probe ANN over a deterministic SRP cell grid: each query "
+    "probes its own cell plus every Hamming-1 neighbor cell, scores only "
+    "the probed candidates, and keeps the cosine top-k.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        {_SQL_GRID_CODED},
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, code AS qcode
+            FROM coded WHERE vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, qe, qn,
+                   CASE WHEN f = -1 THEN qcode
+                        ELSE xor(qcode, CAST(1 << f AS BIGINT)) END AS cell
+            FROM q CROSS JOIN range(-1, {_GRID_BITS}) t(f)
+        ),
+        scored AS (
+            SELECT p.query_id,
+                   c.vec_id AS neighbor_id,
+                   {sql_dot('p.qe', 'c.embedding')} / (p.qn * c.nrm) AS cos
+            FROM probes p
+            JOIN coded c ON c.code = p.cell
+            WHERE c.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_grid_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN — the production IVF trick (probe several nearby
+    cells, not just the assignment cell) over a DETERMINISTIC cell grid,
+    so unlike sim_ann_ivf_kmeans it stays oracle-expressible: corpus
+    vectors get an integer sign-random-projection code (the LCG plane
+    family of functions/vectors.py, bit-exact on both engines), and each
+    query probes its home cell plus all _GRID_BITS Hamming-1 flips. A
+    near neighbor disagrees with the query on few hyperplane signs, so
+    the flipped cells are exactly where boundary-straddling neighbors
+    live — multi-probe buys the recall that single-cell SRP bucketing
+    (measured ≈ 0 on this near-random corpus for string buckets,
+    vectors.py note) gives up, while scoring only
+    ~(_GRID_BITS+1)/2^_GRID_BITS of the corpus per query.
+
+    Scale shape: the probe list is |Q|·(_GRID_BITS+1) rows and
+    BROADCASTS; the corpus streams once through the code expression and
+    the broadcast hash join — no corpus shuffle at all until the
+    candidate set (≈3.5% of corpus × |Q| / cells) hits the per-query
+    top-k window, which is candidate-sized, not corpus-sized. Cell codes
+    are one 8-plane fold per corpus row, computed inline (stateless —
+    at rest you'd persist the code column and partition the corpus BY
+    code, making each probe a partition-pruned read instead of a scan)."""
+    e = _normed(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        spark_srp_code("embedding", _GRID_BITS, 64, _GRID_PLANE_OFFSET).alias(
+            "code"
+        ),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("code").alias("qcode"),
+    )
+    probe_cells = F.array(
+        F.col("qcode"),
+        *[F.col("qcode").bitwiseXOR(F.lit(1 << i)) for i in range(_GRID_BITS)],
+    )
+    probes = q.select(
+        "query_id", "qe", "qn", F.explode(probe_cells).alias("cell")
+    )
+    scored = (
+        e.join(F.broadcast(probes), e["code"] == probes["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
     )

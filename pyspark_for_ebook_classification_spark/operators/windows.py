@@ -1081,3 +1081,121 @@ def window_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+_FUNNEL_STEP_DAYS = 7
+
+
+@query(
+    "window_funnel_strict_order",
+    survey_ref="W2,W3,A5,A1",
+    doc="Ordered event funnel view→click→purchase per user, each step "
+    "within 7 days of the previous; emits per-stage user counts and "
+    "conversion rates from the previous stage and from the top.",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+            FROM events GROUP BY user_id
+        ),
+        step2 AS (
+            SELECT p.user_id, p.t1,
+                   MIN(e.ts) FILTER (
+                       WHERE e.event_type = 'click' AND e.ts > p.t1
+                         AND e.ts <= p.t1 + INTERVAL {_FUNNEL_STEP_DAYS} DAY
+                   ) AS t2
+            FROM per_user p LEFT JOIN events e ON e.user_id = p.user_id
+            GROUP BY p.user_id, p.t1
+        ),
+        step3 AS (
+            SELECT s.user_id, s.t1, s.t2,
+                   MIN(e.ts) FILTER (
+                       WHERE e.event_type = 'purchase' AND e.ts > s.t2
+                         AND e.ts <= s.t2 + INTERVAL {_FUNNEL_STEP_DAYS} DAY
+                   ) AS t3
+            FROM step2 s LEFT JOIN events e ON e.user_id = s.user_id
+            GROUP BY s.user_id, s.t1, s.t2
+        ),
+        agg AS (
+            SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3
+            FROM step3
+        )
+        SELECT 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+               round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_prev,
+               round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_first
+        FROM agg
+        UNION ALL
+        SELECT 'click', CAST(n2 AS BIGINT),
+               round(CAST(n2 AS DOUBLE) / n1, 6),
+               round(CAST(n2 AS DOUBLE) / n1, 6)
+        FROM agg
+        UNION ALL
+        SELECT 'purchase', CAST(n3 AS BIGINT),
+               round(CAST(n3 AS DOUBLE) / n2, 6),
+               round(CAST(n3 AS DOUBLE) / n1, 6)
+        FROM agg
+    """,
+)
+def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — the product-analytics classic that
+    needs SEQUENCE, not mere co-occurrence: a user converts at stage k
+    only via an event strictly after their stage-(k-1) time and within
+    _FUNNEL_STEP_DAYS of it, and each stage anchors on the EARLIEST
+    qualifying event (min, not any), so a click before the first view
+    never counts and re-orderings can't double-convert.
+
+    Scale shape: ONE exchange on user_id, then three stacked whole-frame
+    window aggregates — t1 = min(view ts), t2 = min(click ts in
+    (t1, t1+7d]), t3 = min(purchase ts in (t2, t2+7d]) — each referencing
+    the previous stage's column on the SAME partitioning, so Catalyst
+    stacks three Window operators on one sort with no further shuffle
+    (the oracle's LEFT JOIN + re-aggregate per stage is the relational
+    spelling of the same computation for an engine without stacked
+    windows). The per-user reduce then rides the existing partitioning
+    (partial agg, no new exchange) and the final 3-row stage table is
+    driver-free stack(). Event-time skew is per-user bounded; no
+    collect_list anywhere."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    step = F.expr(f"INTERVAL {_FUNNEL_STEP_DAYS} DAY")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + step),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + step),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    )
+    agg = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3, "
+        "'view', CAST(n1 AS BIGINT), round(CAST(n1 AS DOUBLE)/n1, 6), "
+        "        round(CAST(n1 AS DOUBLE)/n1, 6), "
+        "'click', CAST(n2 AS BIGINT), round(CAST(n2 AS DOUBLE)/n1, 6), "
+        "        round(CAST(n2 AS DOUBLE)/n1, 6), "
+        "'purchase', CAST(n3 AS BIGINT), round(CAST(n3 AS DOUBLE)/n2, 6), "
+        "        round(CAST(n3 AS DOUBLE)/n1, 6)"
+        ") AS (stage, n_users, conv_from_prev, conv_from_first)"
+    )
