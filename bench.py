@@ -78,6 +78,10 @@ EXTRA = [
     # and agg_ols_two_features graduated to HEADLINE in r6)
     "dedup_boilerplate_segments",
     "sim_hard_negative_mining",
+    # r6 additions: tracked for SCALING/PLANS evidence from day one
+    "dedup_incremental_neardup",
+    "sim_ann_grid_multiprobe",
+    "window_funnel_strict_order",
 ]
 
 
