@@ -82,6 +82,7 @@ EXTRA = [
     "dedup_incremental_neardup",
     "sim_ann_grid_multiprobe",
     "window_funnel_strict_order",
+    "sim_grid_recall_report",
 ]
 
 
