@@ -294,3 +294,103 @@ def test_semantic_dedup_keep_lowest_id(spark, tmp_path, duck_tmp):
     assert_frames_match(
         spark_pdf.reset_index(), oracle_pdf, "dedup_semantic_embedding[fixture]"
     )
+
+
+def test_strict_funnel_differs_from_first_touch(spark, tmp_path, duck_tmp):
+    """window_funnel_strict_order's reason to exist, pinned: a user who
+    clicked BEFORE their first view and again after it converts under
+    strict re-anchoring (the earliest qualifying click strictly after
+    t1) but NOT under the first-touch approximation (min(click) <
+    min(view) fails the > test). Fixture: user 1 = click, view, click,
+    purchase in order; user 2 = view only; user 3 = view then a click 8
+    days later (outside the 7-day step window → stalls at view under
+    strict order)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, "click", t0),
+        (1, "view", t0 + h),
+        (1, "click", t0 + 2 * h),
+        (1, "purchase", t0 + 3 * h),
+        (2, "view", t0),
+        (3, "view", t0),
+        (3, "click", t0 + dt.timedelta(days=8)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    strict = get("window_funnel_strict_order")
+    got = {
+        r["stage"]: r
+        for r in strict.fn(spark, str(tmp_path)).collect()
+    }
+    assert got["view"]["n_users"] == 3
+    assert got["click"]["n_users"] == 1  # only user 1: user 3 is out of window
+    assert got["purchase"]["n_users"] == 1
+    oracle_pdf = _oracle(duck_tmp, strict.oracle)
+    spark_pdf = strict.fn(spark, str(tmp_path)).toPandas()
+    assert_frames_match(spark_pdf, oracle_pdf, "window_funnel_strict_order[fixture]")
+
+    # the first-touch approximation disagrees in BOTH directions: it
+    # misses user 1 (min(click) precedes min(view)) yet counts user 3
+    # (it has no step window), so its click stage is {user 3} where the
+    # strict funnel's is {user 1}
+    ft = get("window_funnel_conversion").fn(spark, str(tmp_path)).collect()[0]
+    assert ft["n_view_then_click"] == 1  # user 3, not user 1
+    assert ft["n_full_funnel"] == 0  # user 1's purchase invisible to it
+
+
+def test_hard_negative_mining_salt_invariant(spark, sf_dir, monkeypatch):
+    """The salted two-phase top-k must be lossless: results are identical
+    for any _HN_SALT (1 = the unsalted single-partition plan, 7 = a
+    non-power-of-two fan-out, 32 = production default). Pins the claim
+    that salting is a parallelism dial, never a semantics knob."""
+    from pyspark_for_ebook_classification_spark.operators import similarity as sim
+
+    def run():
+        return sorted(
+            (
+                r["query_id"],
+                r["negative_id"],
+                r["rank"],
+                r["neg_cosine"],
+                r["best_pos_cosine"],
+            )
+            for r in sim.sim_hard_negative_mining(spark, sf_dir).collect()
+        )
+
+    base = run()
+    assert base, "empty mining result"
+    for salt in (1, 7):
+        monkeypatch.setattr(sim, "_HN_SALT", salt)
+        assert run() == base, f"salt={salt} changed results"
+
+
+def test_bit_packed_pair_key_roundtrips_randomized(spark):
+    """Vectorized randomized round-trip for the containment pair key:
+    10k (x, y) pairs spanning the full unsigned 32-bit range (including
+    sign-bit-setting x >= 2^31) must decode exactly after
+    shiftleft|or packing — the DIV/% decode this replaced corrupts
+    every pair with x >= 2^31."""
+    df = spark.range(10_000).selectExpr(
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS x",
+        "CAST(conv(substring(md5(CAST(id + 1000000 AS STRING)), 1, 8), 16, 10) AS BIGINT) AS y",
+    )
+    bad = (
+        df.selectExpr(
+            "x", "y", "shiftleft(x, 32) | y AS pk"
+        )
+        .selectExpr(
+            "x", "y",
+            "shiftrightunsigned(pk, 32) AS dx",
+            "pk & 4294967295 AS dy",
+        )
+        .filter("dx <> x OR dy <> y")
+        .count()
+    )
+    assert bad == 0
