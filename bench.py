@@ -83,6 +83,7 @@ EXTRA = [
     "sim_ann_grid_multiprobe",
     "window_funnel_strict_order",
     "sim_grid_recall_report",
+    "multimodal_cdc_chunk_dedup",
 ]
 
 

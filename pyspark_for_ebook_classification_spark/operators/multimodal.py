@@ -286,3 +286,116 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return media.mapInPandas(_make_frame_kernel(), schema=FRAME_SCHEMA)
+
+
+# -------------------------------------------- CDC chunk-level storage dedup
+
+#: rolling-hash boundary divisor: a byte position ends a chunk when the
+#: 3-byte weighted hash is ≡ 0 (mod this) → expected chunk ≈ 16 bytes.
+_CDC_DIVISOR = 16
+
+#: chunk-start positions: 1 plus every boundary position ≥ 4 (the window
+#: needs 3 trailing bytes). SAME text in both engines modulo the list
+#: function names — pure integer arithmetic on ascii codes, no libm.
+_CDC_STARTS_SPARK = (
+    "concat(array(1), filter(sequence(1, length(text)), i -> i >= 4 AND "
+    "(ascii(substring(text, i-2, 1)) * 961 + ascii(substring(text, i-1, 1)) * 31 "
+    f"+ ascii(substring(text, i, 1))) % {_CDC_DIVISOR} = 0))"
+)
+_CDC_STARTS_SQL = (
+    "list_concat([1], list_filter(range(1, strlen(text) + 1), i -> i >= 4 AND "
+    "(ascii(substring(text, i-2, 1)) * 961 + ascii(substring(text, i-1, 1)) * 31 "
+    f"+ ascii(substring(text, i, 1))) % {_CDC_DIVISOR} = 0))"
+)
+
+
+@query(
+    "multimodal_cdc_chunk_dedup",
+    survey_ref="L5,L1,A1,F1",
+    doc="Storage-level dedup for opaque payloads: content-defined chunking "
+    "(rolling-hash boundaries), then per-source chunk-duplication and "
+    "byte-savings accounting.",
+    oracle=f"""
+        WITH starts AS (
+            SELECT doc_id, source, text, {_CDC_STARTS_SQL} AS bpos
+            FROM documents WHERE strlen(text) >= 1
+        ),
+        chunks AS (
+            SELECT source,
+                   unnest(list_transform(range(1, length(bpos) + 1),
+                       j -> substring(text, bpos[j],
+                                      coalesce(bpos[j + 1], strlen(text) + 1)
+                                          - bpos[j]))) AS chunk
+            FROM starts
+        ),
+        per_chunk AS (
+            SELECT source, COUNT(*) AS cnt, strlen(chunk) AS len
+            FROM chunks WHERE chunk <> '' GROUP BY source, chunk
+        )
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+               CAST(SUM(cnt * len) AS BIGINT) AS total_bytes,
+               CAST(SUM(len) AS BIGINT) AS unique_bytes,
+               round(1 - CAST(SUM(len) AS DOUBLE) / SUM(cnt * len), 6)
+                   AS dedup_ratio
+        FROM per_chunk
+        GROUP BY source
+    """,
+)
+def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup — the storage-layer pass (LBFS/
+    FastCDC lineage) that deduplicates OPAQUE payloads no text or
+    embedding pass can touch: chunk boundaries are chosen by a rolling
+    hash of the content itself, so an insertion early in a payload
+    shifts only the chunk it lands in while every later chunk re-aligns
+    — unlike fixed-offset chunking, where one inserted byte re-keys the
+    whole tail. Per source it reports chunk counts, unique-chunk counts,
+    and the byte-level dedup ratio — the number a 100 TB media lake's
+    capacity planning runs on. The payload here is the documents text
+    byte-stream (the container has no media libs; same stand-in as
+    multimodal_decode_stub, whose strlen()=byte-length equivalence note
+    applies — ASCII corpus, asserted identical in both engines by the
+    oracle equality itself).
+
+    Scale shape: the boundary scan is a per-row JVM expression (integer
+    ascii arithmetic, ~L ops per doc, no Python, no shuffle); chunks
+    explode from a transform computed INSIDE the Generate argument
+    (evaluated once per input row — the Generate-recompute lint's
+    approved shape), and the only shuffles are the two partial-combining
+    aggregations, (source, chunk) then source. Chunk keys are short
+    strings (~16 bytes expected) so the first shuffle carries roughly
+    the corpus byte volume once — the same cost profile as the shingle
+    pipelines, with the same hot-key property: a boilerplate chunk
+    appearing in every doc combines map-side to one row per partition.
+    At rest you'd persist (chunk_hash → refcount) bucketed by hash and
+    MERGE daily increments into it."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    starts = d.select(
+        "source", "text", F.expr(_CDC_STARTS_SPARK).alias("bpos")
+    )
+    chunk_expr = F.expr(
+        "transform(sequence(1, size(bpos)), j -> substring(text, "
+        "element_at(bpos, j), "
+        "coalesce(try_element_at(bpos, j + 1), length(text) + 1) "
+        "- element_at(bpos, j)))"
+    )
+    chunks = starts.select("source", F.explode(chunk_expr).alias("chunk")).filter(
+        F.col("chunk") != ""
+    )
+    per_chunk = (
+        chunks.groupBy("source", "chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("len", F.length("chunk"))
+    )
+    total_bytes = F.sum(F.col("cnt") * F.col("len"))
+    unique_bytes = F.sum("len")
+    return per_chunk.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        total_bytes.cast("bigint").alias("total_bytes"),
+        unique_bytes.cast("bigint").alias("unique_bytes"),
+        F.round(
+            F.lit(1) - unique_bytes.cast("double") / total_bytes, 6
+        ).alias("dedup_ratio"),
+    )

@@ -134,9 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_grid_multiprobe",
     "window_funnel_strict_order",
     "sim_grid_recall_report",
-    # — rows-only (no_oracle): fill the remaining front slot —
+    "multimodal_cdc_chunk_dedup",
+    # — spill to r7 (see bookkeeping note): the 6 rows-only entries —
     "ml_nb_text_predictions",
-    # — spill to r7 (see bookkeeping note) —
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",
     "ml_eval_metrics",
@@ -152,25 +152,26 @@ _PRIORITY: tuple[str, ...] = (
 #   r4: WASTED — re-verified r3's identical set (_PRIORITY wasn't rotated)
 #   r5: a disjoint 50 — sketches, graphs, datapipe, PQ/JL/Gram, LSH
 #       calibration, map-HOF, streaming twins, rank consumers.
-#   r6 (this file's front block): all 49 never-verified oracle-backed
+#   r6 (this file's front block): exactly 50 never-verified oracle-backed
 #       names — the 45 left after r1–r5 (42 carried + 3 r5 additions) plus
-#       the 4 operators ADDED in r6 (incremental near-dup, grid multiprobe
-#       ANN, strict-order funnel, grid recall report) — then
-#       ml_nb_text_predictions in slot 50.
+#       the 5 operators ADDED in r6 (incremental near-dup, grid multiprobe
+#       ANN, strict-order funnel, grid recall report, CDC chunk dedup).
 #       CORRECTION (r5 verdict "What's wrong" #3): a prior revision of this
 #       note claimed the rows-only entries "already received [a] rows-only
 #       verdict in r1/r2" — FALSE for 6 of 8. Only agg_approx_count_distinct
 #       (r1) and sim_ann_ivf_kmeans (r2) appear in any CORRECTNESS file; the
 #       ml_* four, agg_hll_mergeable_sketch, and agg_approx_percentile have
-#       never received ANY driver verdict. Hence all 6 queue here, ordered
-#       most-informative-first: ml_nb_text_predictions makes the front
-#       (M1–M11 have zero driver verdicts of any kind; it exercises the
-#       whole tokenize→TF/IDF→fit→predict pipeline), while ml_lr/ml_cv/
-#       ml_eval (same pipeline, thinner slices), HLL-merge, and
-#       approx-percentile spill to r7 — the latter two because their §2
-#       rows (A3/A7) already carry oracle hash-matched verdicts
-#       (sketch_hll_registers/estimate r5; percentiles r1,
-#       weighted-median/skew-kurtosis/rolling-median r5).
+#       never received ANY driver verdict. All 6 spill to r7 (the r6
+#       additions filled the front with oracle-backed names — hash-match
+#       is the stronger verdict, so oracle debt drains first), queued
+#       most-informative-first for r7: ml_nb then ml_lr (M1–M11 have zero
+#       driver verdicts of any kind; the two jointly exercise the whole
+#       tokenize→TF/IDF→fit→predict/confusion pipeline), then ml_cv/
+#       ml_eval (same pipeline, thinner slices), then HLL-merge and
+#       approx-percentile — last because their §2 rows (A3/A7) already
+#       carry oracle hash-matched verdicts (sketch_hll_registers/estimate
+#       r5; percentiles r1, weighted-median/skew-kurtosis/rolling-median
+#       r5).
 #   r7+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation
