@@ -124,7 +124,7 @@ def write_parquet(
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_key: str,
+    bucket_key: str | list[str],
     n_buckets: int = 16,
     path: str | None = None,
     sort: bool = True,
@@ -135,10 +135,17 @@ def write_bucketed(
     WITHOUT a shuffle — the killer optimization for repeated fact⋈fact
     joins at 100 TB (write once, co-located forever). Verified by
     tests/test_scale.py asserting zero Exchange nodes in the joined plan.
+
+    Composite keys: pass a list when downstream joins use a multi-column
+    equi-key — since Spark 3.3, EnsureRequirements only treats a table
+    as co-partitioned when the bucket keys cover ALL join keys
+    (spark.sql.requireAllClusterKeysForCoPartition=true), so bucketing
+    by a subset of the join key no longer removes the exchange.
     """
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, keys[0], *keys[1:])
     if sort:
-        writer = writer.sortBy(bucket_key)
+        writer = writer.sortBy(keys[0], *keys[1:])
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)

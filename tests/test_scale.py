@@ -185,3 +185,71 @@ def test_count_min_sketch_is_merge_order_invariant(spark, sf_dir):
     assert sketch(o.repartition(7)) == base
     assert sketch(o.repartition(32, "o_orderkey")) == base
     assert len(base) > 0
+
+
+def test_incremental_neardup_band_index_at_rest(spark, sf_dir, tmp_path):
+    """Substantiates dedup_incremental_neardup's production claim: the
+    standing corpus's band table written bucketed on band_hash joins an
+    arriving batch's live bands with NO corpus-side exchange — only the
+    (tiny) batch side and the final distinct shuffle. Proven
+    comparatively: the identical join against an UNBUCKETED copy of the
+    same table needs one more Exchange (the corpus shuffle the at-rest
+    index removes forever). Broadcast is disabled so the bucketed
+    mechanism — not AQE's small-side broadcast — is what's measured;
+    with broadcast on, a small batch gets an even cheaper plan, which is
+    the query's own path. Also reconciles candidates: the at-rest join
+    (uncapped) covers every cross pair the capped generator emits."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        _bands,
+        _lsh_candidate_pairs,
+        _minhash_signature,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    corpus_bands = _bands(_minhash_signature(d.filter(F.col("doc_id") % 4 != 0)))
+    batch_bands = (
+        _bands(_minhash_signature(d.filter(F.col("doc_id") % 4 == 0)))
+        .withColumnRenamed("doc_id", "new_id")
+    )
+
+    spark.sql("DROP TABLE IF EXISTS band_index")
+    spark.sql("DROP TABLE IF EXISTS band_flat")
+    write_bucketed(
+        corpus_bands, "band_index", ["band_id", "band_hash"], 8,
+        path=str(tmp_path / "band_index"),
+    )
+    corpus_bands.write.mode("overwrite").option(
+        "path", str(tmp_path / "band_flat")
+    ).format("parquet").saveAsTable("band_flat")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def pairs_vs(table):
+            at_rest = spark.table(table).withColumnRenamed("doc_id", "old_id")
+            return (
+                batch_bands.join(at_rest, ["band_id", "band_hash"])
+                .select("new_id", "old_id")
+                .distinct()
+            )
+
+        bucketed_x = audit(pairs_vs("band_index"))["shuffles"]
+        flat_x = audit(pairs_vs("band_flat"))["shuffles"]
+        assert bucketed_x == flat_x - 1, (bucketed_x, flat_x)
+
+        got = {(r["new_id"], r["old_id"]) for r in pairs_vs("band_index").collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_index")
+        spark.sql("DROP TABLE IF EXISTS band_flat")
+
+    all_pairs = _lsh_candidate_pairs(_bands(_minhash_signature(d)))
+    want = set()
+    for r in all_pairs.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 4 == 0) != (b % 4 == 0):
+            new, old = (a, b) if a % 4 == 0 else (b, a)
+            want.add((new, old))
+    # the at-rest join has no MAX_BUCKET cap, so it must cover every
+    # cross pair the capped generator emits
+    assert want <= got, sorted(want - got)[:5]
