@@ -1396,26 +1396,45 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 4 == 0
     pairs = _lsh_candidate_pairs(_bands(_minhash_signature(d)))
-    cross = pairs.filter(
-        (F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0)
-    ).select(
-        F.when(F.col("doc_a") % 4 == 0, F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("new_id"),
-        F.when(F.col("doc_a") % 4 == 0, F.col("doc_b"))
-        .otherwise(F.col("doc_a"))
-        .alias("old_id"),
+    # candidate pairs are bucket-cap-bounded (tiny next to the corpus);
+    # pin ONE materialization so the signature/banding pipeline runs
+    # once. Honest A/B (same session, bench harness): WITHOUT the
+    # checkpoint the static plan carries 24 Exchanges (vs 4 in
+    # dedup_minhash_lsh) but AQE's ReuseExchange dedups them at runtime
+    # (4 ReusedExchange nodes in the executed plan) and wall time is a
+    # wash (~3 s either way at sf0.01/0.1 under host noise). The
+    # checkpoint is kept for DETERMINISM of cost, not speed: reuse is a
+    # best-effort optimizer rewrite that a branch-local filter pushdown
+    # silently breaks (measured in sim_hard_negative_mining), while the
+    # checkpoint guarantees the expensive stage runs once — the
+    # dedup_minhash_estimate_error discipline, bounded because pairs
+    # are candidate-sized, never corpus-sized.
+    cross = (
+        pairs.filter((F.col("doc_a") % 4 == 0) != (F.col("doc_b") % 4 == 0))
+        .select(
+            F.when(F.col("doc_a") % 4 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_id"),
+            F.when(F.col("doc_a") % 4 == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("old_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     members = (
         cross.select(F.col("new_id").alias("doc_id"))
         .unionByName(cross.select(F.col("old_id").alias("doc_id")))
         .distinct()
     )
+    # shingle arrays for candidate PARTICIPANTS only, materialized once
+    # (joined twice below; participant-bounded, so the checkpoint is
+    # candidate-sized, never corpus-sized)
     arrays = (
         d.join(members, "doc_id", "left_semi")
         .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
         .select("doc_id", _shingles_expr().alias("shingles"))
+        .localCheckpoint(eager=True)
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (

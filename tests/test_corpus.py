@@ -334,3 +334,30 @@ def test_containment_guard_rejects_unpackable_doc_ids(spark, tmp_path):
     ).to_parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(Exception, match="cannot bit-pack"):
         q.fn(spark, str(tmp_path)).collect()
+
+
+def test_cdc_chunks_reconstruct_payload(spark, sf_dir):
+    """Losslessness invariant of the CDC chunker: concatenating a doc's
+    chunks in order must reproduce the payload byte-for-byte (boundaries
+    partition, never drop or overlap), and every chunk must be non-empty
+    with start positions strictly increasing. Checked in pure Python
+    against the same start-position expression the query uses."""
+    from pyspark_for_ebook_classification_spark.operators.multimodal import (
+        _CDC_STARTS_SPARK,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "text", f"{_CDC_STARTS_SPARK} AS bpos")
+        .collect()
+    )
+    assert docs
+    for r in docs:
+        text, bpos = r["text"], r["bpos"]
+        assert bpos[0] == 1 and list(bpos) == sorted(set(bpos))
+        chunks = [
+            text[bpos[j] - 1 : (bpos[j + 1] - 1 if j + 1 < len(bpos) else len(text))]
+            for j in range(len(bpos))
+        ]
+        assert "".join(chunks) == text, r["doc_id"]
+        assert all(chunks), r["doc_id"]
