@@ -394,3 +394,44 @@ def test_bit_packed_pair_key_roundtrips_randomized(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_cdc_chunk_dedup_adversarial_payloads(spark, tmp_path, duck_tmp):
+    """multimodal_cdc_chunk_dedup on payloads the driver corpus can't
+    express: empty text (filtered identically by both engines), payloads
+    shorter than the 3-byte hash window (single whole-payload chunk),
+    exactly window-sized, and a degenerate payload where EVERY position
+    is a rolling-hash boundary ('0' = ascii 48; 993·48 ≡ 0 mod 16 →
+    maximal chunk fragmentation, all 1-byte chunks past the first).
+    Reconciles totals (total_bytes = sum of payload lengths) and exact
+    oracle parity."""
+    docs = [
+        (0, "srcA", ""),                     # filtered out by both engines
+        (1, "srcA", "abc"),                  # < window → one chunk
+        (2, "srcA", "0000"),                 # == window, boundary at 4
+        (3, "srcB", "0" * 20),               # boundary at every i >= 4
+        (4, "srcB", "the quick brown fox jumps over the lazy dog"),
+        (5, "srcB", "the quick brown fox jumps over the lazy dog"),  # dup doc
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "source", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("multimodal_cdc_chunk_dedup")
+    spark_pdf = q.fn(spark, str(tmp_path)).toPandas().set_index("source")
+    # byte conservation: chunking is a partition of each payload
+    assert int(spark_pdf.loc["srcA", "total_bytes"]) == 3 + 4
+    assert int(spark_pdf.loc["srcB", "total_bytes"]) == 20 + 2 * len(docs[4][2])
+    # srcB: the duplicated doc means unique bytes < total bytes
+    assert int(spark_pdf.loc["srcB", "unique_bytes"]) < int(
+        spark_pdf.loc["srcB", "total_bytes"]
+    )
+    # the all-'0' payload fragments into 1-byte chunks past the first →
+    # srcB's chunk count well above its doc count
+    assert int(spark_pdf.loc["srcB", "n_chunks"]) >= 18
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(
+        spark_pdf.reset_index(), oracle_pdf, "multimodal_cdc_chunk_dedup[fixture]"
+    )
