@@ -295,18 +295,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_DIVISOR = 16
 
 #: chunk-start positions: 1 plus every boundary position ≥ 4 (the window
-#: needs 3 trailing bytes). SAME text in both engines modulo the list
-#: function names — pure integer arithmetic on ascii codes, no libm.
+#: needs 3 trailing bytes). Pure integer arithmetic on ascii codes, no
+#: libm — positions are engine-identical even though each engine uses its
+#: fastest spelling: Spark pre-computes a per-byte codes array and guards
+#: the short-payload case with CASE instead of a per-element bound check
+#: (measured at sf0.1, same session, identical output: substring-per-
+#: element 4.2 s → codes array 3.0 s → codes + CASE guard 0.59 s; the
+#: in-lambda `i <= length(text)` and the 3 substring calls per position
+#: were the cost, 7× together), while the DuckDB oracle keeps the direct
+#: substring form — parity is on VALUES, not spelling.
+_CDC_CODES_SPARK = "transform(split(text, ''), c -> ascii(c))"
 _CDC_STARTS_SPARK = (
-    "concat(array(1), filter(sequence(1, length(text)), i -> i >= 4 AND "
-    "(ascii(substring(text, i-2, 1)) * 961 + ascii(substring(text, i-1, 1)) * 31 "
-    f"+ ascii(substring(text, i, 1))) % {_CDC_DIVISOR} = 0))"
+    "concat(array(1), CASE WHEN length(text) >= 4 THEN "
+    "filter(sequence(4, length(text)), i -> "
+    "(element_at(codes, i-2) * 961 + element_at(codes, i-1) * 31 "
+    f"+ element_at(codes, i)) % {_CDC_DIVISOR} = 0) "
+    "ELSE CAST(array() AS array<int>) END)"
 )
 _CDC_STARTS_SQL = (
     "list_concat([1], list_filter(range(1, strlen(text) + 1), i -> i >= 4 AND "
     "(ascii(substring(text, i-2, 1)) * 961 + ascii(substring(text, i-1, 1)) * 31 "
     f"+ ascii(substring(text, i, 1))) % {_CDC_DIVISOR} = 0))"
 )
+
+
+def cdc_starts(df: DataFrame) -> DataFrame:
+    """(source?, text) → + bpos: the chunk-start positions column. Two
+    projections because the boundary lambda references the materialized
+    per-byte codes array."""
+    keep = [c for c in df.columns]
+    return df.selectExpr(*keep, f"{_CDC_CODES_SPARK} AS codes").selectExpr(
+        *keep, f"{_CDC_STARTS_SPARK} AS bpos"
+    )
 
 
 @query(
@@ -371,9 +391,7 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At rest you'd persist (chunk_hash → refcount) bucketed by hash and
     MERGE daily increments into it."""
     d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
-    starts = d.select(
-        "source", "text", F.expr(_CDC_STARTS_SPARK).alias("bpos")
-    )
+    starts = cdc_starts(d.select("source", "text"))
     chunk_expr = F.expr(
         "transform(sequence(1, size(bpos)), j -> substring(text, "
         "element_at(bpos, j), "

@@ -343,14 +343,12 @@ def test_cdc_chunks_reconstruct_payload(spark, sf_dir):
     with start positions strictly increasing. Checked in pure Python
     against the same start-position expression the query uses."""
     from pyspark_for_ebook_classification_spark.operators.multimodal import (
-        _CDC_STARTS_SPARK,
+        cdc_starts,
     )
 
-    docs = (
-        load(spark, sf_dir, "documents")
-        .selectExpr("doc_id", "text", f"{_CDC_STARTS_SPARK} AS bpos")
-        .collect()
-    )
+    docs = cdc_starts(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).collect()
     assert docs
     for r in docs:
         text, bpos = r["text"], r["bpos"]
