@@ -435,3 +435,31 @@ def test_cdc_chunk_dedup_adversarial_payloads(spark, tmp_path, duck_tmp):
     assert_frames_match(
         spark_pdf.reset_index(), oracle_pdf, "multimodal_cdc_chunk_dedup[fixture]"
     )
+
+
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_ansi_mode_portability_smoke(spark, sf_dir, ansi):
+    """The driver runs DEFAULT session confs, so every query must be
+    correct under Spark 4's ANSI-on default AND with ANSI off (a cluster
+    that disabled it for legacy jobs). Smoke the operators that touch
+    ANSI-sensitive territory — element_at bounds (shingles, CDC chunks),
+    integer overflow wrap (bit-packed pair keys), CAST strictness
+    (boilerplate segmenter, sketches) — under both settings."""
+    sensitive = (
+        "dedup_minhash_lsh",
+        "text_minhash_containment",
+        "dedup_boilerplate_segments",
+        "multimodal_cdc_chunk_dedup",
+        "dedup_semantic_embedding",
+        "sketch_kmv_distinct",
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        for name in sensitive:
+            assert qs[name].fn(spark, sf_dir).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
