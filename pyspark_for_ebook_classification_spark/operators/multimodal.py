@@ -323,7 +323,8 @@ def cdc_starts(df: DataFrame) -> DataFrame:
     """(source?, text) → + bpos: the chunk-start positions column. Two
     projections because the boundary lambda references the materialized
     per-byte codes array."""
-    keep = [c for c in df.columns]
+    keep = list(df.columns)
+    assert "codes" not in keep and "bpos" not in keep, keep
     return df.selectExpr(*keep, f"{_CDC_CODES_SPARK} AS codes").selectExpr(
         *keep, f"{_CDC_STARTS_SPARK} AS bpos"
     )

@@ -1121,18 +1121,18 @@ _FUNNEL_STEP_DAYS = 7
             FROM step3
         )
         SELECT 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
-               round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_prev,
-               round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_first
+               round(CAST(n1 AS DOUBLE) / nullif(n1, 0), 6) AS conv_from_prev,
+               round(CAST(n1 AS DOUBLE) / nullif(n1, 0), 6) AS conv_from_first
         FROM agg
         UNION ALL
         SELECT 'click', CAST(n2 AS BIGINT),
-               round(CAST(n2 AS DOUBLE) / n1, 6),
-               round(CAST(n2 AS DOUBLE) / n1, 6)
+               round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6),
+               round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 6)
         FROM agg
         UNION ALL
         SELECT 'purchase', CAST(n3 AS BIGINT),
-               round(CAST(n3 AS DOUBLE) / n2, 6),
-               round(CAST(n3 AS DOUBLE) / n1, 6)
+               round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 6),
+               round(CAST(n3 AS DOUBLE) / nullif(n1, 0), 6)
         FROM agg
     """,
 )
@@ -1189,13 +1189,16 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n2"),
         F.count("t3").alias("n3"),
     )
+    # nullif guards: Spark double 0/0 is NaN while DuckDB yields NULL —
+    # an empty funnel stage must be NULL on BOTH engines (parity hazard
+    # caught in the r6 self-review before the driver could)
     return agg.selectExpr(
         "stack(3, "
-        "'view', CAST(n1 AS BIGINT), round(CAST(n1 AS DOUBLE)/n1, 6), "
-        "        round(CAST(n1 AS DOUBLE)/n1, 6), "
-        "'click', CAST(n2 AS BIGINT), round(CAST(n2 AS DOUBLE)/n1, 6), "
-        "        round(CAST(n2 AS DOUBLE)/n1, 6), "
-        "'purchase', CAST(n3 AS BIGINT), round(CAST(n3 AS DOUBLE)/n2, 6), "
-        "        round(CAST(n3 AS DOUBLE)/n1, 6)"
+        "'view', CAST(n1 AS BIGINT), round(CAST(n1 AS DOUBLE)/nullif(n1, 0), 6), "
+        "        round(CAST(n1 AS DOUBLE)/nullif(n1, 0), 6), "
+        "'click', CAST(n2 AS BIGINT), round(CAST(n2 AS DOUBLE)/nullif(n1, 0), 6), "
+        "        round(CAST(n2 AS DOUBLE)/nullif(n1, 0), 6), "
+        "'purchase', CAST(n3 AS BIGINT), round(CAST(n3 AS DOUBLE)/nullif(n2, 0), 6), "
+        "        round(CAST(n3 AS DOUBLE)/nullif(n1, 0), 6)"
         ") AS (stage, n_users, conv_from_prev, conv_from_first)"
     )

@@ -74,14 +74,15 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ================= r6 front block: the LAST 51 never-verified =========
-    # After r1–r5 exactly 51 registered queries have no driver verdict of
-    # any kind: 45 oracle-backed (42 carried from the r5 tail + the 3
-    # operators added in r5) and 6 rows-only. The 45 oracle names go first
-    # (hash-match is the stronger verdict), then 5 rows-only fill slots
-    # 46–50; agg_approx_percentile spills to r7 (rationale at the
-    # bookkeeping note below). After this round every oracle-backed query
-    # (242) has a driver verdict.
+    # ================= r6 front block: 50 oracle-backed, all unverified ==
+    # After r1–r5, 45 oracle-backed queries had no driver verdict (42
+    # carried from the r5 tail + the 3 operators added in r5); round 6
+    # added 5 more oracle-backed operators, so the front 50 is exactly
+    # the never-verified oracle-backed set — hash-match is the stronger
+    # verdict, so oracle debt drains first and ALL 6 rows-only entries
+    # spill to r7 (ordering rationale in the bookkeeping note below).
+    # After this round every oracle-backed query (247) has a driver
+    # verdict; the 6 rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",

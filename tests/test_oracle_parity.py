@@ -175,8 +175,15 @@ def test_front_block_targets_never_verified():
         )
         assert any(n in unverified for n in front), "front block contains no unverified query"
     else:
-        # Book closed — front block is the freshness rotation; the only
-        # invariant left is that the basis is current (forces the
-        # recompute + basis-extend step the policy requires).
+        # Book closed — front block is the freshness rotation. The
+        # enforceable invariant (r6 self-review: the earlier
+        # `not newer or front ⊆ all_verified` form was vacuously true
+        # whenever this branch runs) is that the basis is CURRENT: every
+        # CORRECTNESS file on disk must be pinned in _ROTATION_BASIS,
+        # which forces whoever rotates post-closure to recompute the
+        # front block against all evidence and extend the basis tuple.
         newer = [f for f in all_files if f not in _ROTATION_BASIS]
-        assert not newer or set(front) <= all_verified
+        assert not newer, (
+            "book is closed but _ROTATION_BASIS is stale — recompute the "
+            f"freshness front block and pin these files: {newer}"
+        )

@@ -204,9 +204,17 @@ def test_no_expensive_expression_beside_explode():
             for k, _ in _call_spans(toks, idxs, EXPENSIVE):
                 if not _inside_explode(k):
                     offenders.append(f"{rel}:{line} (F.{toks[k].string})")
+            # STRING covers plain/f-strings on 3.11; on 3.12+ f-strings
+            # tokenize as FSTRING_START/MIDDLE/END, so include those or
+            # the smuggling arm goes silently dead (r6 self-review)
+            string_types = {tokenize.STRING} | {
+                getattr(tokenize, n)
+                for n in ("FSTRING_START", "FSTRING_MIDDLE", "FSTRING_END")
+                if hasattr(tokenize, n)
+            }
             for k in idxs:
                 if (
-                    toks[k].type == tokenize.STRING
+                    toks[k].type in string_types
                     and expensive_str_re.search(toks[k].string)
                     and not _inside_explode(k)
                 ):
@@ -343,6 +351,22 @@ def test_strict_funnel_differs_from_first_touch(spark, tmp_path, duck_tmp):
     ft = get("window_funnel_conversion").fn(spark, str(tmp_path)).collect()[0]
     assert ft["n_view_then_click"] == 1  # user 3, not user 1
     assert ft["n_full_funnel"] == 0  # user 1's purchase invisible to it
+
+    # empty-stage parity (r6 self-review): with zero qualifying clicks,
+    # Spark 0/0 is NaN but DuckDB is NULL — the nullif guard must make
+    # both engines emit NULL conversion rates for the starved stages
+    pd.DataFrame(
+        [(9, "view", t0), (9, "view", t0 + h)],
+        columns=["user_id", "event_type", "ts"],
+    ).to_parquet(path)
+    starved = strict.fn(spark, str(tmp_path)).toPandas().set_index("stage")
+    assert int(starved.loc["click", "n_users"]) == 0
+    assert pd.isna(starved.loc["purchase", "conv_from_prev"])
+    assert_frames_match(
+        starved.reset_index(),
+        _oracle(duck_tmp, strict.oracle),
+        "window_funnel_strict_order[starved]",
+    )
 
 
 def test_hard_negative_mining_salt_invariant(spark, sf_dir, monkeypatch):
