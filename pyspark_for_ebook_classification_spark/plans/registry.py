@@ -146,7 +146,10 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
-# union(CORRECTNESS_r0*.json) vs the registry):
+# union(CORRECTNESS_r0*.json) vs the registry; run
+# `python scripts/rotate_priority.py` to derive the next front block and
+# _ROTATION_BASIS mechanically instead of by hand — hand-maintenance
+# produced the r4 wasted round and the r5 false rows-only claim):
 #   r1: 50 verified (49 oracle + agg_approx_count_distinct rows-only)
 #   r2: a disjoint 50 (49 oracle + sim_ann_ivf_kmeans rows-only)
 #   r3: a disjoint 50 (the scan/fn/TPC-H block)
