@@ -84,6 +84,7 @@ EXTRA = [
     "window_funnel_strict_order",
     "sim_grid_recall_report",
     "multimodal_cdc_chunk_dedup",
+    "graph_kcore_hindex",
 ]
 
 

@@ -331,3 +331,131 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# ------------------------------------------------------- k-core (h-index)
+
+_KC_ITERS = 8
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        f"""{_TRI_CTES},
+        bidir AS (
+            SELECT a AS node, b AS other FROM und
+            UNION ALL
+            SELECT b AS node, a AS other FROM und
+        ),
+        c0 AS (SELECT node, CAST(d AS BIGINT) AS c FROM deg)"""
+    ]
+    for k in range(1, _KC_ITERS + 1):
+        ctes.append(
+            f"""
+        c{k} AS (
+            SELECT d.node,
+                   COALESCE(MAX(LEAST(x.c, x.r)), 0) AS c
+            FROM deg d
+            LEFT JOIN (
+                SELECT b.node, p.c,
+                       row_number() OVER (
+                           PARTITION BY b.node ORDER BY p.c DESC, b.other
+                       ) AS r
+                FROM bidir b JOIN c{k - 1} p ON p.node = b.other
+            ) x ON x.node = d.node
+            GROUP BY d.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n        SELECT node, CAST(c AS BIGINT) AS coreness FROM c{_KC_ITERS}"
+    )
+
+
+@query(
+    "graph_kcore_hindex",
+    survey_ref="L2,A1,J1,W1",
+    doc="k-core decomposition by the iterated-h-index fixpoint (8 rounds, "
+    "integer-exact) over the strong-tie supplier graph — per-node "
+    "coreness, the degeneracy-ordering backbone metric.",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition — the third canonical iterative-graph shape
+    after the CC min-label fixpoint and the PageRank power iteration:
+    coreness(v) is the largest k with v inside a subgraph of minimum
+    degree k, the standard backbone/influence metric (and the degeneracy
+    order that makes triangle-style enumeration linear-ish). The classic
+    peel algorithm is sequential; the DISTRIBUTED formulation is the
+    iterated h-index (Lü et al. 2016, arXiv:1602.00987): start from
+    c₀ = degree and set c_{t+1}(v) = H({c_t(u) : u ~ v}) — the largest h
+    such that at least h neighbors hold value ≥ h. The sequence is
+    monotonically non-increasing and converges exactly to coreness.
+
+    Parity strategy: the PageRank trick — a FIXED 8 iterations of pure
+    integer arithmetic (h-index = max over the desc-sorted neighbor
+    ranks r of least(c, r): depends only on the sorted value multiset,
+    so any tie order gives the same answer), which a DuckDB oracle
+    unrolls as chained CTEs bit-for-bit. A pytest golden separately
+    proves 8 rounds reach the TRUE coreness (pure-Python peel) on the
+    test graphs; production runs to convergence with the CC loop's
+    driver-side fixpoint scalar instead of a fixed count.
+
+    Scale shape: the bidirectional strong-tie edge list (≤ 16n rows
+    after the kNN sparsification shared with triangle counting) is
+    checkpointed once; each round is one hash join (neighbor values),
+    one bounded window (partitions ≤ 16 rows — the sparsification cap,
+    so no skewed sort), and one partial-aggregating groupBy. Lineage
+    stays flat via the every-3-rounds checkpoint, the PageRank loop's
+    discipline."""
+    pairs = _ship_sequence_pairs(spark, sf_dir)
+    wp = (
+        pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    both = wp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+            )
+        ).alias("e"),
+        "w",
+    ).select("e.node", "e.other", "w")
+    w_rank = Window.partitionBy("node").orderBy(F.desc("w"), "other")
+    und = (
+        both.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 8)
+        .select(
+            F.least("node", "other").alias("a"),
+            F.greatest("node", "other").alias("b"),
+        )
+        .distinct()
+    )
+    bidir = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.other").localCheckpoint(eager=True)
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    c = deg.select("node", F.col("d").cast("bigint").alias("c"))
+    w_nb = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("other"))
+    for k in range(_KC_ITERS):
+        nb = bidir.join(
+            c.select(F.col("node").alias("other"), "c"), "other"
+        ).withColumn("r", F.row_number().over(w_nb))
+        h = nb.groupBy("node").agg(
+            F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h")
+        )
+        c = deg.join(h, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
+        )
+        if k % 3 == 2:
+            c = c.localCheckpoint(eager=True)
+    return c.select("node", F.col("c").alias("coreness"))

@@ -81,8 +81,10 @@ _PRIORITY: tuple[str, ...] = (
     # the never-verified oracle-backed set — hash-match is the stronger
     # verdict, so oracle debt drains first and ALL 6 rows-only entries
     # spill to r7 (ordering rationale in the bookkeeping note below).
-    # After this round every oracle-backed query (247) has a driver
-    # verdict; the 6 rows-only entries get theirs in r7.
+    # After this round every oracle-backed query except
+    # graph_kcore_hindex (added 51st, slot-capped to r7) has a driver
+    # verdict (248 oracle-backed total); it and the 6 rows-only entries
+    # get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -136,7 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_funnel_strict_order",
     "sim_grid_recall_report",
     "multimodal_cdc_chunk_dedup",
-    # — spill to r7 (see bookkeeping note): the 6 rows-only entries —
+    # — spill to r7 (see bookkeeping note): the 51st oracle-backed add
+    #   (k-core landed after the 50 slots were full) + 6 rows-only —
+    "graph_kcore_hindex",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

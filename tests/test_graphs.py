@@ -105,3 +105,62 @@ def test_triangle_count_matches_pure_python(spark, sf_dir):
         for r in all_queries()["graph_triangle_count"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_kcore_hindex_reaches_true_coreness(spark, sf_dir):
+    """The operator runs a FIXED 8 h-index rounds (oracle-unrollable);
+    this golden proves the fixpoint was actually reached: a pure-Python
+    Matula–Beck peel (the sequential classic) on the same strong-tie
+    graph must give identical coreness for every node. If a graph ever
+    needs more rounds, this fails and the iteration count — or the
+    CC-style convergence loop — is the fix, never the values."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_suppkey"
+    )
+    pairs = (
+        li.select(
+            F.col("l_suppkey").alias("src"), F.lead("l_suppkey").over(w).alias("dst")
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .groupBy("a", "b")
+        .count()
+        .collect()
+    )
+    weights = {(r["a"], r["b"]): r["count"] for r in pairs}
+    by_node: dict = {}
+    for (a, b), wgt in weights.items():
+        by_node.setdefault(a, []).append((-wgt, b))
+        by_node.setdefault(b, []).append((-wgt, a))
+    und = set()
+    for node, lst in by_node.items():
+        for _, other in sorted(lst)[:8]:
+            und.add((min(node, other), max(node, other)))
+    nbrs: dict = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+
+    # Matula–Beck peel: repeatedly remove a minimum-degree node; its
+    # coreness is the running maximum of the degrees seen at removal.
+    deg = {n: len(s) for n, s in nbrs.items()}
+    live = dict(deg)
+    adj = {n: set(s) for n, s in nbrs.items()}
+    expected: dict = {}
+    running = 0
+    while live:
+        n = min(live, key=lambda x: (live[x], x))
+        running = max(running, live[n])
+        expected[n] = running
+        for m in adj[n]:
+            if m in live:
+                live[m] -= 1
+            adj[m].discard(n)
+        del live[n]
+
+    got = {
+        r["node"]: r["coreness"]
+        for r in all_queries()["graph_kcore_hindex"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
