@@ -85,6 +85,7 @@ EXTRA = [
     "sim_grid_recall_report",
     "multimodal_cdc_chunk_dedup",
     "graph_kcore_hindex",
+    "sim_mmr_diversified_topk",
 ]
 
 

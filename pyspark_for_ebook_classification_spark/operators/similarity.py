@@ -1486,3 +1486,219 @@ def sim_grid_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- MMR diversified re-ranking
+
+_MMR_POOL = 20  # relevance candidate pool per query (the ANN stage's k)
+_MMR_K = 5      # diversified results to keep
+#: λ = 0.5 exactly representable: score = λ·rel − (1−λ)·max sim-to-selected
+
+
+def _mmr_oracle() -> str:
+    head = f"""{_SQL_NORMED},
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM normed WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS cand_id, e.embedding, e.nrm,
+                   {sql_dot('qe', 'e.embedding')} / (qn * e.nrm) AS rel
+            FROM q JOIN normed e ON e.vec_id <> q.query_id
+        ),
+        pool AS (
+            SELECT query_id, cand_id, embedding, nrm, rel FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, cand_id
+                ) AS rn FROM scored
+            ) WHERE rn <= {_MMR_POOL}
+        ),
+        psim AS (
+            SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+                   {sql_dot('p1.embedding', 'p2.embedding')}
+                       / (p1.nrm * p2.nrm) AS sim
+            FROM pool p1
+            JOIN pool p2 ON p1.query_id = p2.query_id
+                        AND p1.cand_id <> p2.cand_id
+        ),
+        pick1 AS (
+            SELECT query_id, cand_id, rel, 0.5 * rel AS mmr, 1 AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, cand_id
+                ) AS rn FROM pool
+            ) WHERE rn = 1
+        ),
+        sel1 AS (SELECT query_id, cand_id FROM pick1)"""
+    steps = [head]
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+        score{k} AS (
+            SELECT p.query_id, p.cand_id, p.rel,
+                   0.5 * p.rel - 0.5 * MAX(ps.sim) AS mmr
+            FROM pool p
+            JOIN sel{k - 1} s
+              ON s.query_id = p.query_id
+            JOIN psim ps
+              ON ps.query_id = p.query_id AND ps.a = p.cand_id
+             AND ps.b = s.cand_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{k - 1} x
+                WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id
+            )
+            GROUP BY p.query_id, p.cand_id, p.rel
+        ),
+        pick{k} AS (
+            SELECT query_id, cand_id, rel, mmr, {k} AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY mmr DESC, cand_id
+                ) AS rn FROM score{k}
+            ) WHERE rn = 1
+        ),
+        sel{k} AS (
+            SELECT query_id, cand_id FROM sel{k - 1}
+            UNION ALL
+            SELECT query_id, cand_id FROM pick{k}
+        )""")
+    picks = "\n            UNION ALL\n            ".join(
+        f"SELECT * FROM pick{k}" for k in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+        SELECT query_id, cand_id, round(rel, 6) AS relevance,
+               round(mmr, 6) AS mmr_score, rank
+        FROM (
+            {picks}
+        )"""
+    )
+
+
+@query(
+    "sim_mmr_diversified_topk",
+    survey_ref="L3,W4,J8,A1",
+    doc="Maximal-marginal-relevance re-ranking: from each query's top-20 "
+    "relevance pool, greedily select 5 results balancing relevance "
+    "against max similarity to the already-selected set (λ = 0.5).",
+    oracle=_mmr_oracle(),
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking (Carbonell & Goldstein 1998) — the post-retrieval
+    pass that keeps a result set (or a training-data sample) from
+    collapsing onto near-duplicates: step 1 takes the most relevant
+    candidate; every later step takes argmax of
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). Greedy selection is
+    inherently sequential, but the sequence is over K=5 steps, not over
+    data: each step is one bounded join + one bounded window, so the
+    unrolled loop is a fixed 5-stage plan — and the DuckDB oracle
+    unrolls the identical 5 steps as chained CTEs, the PageRank/k-core
+    discipline. λ = 0.5 is exactly representable, all scores are the
+    registry's deterministic cosine folds, and every argmax tie-breaks
+    on cand_id, so selection is bit-identical across engines.
+
+    Scale shape: the corpus-sized work is only the relevance pool (the
+    existing broadcast-anchor scoring stage + per-query top-20 window);
+    everything after is bounded per query — the pairwise sim table is
+    pool²·|Q| rows and the five steps touch pool-sized tables only, so
+    MMR cost is INDEPENDENT of corpus size. Pool and pairwise-sim
+    tables are localCheckpoint'd (tiny by construction) so the five
+    step-joins never replan the corpus scoring stage."""
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "embedding",
+            "nrm",
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "rel"
+            ),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cand_id", "embedding", "nrm", "rel")
+        .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
+    )
+    pa = pool.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
+    )
+    picks = (
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            (F.lit(0.5) * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    sel = picks.select("query_id", "cand_id")
+    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+    for k in range(2, _MMR_K + 1):
+        mxs = (
+            psim.join(
+                sel.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("mxs"))
+        )
+        step = (
+            pool.join(sel, ["query_id", "cand_id"], "left_anti")
+            .join(mxs, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("mxs")).alias(
+                    "mmr"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "rel", "mmr", F.lit(k).alias("rank"))
+        )
+        picks = picks.unionByName(step)
+        sel = picks.select("query_id", "cand_id")
+    return picks.select(
+        "query_id",
+        "cand_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
+        "rank",
+    )

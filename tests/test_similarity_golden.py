@@ -263,3 +263,51 @@ def test_grid_multiprobe_recall_matches_srp_theory(spark, sf_dir):
         assert abs(r["recall_at_k"] - round(r["n_hits"] / TOP_K, 6)) < 1e-9
     macro = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert 0.02 <= macro <= 0.45, macro
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    """sim_mmr_diversified_topk vs a literal python transcription of the
+    MMR greedy (pool from the operator's own checkpointed stage would be
+    circular — recompute relevance and pool from raw embeddings with
+    numpy instead), including the argmax tie-break on cand_id. Also pins
+    the semantic invariants: rank 1 is the relevance argmax and the 5
+    selections are distinct pool members."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_POOL,
+        N_QUERIES,
+        sim_mmr_diversified_topk,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    nrm = {k: float(np.sqrt(v @ v)) for k, v in emb.items()}
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b]) / (nrm[a] * nrm[b])
+
+    expected = {}
+    for qid in range(N_QUERIES):
+        rel = {c: cos(qid, c) for c in emb if c != qid}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_POOL]
+        sel = [max(pool, key=lambda c: (rel[c], -c))]
+        for _ in range(_MMR_K - 1):
+            rest = [c for c in pool if c not in sel]
+            score = {
+                c: 0.5 * rel[c] - 0.5 * max(cos(c, s) for s in sel) for c in rest
+            }
+            sel.append(max(rest, key=lambda c: (score[c], -c)))
+        expected[qid] = sel
+
+    got: dict = {}
+    for r in sorted(
+        sim_mmr_diversified_topk(spark, sf_dir).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        got.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert got == expected
+    for qid, sel in got.items():
+        assert len(set(sel)) == _MMR_K
