@@ -86,6 +86,7 @@ EXTRA = [
     "multimodal_cdc_chunk_dedup",
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
+    "dedup_substring_spans",
 ]
 
 

@@ -1478,3 +1478,177 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- duplicated-substring spans (ExactSubstr)
+
+#: anchor width in tokens: a position is "duplicated" when the ANCHOR_K-token
+#: run starting there occurs more than once in the whole corpus. Lee et al.
+#: use 50 BPE tokens on web-scale corpora; 8 words keeps the synthetic
+#: fixture's duplicated regions detectable while staying well above the
+#: trigram noise floor (every trigram repeats; almost no honest 8-gram does).
+ANCHOR_K = 8
+
+
+@query(
+    "dedup_substring_spans",
+    survey_ref="L1,L2,W3,F4",
+    doc="ExactSubstr dedup (Lee et al. 2022): maximal duplicated-substring "
+    "spans per doc via corpus-global k-gram anchors + island merge; the "
+    "sub-document counterpart of whole-doc exact dedup.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, length(toks) AS n_tokens
+            FROM tok WHERE length(toks) >= {ANCHOR_K}
+        ),
+        pos AS (
+            SELECT doc_id, n_tokens, i - 1 AS p,
+                   array_to_string(
+                       list_slice(toks, i, i + {ANCHOR_K} - 1), ' ') AS g
+            FROM sized,
+                 LATERAL unnest(range(1, n_tokens - {ANCHOR_K} + 2)) AS r(i)
+        ),
+        dup AS (
+            SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2
+        ),
+        hits AS (
+            SELECT pos.doc_id, pos.n_tokens, pos.p
+            FROM pos JOIN dup USING (g)
+        ),
+        isl AS (
+            SELECT doc_id, n_tokens, p,
+                   CASE WHEN p > COALESCE(
+                            MAX(p + {ANCHOR_K} - 1) OVER (
+                                PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                            -2) + 1
+                        THEN 1 ELSE 0 END AS new_span
+            FROM hits
+        ),
+        numbered AS (
+            SELECT doc_id, n_tokens, p,
+                   SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS span_id
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, n_tokens, span_id,
+                   MIN(p) AS s, MAX(p) + {ANCHOR_K} - 1 AS e
+            FROM numbered GROUP BY doc_id, n_tokens, span_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+               ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / n_tokens, 6) AS dup_frac
+        FROM spans
+        GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring SPANS — the ExactSubstr pass of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    find, for every document, the maximal token regions whose content
+    occurs elsewhere in the corpus, and report per-doc span count /
+    covered-token count / covered fraction. Whole-doc dedup (exact or
+    MinHash) misses exactly this: a unique page quoting a 200-token
+    press release verbatim is no near-dup of anything, yet the model
+    still memorizes the quote.
+
+    The reference technique is a corpus-wide suffix array — inherently
+    sequential and RAM-bound. The Spark-first equivalent anchors on
+    ANCHOR_K-token rolling k-grams: a position p is duplicated iff its
+    k-gram occurs ≥ 2 times corpus-wide (any doc, including its own —
+    self-repeats ARE duplicated text at training time), and maximal
+    duplicated regions are the union of the [p, p+K-1] intervals of
+    duplicated anchors, merged per doc by the classic running-max island
+    scan (adjacent/overlapping intervals fuse; a gap of ≥ 1 uncovered
+    token starts a new span). This is exact for spans of length ≥ K at
+    K-token resolution — every token the suffix-array method would mark
+    inside a ≥K-token duplicated region is covered by some duplicated
+    anchor — while never materializing any suffix structure.
+
+    Scale shape (the reason this beats a suffix array at 100 TB):
+      1. token arrays + per-position k-gram hash array are computed in
+         ONE projection and localCheckpoint'd (corpus-sized, one row per
+         doc — NOT per position: the array lives beside its doc);
+      2. posexplode of the precomputed hash array (the Generate projects
+         only cheap columns — the hash array is built BELOW the explode,
+         per the Generate-recompute lint);
+      3. the only corpus-scale shuffle is groupBy(anchor hash) with
+         map-side partial count — hot boilerplate k-grams combine before
+         the wire, so skew dies in the combiner, which is why this beats
+         a count-over-window formulation (no partial agg) on skewed
+         corpora;
+      4. the ≥2-occurrence anchor set joins back on the 8-byte hash key
+         (AQE broadcasts it when small; at corpus scale it is a standard
+         shuffle join whose dup side has ONE row per key — SMJ-safe
+         under skew);
+      5. the island merge shuffles hit positions ONCE keyed by doc_id —
+         bounded per doc by n_tokens.
+    Anchors are xxhash64 over the K tokens (8-byte shuffle keys, no
+    string allocation); the oracle groups by the k-gram STRING — results
+    agree unless two distinct k-grams collide in 64 bits (P < 1e-12 at
+    this corpus; the oracle re-proves equivalence every driver run),
+    the same precedent as _ngram_pairs' shingle hashing.
+    """
+    k = ANCHOR_K
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    gram_args = ", ".join(f"element_at(tokens, i + {j})" for j in range(k))
+    grams = F.expr(
+        f"transform(sequence(1, n_tokens - {k} + 1), i -> xxhash64({gram_args}))"
+    )
+    arrays = (
+        d.select("doc_id", tokens.alias("tokens"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= k)
+        .select("doc_id", "n_tokens", grams.alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    pos = arrays.select(
+        "doc_id", "n_tokens", F.posexplode("grams").alias("p", "g")
+    )
+    dup = pos.groupBy("g").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") >= 2
+    )
+    hits = pos.join(dup.select("g"), "g").select("doc_id", "n_tokens", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + k - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    numbered = (
+        hits.withColumn(
+            "new_span",
+            (F.col("p") > F.coalesce(prev_end, F.lit(-2)) + 1).cast("int"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = numbered.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("p").alias("s"), (F.max("p") + k - 1).alias("e")
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s") + 1).cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("dup_frac"),
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "dup_spans",
+        "dup_tokens",
+        "dup_frac",
+    )

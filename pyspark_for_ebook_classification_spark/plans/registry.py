@@ -82,9 +82,10 @@ _PRIORITY: tuple[str, ...] = (
     # verdict, so oracle debt drains first and ALL 6 rows-only entries
     # spill to r7 (ordering rationale in the bookkeeping note below).
     # After this round every oracle-backed query except
-    # graph_kcore_hindex and sim_mmr_diversified_topk (added 51st/52nd,
-    # slot-capped to r7) has a driver verdict (249 oracle-backed total);
-    # they and the 6 rows-only entries get theirs in r7.
+    # graph_kcore_hindex, sim_mmr_diversified_topk, and
+    # dedup_substring_spans (added 51st/52nd/53rd, slot-capped to r7)
+    # has a driver verdict (250 oracle-backed total); they and the 6
+    # rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -142,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     #   (landed after the 50 slots were full) + 6 rows-only —
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
+    "dedup_substring_spans",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -438,3 +438,19 @@ def test_hard_negative_mining_single_pass_no_checkpoint(spark, sf_dir):
     assert rep["shuffles"] <= 2, rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
     assert "ExistingRDD" not in rep["plan"], rep["plan"]
+
+
+def test_substring_spans_combines_anchor_counts(spark, sf_dir):
+    """dedup_substring_spans: the anchor-frequency stage must be a
+    groupBy with map-side partial aggregation (hot boilerplate k-grams
+    combine before the wire — the reason it isn't a count-over-window),
+    the duplicate-anchor join stays hash-based, nothing is cartesian or
+    Python, and the whole pipeline needs at most: one anchor shuffle,
+    one join-back exchange, one doc-keyed window exchange (both island
+    groupBys reuse the window's doc_id partitioning)."""
+    q = all_queries()["dedup_substring_spans"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["shuffles"] <= 5, rep["plan"]

@@ -487,3 +487,47 @@ def test_ansi_mode_portability_smoke(spark, sf_dir, ansi):
             assert qs[name].fn(spark, sf_dir).count() >= 0, name
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_substring_spans_island_semantics(spark, tmp_path, duck_tmp):
+    """dedup_substring_spans on a hand-built corpus pinning every edge of
+    the span definition the synthetic testdata can't isolate: cross-doc
+    shared runs trim to the shared region only, a WITHIN-doc repeat is
+    duplicated text (training-time semantics — unlike boilerplate's
+    distinct-doc count), back-to-back duplicated anchors at exact
+    adjacency (p == prev_end + 1) merge into ONE span, and a fully
+    unique doc emits no row at all."""
+    x = " ".join(f"x{i}" for i in range(8))  # 8-token run shared F↔G
+    y = " ".join(f"y{i}" for i in range(8))  # 8-token run shared F↔H
+    shared12 = " ".join(f"s{i}" for i in range(12))  # 12-token run A↔B
+    rep8 = " ".join(f"r{i}" for i in range(8))  # internal repeat in C
+    docs = [
+        (0, f"{shared12} a0 a1 a2 a3"),  # span = the 12 shared tokens
+        (1, f"b0 b1 b2 b3 {shared12}"),  # same, offset by 4
+        (2, f"{rep8} c0 {rep8}"),  # self-repeat → 2 spans, gap at c0
+        (3, " ".join(f"u{i}" for i in range(10))),  # unique → no row
+        (4, f"{x} {y}"),  # anchors at p=0 and p=8: exact adjacency → 1 span
+        (5, f"{x} g0 g1"),  # donor of x
+        (6, f"{y} h0 h1"),  # donor of y
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("dedup_substring_spans")
+    got = q.fn(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert 3 not in got.index  # unique doc produces no span row
+    assert (int(got.loc[0, "dup_spans"]), int(got.loc[0, "dup_tokens"])) == (1, 12)
+    assert (int(got.loc[1, "dup_spans"]), int(got.loc[1, "dup_tokens"])) == (1, 12)
+    assert got.loc[0, "dup_frac"] == 0.75  # 12 of 16
+    # within-doc repeat: both copies covered, c0 uncovered → two spans
+    assert (int(got.loc[2, "dup_spans"]), int(got.loc[2, "dup_tokens"])) == (2, 16)
+    # adjacency merge: [0,7] + [8,15] fuse into one 16-token span
+    assert (int(got.loc[4, "dup_spans"]), int(got.loc[4, "dup_tokens"])) == (1, 16)
+    assert got.loc[4, "dup_frac"] == 1.0
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(
+        got.reset_index(), oracle_pdf, "dedup_substring_spans[fixture]"
+    )
