@@ -88,6 +88,7 @@ EXTRA = [
     "sim_mmr_diversified_topk",
     "dedup_substring_spans",
     "multimodal_phash_neardup",
+    "data_skew_audit",
 ]
 
 

@@ -740,3 +740,110 @@ def data_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(negs).join(payload, "vec_id").select(
         "doc_id", "pair_type", "neg_rank", "vec_id", "label", "embedding_norm"
     )
+
+
+# ----------------------------------------------------- shuffle-skew audit
+
+#: the production shuffle keys a 100 TB pipeline would join/aggregate on,
+#: audited before launch: (report label, table, key column).
+_SKEW_AUDIT_KEYS = (
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("documents.lang", "documents", "lang"),
+)
+
+
+def _skew_audit_sql_block(label: str, table: str, key: str) -> str:
+    return f"""
+        SELECT '{label}' AS key_name,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+               ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6)
+                   AS skew_ratio,
+               split_part(MAX(lpad(CAST(cnt AS VARCHAR), 20, '0') || '|' || k),
+                          '|', 2) AS top_key,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS hot_share,
+               CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT)
+                   AS suggested_salt
+        FROM (
+            SELECT CAST({key} AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY 1
+        )
+    """
+
+
+@query(
+    "data_skew_audit",
+    survey_ref="L7,A1,A2,F1",
+    doc="Shuffle-key skew pre-flight: per join/agg key, cardinality, "
+    "heavy-hitter share, max/avg skew ratio and a salting factor — the "
+    "report you read BEFORE launching the 100 TB join.",
+    oracle=" UNION ALL ".join(
+        _skew_audit_sql_block(label, table, key)
+        for label, table, key in _SKEW_AUDIT_KEYS
+    ),
+)
+def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pre-flight for the pipeline's shuffle keys. Every groupBy /
+    join in this repo shuffles on some key; one pathological key (the
+    bot user, the null-ish default, the 'en' language) turns a 1000-
+    executor stage into one straggler task. This audit computes, per
+    production key: row/key cardinalities, the max-populated key and its
+    share, the max/avg skew ratio, and the salting factor that would
+    level the hottest key to the average (ceil(max·n_keys/n_rows),
+    integer arithmetic so both engines agree exactly) — the number you
+    feed to a salted-join rewrite (functions/salted_join) or compare to
+    AQE's skew-split threshold.
+
+    Scale shape: per audited key, ONE partial-aggregated groupBy on that
+    key (the same shuffle the audited production job would do, so the
+    audit is strictly cheaper than the job it de-risks), then a scalar
+    aggregate over the n_keys-sized count table. The heavy hitter is an
+    arg-max without a join: counts pack into lpad(cnt)|key strings whose
+    lexicographic MAX is (max count, max key) — deterministic under
+    count ties, one aggregate, engine-portable. Six single-row results
+    union into the report; nothing is corpus-sized after the first
+    groupBy."""
+    out = None
+    for label, table, key in _SKEW_AUDIT_KEYS:
+        counts = (
+            load(spark, sf_dir, table)
+            .select(F.col(key).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        packed = F.concat(F.lpad(F.col("cnt").cast("string"), 20, "0"), F.lit("|"), F.col("k"))
+        row = counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_per_key"),
+            F.max(packed).alias("packed"),
+        ).select(
+            F.lit(label).alias("key_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_keys").cast("bigint").alias("n_keys"),
+            F.col("max_per_key").cast("bigint").alias("max_per_key"),
+            F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+                "avg_per_key"
+            ),
+            F.round(
+                F.col("max_per_key").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows"),
+                6,
+            ).alias("skew_ratio"),
+            F.element_at(F.split("packed", r"\|"), 2).alias("top_key"),
+            F.round(
+                F.col("max_per_key").cast("double") / F.col("n_rows"), 6
+            ).alias("hot_share"),
+            F.expr(
+                "CAST((max_per_key * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+            ).alias("suggested_salt"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -467,3 +467,15 @@ def test_phash_neardup_bucketed_no_cartesian(spark, sf_dir):
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["shuffles"] <= 6, rep["plan"]
+
+
+def test_skew_audit_partial_aggregates_every_key(spark, sf_dir):
+    """data_skew_audit: each audited key's count runs as ONE
+    partial-aggregated groupBy on that key (the audit must be strictly
+    cheaper than the production job it de-risks); the scalar rollups and
+    the 6-row union add no corpus-sized work, no cartesian, no Python."""
+    q = all_queries()["data_skew_audit"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
