@@ -89,6 +89,8 @@ EXTRA = [
     "dedup_substring_spans",
     "multimodal_phash_neardup",
     "data_skew_audit",
+    "sim_ivfpq_adc_topk",
+    "sim_prefix_rerank_topk",
 ]
 
 

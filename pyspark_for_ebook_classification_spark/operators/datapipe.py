@@ -797,8 +797,8 @@ def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, the max/avg skew ratio, and the salting factor that would
     level the hottest key to the average (ceil(max·n_keys/n_rows),
     integer arithmetic so both engines agree exactly) — the number you
-    feed to a salted-join rewrite (functions/salted_join) or compare to
-    AQE's skew-split threshold.
+    feed to a salted-join rewrite (functions/skew.salted_join, used by
+    join_salted_skew) or compare to AQE's skew-split threshold.
 
     Scale shape: per audited key, ONE partial-aggregated groupBy on that
     key (the same shuffle the audited production job would do, so the

@@ -1706,3 +1706,298 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr", 6).alias("mmr_score"),
         "rank",
     )
+
+
+# ------------------------------------------------- IVF+PQ combined (IVFADC)
+
+
+@query(
+    "sim_ivfpq_adc_topk",
+    survey_ref="L3,J4,W4,A1",
+    doc="IVFADC — the billion-scale ANN shape: multi-probe cell pruning "
+    "bounds the candidate set, then PQ asymmetric distance scores the "
+    "survivors from codes alone; top-k per query without ever touching "
+    "a candidate's float vector.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        {_SQL_GRID_CODED},
+        q AS (
+            SELECT vec_id AS query_id, code AS qcode
+            FROM coded WHERE vec_id < {_ADC_NQ}
+        ),
+        probes AS (
+            SELECT query_id,
+                   CASE WHEN f = -1 THEN qcode
+                        ELSE xor(qcode, CAST(1 << f AS BIGINT)) END AS cell
+            FROM q CROSS JOIN range(-1, {_GRID_BITS}) t(f)
+        ),
+        cand AS (
+            SELECT p.query_id, c.vec_id
+            FROM probes p JOIN coded c ON c.code = p.cell
+            WHERE c.vec_id <> p.query_id
+        ),
+        ex AS (
+            SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) g(i)
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS dmin, MAX(v) AS dmax FROM ex GROUP BY pos
+        ),
+        bits AS (
+            SELECT vec_id, ex.pos,
+                   CASE WHEN v > (dmin + dmax) / 2 THEN 1 ELSE 0 END AS bit
+            FROM ex JOIN stats ON ex.pos = stats.pos
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, q.pos, b.bit,
+                   CAST((q.v - (s.dmin + (1 + 2*b.bit) * (s.dmax - s.dmin) / 4))
+                        * (q.v - (s.dmin + (1 + 2*b.bit) * (s.dmax - s.dmin) / 4))
+                        AS DECIMAL(38,18)) AS sq
+            FROM ex q JOIN stats s ON q.pos = s.pos,
+                 (VALUES (0), (1)) b(bit)
+            WHERE q.vec_id < {_ADC_NQ}
+        ),
+        scored AS (
+            SELECT cd.query_id, cd.vec_id AS neighbor_id,
+                   CAST(SUM(l.sq) AS DOUBLE) AS adc
+            FROM cand cd
+            JOIN bits c ON c.vec_id = cd.vec_id
+            JOIN lut l ON l.query_id = cd.query_id
+                      AND l.pos = c.pos AND l.bit = c.bit
+            GROUP BY cd.query_id, cd.vec_id
+        )
+        SELECT query_id, neighbor_id, round(adc, 9) AS adc_dist, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {_ADC_K}
+    """,
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined — the index layout every billion-scale vector
+    store actually ships (FAISS IVFADC lineage): the coarse quantizer
+    (the deterministic SRP cell grid of sim_ann_grid_multiprobe, probed
+    at Hamming ≤ 1) prunes the corpus to ~(bits+1)/2^bits of its cells,
+    and the survivors are scored by PQ asymmetric distance (the 1-bit
+    grid codebook of sim_pq_adc_topk) — codes only, never a candidate's
+    original floats. The two registered constituents each prove one
+    half; this query proves the composition end-to-end against a single
+    SQL oracle.
+
+    Scale shape: probe list (|Q|·9 rows) and per-query LUT (|Q|·64·2
+    rows) both BROADCAST — constant in corpus size; the corpus streams
+    once through the cell-code expression into the broadcast probe join,
+    and only the candidate set (measured ~3.5% of corpus × |Q|) pays the
+    64-way position explode + LUT lookup + partial-agg sum. No corpus
+    shuffle anywhere: the one exchange below the top-k window is
+    candidate-sized. At rest you'd store (cell, pq codes) partitioned BY
+    cell, turning the probe join into partition-pruned reads and
+    skipping the explode entirely — the dataflow after that read is
+    exactly this plan. DECIMAL(38,18) accumulation keeps ADC ranking
+    ties impossible to get wrong cross-engine; recall vs the exact
+    search is measured and pinned in tests/test_similarity_golden.py."""
+    e = _normed(spark, sf_dir).select(
+        "vec_id",
+        spark_srp_code("embedding", _GRID_BITS, 64, _GRID_PLANE_OFFSET).alias(
+            "code"
+        ),
+    )
+    q = e.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+    )
+    probe_cells = F.array(
+        F.col("qcode"),
+        *[F.col("qcode").bitwiseXOR(F.lit(1 << i)) for i in range(_GRID_BITS)],
+    )
+    probes = q.select("query_id", F.explode(probe_cells).alias("cell"))
+    cand = (
+        e.join(F.broadcast(probes), e["code"] == probes["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    raw = load(spark, sf_dir, "embeddings")
+    ex = raw.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fv")
+    ).withColumn("v", F.col("fv").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    bits = ex.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("v") > (F.col("dmin") + F.col("dmax")) / 2, 1)
+        .otherwise(0)
+        .alias("bit"),
+    )
+    centroid = (
+        F.col("dmin") + (1 + 2 * F.col("bit")) * (F.col("dmax") - F.col("dmin")) / 4
+    )
+    lut = (
+        ex.filter(F.col("vec_id") < _ADC_NQ)
+        .join(F.broadcast(stats), "pos")
+        .crossJoin(
+            F.broadcast(spark.range(2).select(F.col("id").cast("int").alias("bit")))
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "pos",
+            "bit",
+            ((F.col("v") - centroid) * (F.col("v") - centroid))
+            .cast("decimal(38,18)")
+            .alias("sq"),
+        )
+    )
+    scored = (
+        cand.join(bits, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "pos", "bit"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("sq").cast("double").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 9).alias("adc_dist"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------- prefix-dim cascaded rerank
+
+#: leading dims used by the cheap first pass (Matryoshka-style prefix).
+_PR_PREFIX = 16
+#: stage-1 pool size per query; stage 2 reranks this pool with full dims.
+_PR_POOL = 20
+
+
+@query(
+    "sim_prefix_rerank_topk",
+    survey_ref="L3,W4,J4",
+    doc="Cascaded retrieval: a cheap 16-dim prefix-cosine pass pools "
+    "candidates, full 64-dim cosine reranks the pool — the "
+    "Matryoshka-embedding coarse-to-fine ANN pattern.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        pre AS (
+            SELECT vec_id, embedding, nrm,
+                   sqrt({sql_dot('embedding', 'embedding', _PR_PREFIX)}) AS pnrm
+            FROM normed
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, pnrm AS qpn
+            FROM pre WHERE vec_id < {N_QUERIES}
+        ),
+        s1 AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {sql_dot('q.qe', 'c.embedding', _PR_PREFIX)}
+                       / (q.qpn * c.pnrm) AS pcos
+            FROM q, pre c WHERE c.vec_id <> q.query_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id, rn AS prefix_rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY pcos DESC, neighbor_id
+                ) AS rn FROM s1
+            ) WHERE rn <= {_PR_POOL}
+        ),
+        s2 AS (
+            SELECT p.query_id, p.neighbor_id, p.prefix_rank,
+                   {sql_dot('q.qe', 'c.embedding')} / (q.qn * c.nrm) AS cos
+            FROM pool p
+            JOIN q ON q.query_id = p.query_id
+            JOIN pre c ON c.vec_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+               CAST(prefix_rank AS INT) AS prefix_rank, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn FROM s2
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine cascaded retrieval — the Matryoshka/MRL serving
+    pattern: score the whole corpus with only the leading {_PR_PREFIX}
+    dims (¼ of the memory bandwidth and FLOPs of the full vector — at
+    scale the prefix columns are a separate, much smaller parquet
+    column chunk, so the first pass reads ¼ the bytes), keep a
+    {_PR_POOL}-deep pool per query, then rerank ONLY the pool with the
+    full 64-dim cosine. Unlike IVF/LSH/PQ this prunes nothing — it
+    re-orders the cost so the expensive exact math touches
+    |Q|·{_PR_POOL} rows instead of |Q|·|corpus|.
+
+    Scale shape: queries broadcast into the corpus stream (no corpus
+    shuffle); the prefix-score rows carry NO embedding payload into the
+    pool window (ids + score only — the wide vectors would otherwise
+    ride the corpus-sized exchange); the pool (|Q|·{_PR_POOL} rows)
+    joins the full vectors back candidate-sized, reranks, and the final
+    window is pool-sized. Both stages' ranks are tie-broken by
+    neighbor_id, so the cascade is deterministic end to end."""
+    pre = _normed(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.sqrt(
+            spark_dot(
+                f"slice(embedding, 1, {_PR_PREFIX})",
+                f"slice(embedding, 1, {_PR_PREFIX})",
+            )
+        ).alias("pnrm"),
+    )
+    q = pre.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("pnrm").alias("qpn"),
+    )
+    s1 = (
+        pre.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                spark_dot(f"slice(qe, 1, {_PR_PREFIX})", f"slice(embedding, 1, {_PR_PREFIX})")
+                / (F.col("qpn") * F.col("pnrm"))
+            ).alias("pcos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    pool = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _PR_POOL)
+        .select("query_id", "neighbor_id", F.col("rn").cast("int").alias("prefix_rank"))
+    )
+    s2 = (
+        pool.join(
+            F.broadcast(q.select("query_id", "qe", "qn")), "query_id"
+        )
+        .join(pre.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prefix_rank",
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        s2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            "prefix_rank",
+            F.col("rn").alias("rank"),
+        )
+    )

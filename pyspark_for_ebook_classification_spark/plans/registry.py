@@ -83,10 +83,11 @@ _PRIORITY: tuple[str, ...] = (
     # spill to r7 (ordering rationale in the bookkeeping note below).
     # After this round every oracle-backed query except
     # graph_kcore_hindex, sim_mmr_diversified_topk,
-    # dedup_substring_spans, multimodal_phash_neardup, and
-    # data_skew_audit (added 51st–55th, slot-capped to r7) has a
-    # driver verdict (252 oracle-backed total); they and the 6
-    # rows-only entries get theirs in r7.
+    # dedup_substring_spans, multimodal_phash_neardup,
+    # data_skew_audit, sim_ivfpq_adc_topk, and
+    # sim_prefix_rerank_topk (added 51st–57th, slot-capped to r7)
+    # has a driver verdict (254 oracle-backed total); they and the
+    # 6 rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -147,6 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "multimodal_phash_neardup",
     "data_skew_audit",
+    "sim_ivfpq_adc_topk",
+    "sim_prefix_rerank_topk",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -479,3 +479,36 @@ def test_skew_audit_partial_aggregates_every_key(spark, sf_dir):
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_ivfpq_no_corpus_shuffle_before_candidates(spark, sf_dir):
+    """sim_ivfpq_adc_topk: the probe list and the per-query ADC lookup
+    table broadcast (both constant in corpus size); the corpus reaches
+    the candidate set through broadcast hash joins — no corpus-keyed
+    exchange exists below the candidate-sized aggregate + top-k window.
+    The codebook stats groupBy partial-aggregates."""
+    q = all_queries()["sim_ivfpq_adc_topk"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["broadcast_joins"] >= 3, rep["plan"]
+
+
+def test_prefix_rerank_pool_carries_no_vectors(spark, sf_dir):
+    """sim_prefix_rerank_topk: queries broadcast into the corpus stream
+    (no corpus-keyed exchange before the pool window), and the pool
+    window's input rows are ids + score only — the 64-float embedding
+    payload must NOT ride the corpus-sized exchange (it re-joins
+    candidate-sized in stage 2). No cartesian over two big sides, no
+    Python."""
+    q = all_queries()["sim_prefix_rerank_topk"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["broadcast_joins"] >= 2, rep["plan"]
+    # the stage-1 window exchange must not shuffle embedding columns
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(query_id[^\n]*", rep["plan"]):
+        assert "embedding" not in m.group(0), m.group(0)

@@ -311,3 +311,142 @@ def test_mmr_matches_pure_python_greedy(spark, sf_dir):
     assert got == expected
     for qid, sel in got.items():
         assert len(set(sel)) == _MMR_K
+
+
+def test_ivfpq_composition_and_recall(spark, sf_dir):
+    """sim_ivfpq_adc_topk must be EXACTLY the composition of its two
+    registered constituents: every returned neighbor lies in the
+    query's Hamming<=1 probe cells (coarse quantizer respected), its
+    adc_dist equals the numpy ADC recomputation bit-for-bit (fine
+    quantizer respected), and within each query the returned set is the
+    true ADC top-5 over the candidate set. Recall vs exact euclidean
+    top-5 is measured and floored above chance."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _GRID_BITS,
+        _GRID_PLANE_OFFSET,
+        _normed,
+    )
+    from pyspark_for_ebook_classification_spark.functions.vectors import (
+        spark_srp_code,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.stack([emb[i] for i in ids])
+    dmin, dmax = mat.min(axis=0), mat.max(axis=0)
+    mid = (dmin + dmax) / 2
+    bits = (mat > mid).astype(np.int64)
+    centroids = dmin + (1 + 2 * bits) * (dmax - dmin) / 4
+    codes = {
+        r["vec_id"]: r["code"]
+        for r in _normed(spark, sf_dir)
+        .select(
+            "vec_id",
+            spark_srp_code(
+                "embedding", _GRID_BITS, 64, _GRID_PLANE_OFFSET
+            ).alias("code"),
+        )
+        .collect()
+    }
+
+    def adc(qid, nid):
+        q = emb[qid]
+        c = centroids[ids.index(nid)]
+        return float(((q - c) ** 2).sum())
+
+    rows = all_queries()["sim_ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+        # coarse quantizer: neighbor reachable within Hamming<=1 probes
+        ham = bin(codes[r["query_id"]] ^ codes[r["neighbor_id"]]).count("1")
+        assert ham <= 1, (r["query_id"], r["neighbor_id"], ham)
+        # fine quantizer: ADC distance exact vs numpy
+        assert abs(r["adc_dist"] - adc(r["query_id"], r["neighbor_id"])) < 1e-6
+
+    hits = total = 0
+    for qid, rs in got.items():
+        # the returned set must be the ADC top-|rs| over ALL candidates
+        cand = [
+            j
+            for j in ids
+            if j != qid and bin(codes[qid] ^ codes[j]).count("1") <= 1
+        ]
+        best = sorted((adc(qid, j), j) for j in cand)[: len(rs)]
+        assert {j for _, j in best} == {r["neighbor_id"] for r in rs}, qid
+        exact = sorted(
+            (float(((emb[qid] - emb[j]) ** 2).sum()), j)
+            for j in ids
+            if j != qid
+        )[:5]
+        hits += len({j for _, j in exact} & {r["neighbor_id"] for r in rs})
+        total += 5
+    # cell pruning keeps ~3.5% of the corpus per query, ADC is 1-bit/dim:
+    # random chance at k=5 over ~500 vectors is ~0.01. Measured 0.04 at
+    # sf0.001 — the product of the grid's Hamming<=1 capture (~0.11, see
+    # test_grid_multiprobe_recall_matches_srp_theory) and ADC ranking
+    # quality, as composition predicts. Floor above the chance line.
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.02, recall
+
+
+def test_prefix_rerank_is_exact_cascade(spark, sf_dir):
+    """sim_prefix_rerank_topk must be EXACTLY the two-stage cascade: the
+    pool is the true prefix-cosine top-20 (numpy recomputation), the
+    output is the true full-cosine top-5 OF that pool, and recall vs
+    full brute force is measured — the number that justifies shipping
+    prefix columns at scale."""
+    import numpy as np
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _PR_POOL,
+        _PR_PREFIX,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+
+    def cos(a, b, d=None):
+        a = a[:d] if d else a
+        b = b[:d] if d else b
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rows = all_queries()["sim_prefix_rerank_topk"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(r)
+    hits = total = 0
+    for qid, rs in got.items():
+        assert len(rs) == 5
+        q = emb[qid]
+        pool = sorted(
+            ((-cos(q, emb[j], _PR_PREFIX), j) for j in ids if j != qid),
+        )[:_PR_POOL]
+        pool_ids = [j for _, j in pool]
+        # every returned neighbor came from the prefix pool, at its
+        # claimed prefix rank
+        for r in rs:
+            assert r["neighbor_id"] in pool_ids, (qid, r["neighbor_id"])
+            assert pool_ids.index(r["neighbor_id"]) + 1 == r["prefix_rank"]
+        # and the returned 5 are the full-cosine top-5 of the pool
+        best = sorted(((-cos(q, emb[j]), j) for j in pool_ids))[:5]
+        assert {j for _, j in best} == {r["neighbor_id"] for r in rs}, qid
+        exact = sorted(((-cos(q, emb[j]), j) for j in ids if j != qid))[:5]
+        hits += len({j for _, j in exact} & {r["neighbor_id"] for r in rs})
+        total += 5
+    recall = hits / total
+    # measured 0.38 at sf0.001: 16 of 64 near-random dims carry ~1/4 of
+    # the signal, and the 4x-deep pool recovers part of the remainder —
+    # comfortably above the kmeans-IVF 0.2 floor. Chance is ~0.01.
+    assert recall >= 0.1, recall
