@@ -91,6 +91,7 @@ EXTRA = [
     "data_skew_audit",
     "sim_ivfpq_adc_topk",
     "sim_prefix_rerank_topk",
+    "dedup_substring_removal",
 ]
 
 

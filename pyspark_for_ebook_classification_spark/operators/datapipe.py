@@ -796,9 +796,12 @@ def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     production key: row/key cardinalities, the max-populated key and its
     share, the max/avg skew ratio, and the salting factor that would
     level the hottest key to the average (ceil(max·n_keys/n_rows),
-    integer arithmetic so both engines agree exactly) — the number you
-    feed to a salted-join rewrite (functions/skew.salted_join, used by
-    join_salted_skew) or compare to AQE's skew-split threshold.
+    integer arithmetic so both engines agree exactly; the
+    max_per_key·n_keys product fits BIGINT for any real key profile —
+    it only nears 2^63 when BOTH factors are ~10^9, i.e. a billion-key
+    column whose hottest key also holds a billion rows) — the number
+    you feed to a salted-join rewrite (functions/skew.salted_join, used
+    by join_salted_skew) or compare to AQE's skew-split threshold.
 
     Scale shape: per audited key, ONE partial-aggregated groupBy on that
     key (the same shuffle the audited production job would do, so the

@@ -1652,3 +1652,168 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         "dup_frac",
     )
+
+
+#: packed (doc_id, position) arbitration key: lexicographic min = earliest
+#: occurrence. String-packed (not integer-packed) so no id-range assumption
+#: can overflow it — the ADVICE-r5 lesson from the containment pair keys.
+_FIRST_KEY_SPARK = (
+    "concat(lpad(CAST(doc_id AS STRING), 20, '0'), ':', "
+    "lpad(CAST(p AS STRING), 10, '0'))"
+)
+_FIRST_KEY_SQL = (
+    "lpad(CAST({d} AS VARCHAR), 20, '0') || ':' || "
+    "lpad(CAST({p} AS VARCHAR), 10, '0')"
+)
+
+
+@query(
+    "dedup_substring_removal",
+    survey_ref="L1,L2,F4,A6",
+    doc="ExactSubstr removal (Lee et al. 2022): rebuild every doc with "
+    "duplicated k-gram regions stripped, keeping each region's earliest "
+    "corpus occurrence — the actionable output of dedup_substring_spans.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, length(toks) AS n_tokens FROM tok
+        ),
+        pos AS (
+            SELECT doc_id, n_tokens, i - 1 AS p,
+                   array_to_string(
+                       list_slice(toks, i, i + {ANCHOR_K} - 1), ' ') AS g
+            FROM sized,
+                 LATERAL unnest(range(1, n_tokens - {ANCHOR_K} + 2)) AS r(i)
+            WHERE n_tokens >= {ANCHOR_K}
+        ),
+        dup AS (
+            SELECT g, MIN({_FIRST_KEY_SQL.format(d='doc_id', p='p')})
+                       AS first_key
+            FROM pos GROUP BY g HAVING COUNT(*) >= 2
+        ),
+        hits AS (
+            SELECT pos.doc_id, pos.p
+            FROM pos JOIN dup USING (g)
+            WHERE {_FIRST_KEY_SQL.format(d='pos.doc_id', p='pos.p')}
+                  <> dup.first_key
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, p + f AS cpos
+            FROM hits, LATERAL unnest(range(0, {ANCHOR_K})) AS r(f)
+        ),
+        toks2 AS (
+            SELECT doc_id, n_tokens, i - 1 AS pos, toks[i] AS tok
+            FROM sized, LATERAL unnest(range(1, n_tokens + 1)) AS r(i)
+        ),
+        flagged AS (
+            SELECT t.doc_id, t.n_tokens, t.pos, t.tok,
+                   (c.cpos IS NOT NULL) AS rm
+            FROM toks2 t
+            LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_tokens,
+               COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
+                                   ' ' ORDER BY pos), '') AS cleaned_text
+        FROM flagged
+        GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of ExactSubstr dedup: dedup_substring_spans
+    reports where duplicated text lives; this pass rebuilds the corpus
+    without it. Policy — keep each duplicated region's EARLIEST corpus
+    occurrence, remove the rest: per duplicated k-gram, the minimal
+    (doc_id, position) occurrence (string-packed arbitration key, no
+    id-width assumption) is exempt; every other occurrence's [p, p+K-1]
+    interval is stripped from its doc. Two byte-identical docs therefore
+    come out as {{original, ''}} — whole-doc keep-first dedup falls out
+    as the degenerate case — while a doc quoting another doc's paragraph
+    loses just the quote. Mid-span cuts are inherent to the technique
+    (Lee et al. cut mid-document too); the quality gates downstream
+    (text_gopher_quality_rules) catch docs shredded below coherence.
+
+    Scale shape: the anchor groupBy now carries a packed-string MIN
+    beside the count (still one partial-aggregated corpus shuffle); the
+    non-first hits explode ×K into covered positions whose DISTINCT is
+    keyed (doc_id, pos) — bounded by total corpus tokens, no pair
+    blowup anywhere; the rebuild is ONE groupBy(doc) over the token
+    stream with a sort_array(struct(pos, tok)) ordered concat, the
+    dedup_boilerplate_segments idiom. Token rows never join anything
+    corpus-squared; every stage is linear in corpus tokens."""
+    k = ANCHOR_K
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    gram_args = ", ".join(f"element_at(tokens, i + {j})" for j in range(k))
+    grams = F.expr(
+        f"CASE WHEN n_tokens >= {k} THEN "
+        f"transform(sequence(1, n_tokens - {k} + 1), i -> xxhash64({gram_args})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    arrays = (
+        d.select("doc_id", tokens.alias("tokens"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens", "tokens", grams.alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    pos = arrays.select(
+        "doc_id", F.posexplode("grams").alias("p", "g")
+    )
+    first_key = F.expr(_FIRST_KEY_SPARK)
+    dup = (
+        pos.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(first_key).alias("first_key"),
+        )
+        .filter(F.col("occ") >= 2)
+        .select("g", "first_key")
+    )
+    hits = (
+        pos.join(dup, "g")
+        .filter(first_key != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    cov = (
+        hits.select(
+            "doc_id", F.explode(F.expr(f"sequence(p, p + {k} - 1)")).alias("cpos")
+        )
+        .distinct()
+        .withColumn("rm_flag", F.lit(True))
+    )
+    toks2 = arrays.select(
+        "doc_id", "n_tokens", F.posexplode("tokens").alias("pos", "tok")
+    )
+    flagged = toks2.join(
+        cov, (toks2["doc_id"] == cov["doc_id"]) & (toks2["pos"] == cov["cpos"]), "left"
+    ).select(
+        toks2["doc_id"],
+        "n_tokens",
+        "pos",
+        "tok",
+        F.coalesce("rm_flag", F.lit(False)).alias("rm"),
+    )
+    kept_sorted = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(~F.col("rm"), F.struct("pos", "tok")))
+            ),
+            lambda s: s["tok"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.col("rm").cast("int")).cast("bigint").alias("removed_tokens"),
+        kept_sorted.alias("cleaned_text"),
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "removed_tokens",
+        "cleaned_text",
+    )

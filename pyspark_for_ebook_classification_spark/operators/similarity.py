@@ -1813,10 +1813,14 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("qcode").bitwiseXOR(F.lit(1 << i)) for i in range(_GRID_BITS)],
     )
     probes = q.select("query_id", F.explode(probe_cells).alias("cell"))
+    # candidate list is |Q| × ~3.5% of corpus — materialize it once, as it
+    # feeds BOTH the ADC scoring join and the candidate-only PQ encode
+    # below (without this the SRP-code corpus scan runs twice)
     cand = (
         e.join(F.broadcast(probes), e["code"] == probes["cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     raw = load(spark, sf_dir, "embeddings")
     ex = raw.select(
@@ -1825,12 +1829,26 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ex.groupBy("pos").agg(
         F.min("v").alias("dmin"), F.max("v").alias("dmax")
     )
-    bits = ex.join(F.broadcast(stats), "pos").select(
-        "vec_id",
-        "pos",
-        F.when(F.col("v") > (F.col("dmin") + F.col("dmax")) / 2, 1)
-        .otherwise(0)
-        .alias("bit"),
+    # PQ-encode ONLY the probed candidates: the codebook stats train on
+    # the full corpus (64-row partial agg — scan-shaped, unavoidable),
+    # but the 64-way bit explode is semi-joined down to candidate ids
+    # first. Encoding the whole corpus here would silently rebuild the
+    # full-scan ADC (sim_pq_adc_topk's contract) and void the IVF prune.
+    # (At rest the codes are precomputed and partitioned by cell, so
+    # this branch becomes a partition-pruned read — see docstring.)
+    cand_ids = cand.select("vec_id").distinct()
+    bits = (
+        raw.join(cand_ids, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "fv"))
+        .withColumn("v", F.col("fv").cast("double"))
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("v") > (F.col("dmin") + F.col("dmax")) / 2, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
     )
     centroid = (
         F.col("dmin") + (1 + 2 * F.col("bit")) * (F.col("dmax") - F.col("dmin")) / 4

@@ -507,8 +507,29 @@ def test_prefix_rerank_pool_carries_no_vectors(spark, sf_dir):
     assert rep["cartesian"] == 0, rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
     assert rep["broadcast_joins"] >= 2, rep["plan"]
-    # the stage-1 window exchange must not shuffle embedding columns
-    import re
+    # the query_id-keyed window exchanges must not shuffle vector
+    # payloads: formatted-mode Exchange sections list their Input
+    # columns, so parse the detail blocks (the one-line tree entry
+    # doesn't carry columns — an earlier regex on it was vacuous)
+    blocks = [
+        b
+        for b in rep["plan"].split("\n\n")
+        if b.splitlines()
+        and ") Exchange" in b.splitlines()[0]
+        and "hashpartitioning(query_id" in b
+    ]
+    assert blocks, rep["plan"]  # the check must actually see an exchange
+    for b in blocks:
+        assert "embedding" not in b and "qe#" not in b, b
 
-    for m in re.finditer(r"Exchange hashpartitioning\(query_id[^\n]*", rep["plan"]):
-        assert "embedding" not in m.group(0), m.group(0)
+
+def test_substring_removal_linear_stages(spark, sf_dir):
+    """dedup_substring_removal: anchor groupBy partial-aggregates (count
+    + packed-min combine map-side), the covered-position explode joins
+    the token stream by (doc, pos) hash keys — nothing corpus-squared,
+    no cartesian, no Python, and the rebuild groupBy combines map-side."""
+    q = all_queries()["dedup_substring_removal"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]

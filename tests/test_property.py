@@ -287,3 +287,73 @@ def test_containment_df_gate_truncates_hot_shingle(spark, tmp_path_factory):
     assert not any(a < n_hot and b < n_hot for a, b in pairs), pairs
     # the genuine near-dup pair survives in both directions
     assert (n_hot, n_hot + 1) in pairs and (n_hot + 1, n_hot) in pairs, pairs
+
+
+# --- substring spans == brute-force anchor coverage -----------------------
+
+
+def _python_substring_spans(texts, k=8):
+    """Literal transcription of the dedup_substring_spans contract: a
+    position is duplicated iff its k-gram occurs >= 2 times corpus-wide
+    (self-repeats included); spans merge overlapping/adjacent anchor
+    intervals; report (n_tokens, dup_spans, dup_tokens) per doc."""
+    from collections import Counter
+
+    toks = [[t for t in text.split(" ") if t] for text in texts]
+    grams: Counter = Counter()
+    for tt in toks:
+        for i in range(len(tt) - k + 1):
+            grams[tuple(tt[i : i + k])] += 1
+    out = {}
+    for d, tt in enumerate(toks):
+        hits = [
+            i
+            for i in range(len(tt) - k + 1)
+            if grams[tuple(tt[i : i + k])] >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        if spans:
+            out[d] = (
+                len(tt),
+                len(spans),
+                sum(e - s + 1 for s, e in spans),
+            )
+    return out
+
+
+#: tiny vocabulary so duplicated 8-grams actually arise in short docs
+_SPAN_DOC = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30
+).map(" ".join)
+
+
+@PROP_SETTINGS
+@given(st.lists(_SPAN_DOC, min_size=1, max_size=12))
+def test_substring_spans_equal_bruteforce(spark, tmp_path_factory, texts):
+    """dedup_substring_spans must equal the pure-Python anchor-coverage
+    reference on arbitrary corpora — including all-identical docs (full
+    coverage), heavy within-doc repetition from the 4-token vocabulary,
+    and sub-K docs (no row). Pins the island-merge arithmetic and the
+    hash-vs-string k-gram grouping equivalence far from driver data."""
+    import os
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    tmp = tmp_path_factory.mktemp("spanprop")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp), "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+        for r in all_queries()["dedup_substring_spans"].fn(spark, str(tmp)).collect()
+    }
+    assert got == _python_substring_spans(texts)

@@ -560,3 +560,38 @@ def test_phash_neardup_finds_reencode_only(spark, tmp_path, duck_tmp):
     assert int(got.iloc[0]["hamming"]) <= 3
     oracle_pdf = _oracle(duck_tmp, q.oracle)
     assert_frames_match(got, oracle_pdf, "multimodal_phash_neardup[fixture]")
+
+
+def test_substring_removal_keeps_earliest_copy(spark, tmp_path, duck_tmp):
+    """dedup_substring_removal keep-first arbitration on a hand corpus:
+    byte-identical docs collapse to {original, ''}; a doc quoting
+    another doc's run loses exactly the quote; the quoted SOURCE (the
+    earliest occurrence) stays byte-identical; unique docs pass through
+    untouched — including docs shorter than the anchor width."""
+    shared12 = " ".join(f"s{i}" for i in range(12))
+    docs = [
+        (0, shared12),                                  # earliest owner
+        (1, " ".join(f"u{i}" for i in range(10))),      # unique
+        (2, shared12),                                  # exact dup → ''
+        (3, f"p0 p1 p2 p3 {shared12}"),                 # quote → loses it
+        (4, "tiny doc here"),                           # < K tokens
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    duck_tmp.sql(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    q = get("dedup_substring_removal")
+    got = q.fn(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert got.loc[0, "cleaned_text"] == shared12  # earliest copy intact
+    assert got.loc[1, "cleaned_text"] == docs[1][1]
+    assert got.loc[2, "cleaned_text"] == ""  # whole-doc dedup degenerate case
+    assert int(got.loc[2, "removed_tokens"]) == 12
+    assert got.loc[3, "cleaned_text"] == "p0 p1 p2 p3"
+    assert int(got.loc[3, "removed_tokens"]) == 12
+    assert got.loc[4, "cleaned_text"] == "tiny doc here"
+    oracle_pdf = _oracle(duck_tmp, q.oracle)
+    assert_frames_match(
+        got.reset_index(), oracle_pdf, "dedup_substring_removal[fixture]"
+    )
