@@ -92,6 +92,7 @@ EXTRA = [
     "sim_ivfpq_adc_topk",
     "sim_prefix_rerank_topk",
     "dedup_substring_removal",
+    "text_source_overlap_grams",
 ]
 
 

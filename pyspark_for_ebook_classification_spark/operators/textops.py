@@ -985,3 +985,157 @@ def text_vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# --------------------------------------- verbatim-content source overlap
+
+#: grams present in more than this many sources are corpus-universal
+#: boilerplate, not provenance signal — and at thousands of sources a
+#: universal phrase would expand into n_sources² pairs. Mirrored in the
+#: oracle HAVING so both engines prune identically.
+OVERLAP_SRC_MAX = 12
+
+
+@query(
+    "text_source_overlap_grams",
+    survey_ref="L4,L1,A2,F4",
+    doc="Verbatim-content overlap matrix between sources: shared 8-gram "
+    "counts + Jaccard per source pair — the provenance/leakage report "
+    "token-vocab overlap can't give (same WORDS is not same CONTENT).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source, {_SQL_TOKENS} AS toks FROM documents
+        ),
+        sp AS (
+            SELECT DISTINCT source,
+                   array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+            FROM tok,
+                 LATERAL unnest(range(1, length(toks) - 6)) AS r(i)
+            WHERE length(toks) >= 8
+        ),
+        per_source AS (
+            SELECT source, COUNT(*) AS total FROM sp GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS shared_grams
+            FROM sp a
+            JOIN sp b ON a.g = b.g AND a.source < b.source
+            JOIN (
+                SELECT g FROM sp GROUP BY g
+                HAVING COUNT(*) BETWEEN 2 AND {OVERLAP_SRC_MAX}
+            ) ok ON ok.g = a.g
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               CAST(shared_grams AS BIGINT) AS shared_grams,
+               CAST(pa.total AS BIGINT) AS grams_a,
+               CAST(pb.total AS BIGINT) AS grams_b,
+               ROUND(CAST(shared_grams AS DOUBLE)
+                     / (pa.total + pb.total - shared_grams), 6) AS jaccard
+        FROM shared
+        JOIN per_source pa ON pa.source = source_a
+        JOIN per_source pb ON pb.source = source_b
+    """,
+)
+def text_source_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources contain the same CONTENT — the corpus-governance
+    matrix behind licensing audits, leakage checks between scrape
+    batches, and mixture planning (two sources with high verbatim
+    overlap should not both be upsampled). text_vocab_overlap_sources
+    compares token VOCABULARIES (same words); this compares verbatim
+    8-gram content, the same anchor definition as the ExactSubstr pass,
+    so a press release syndicated into five sources lights up all ten
+    pairs even though every source's vocabulary was already similar.
+
+    Scale shape: ONE corpus-keyed shuffle builds the gram → sorted
+    DISTINCT-source inverted index (collect_set dedupes within-source
+    repeats map-side — no separate DISTINCT pass), materialized once
+    since both outputs derive from it: per-source gram totals re-explode
+    the small source sets (bounded by the source count), and pair
+    counts expand triangularly inside sets capped at OVERLAP_SRC_MAX
+    (corpus-universal phrases are boilerplate, and at thousands of
+    sources an uncapped universal gram would expand n_sources² pairs
+    per gram — same gate design as the containment DF cap). The
+    per-pair count groupBy and the two total joins are matrix-sized
+    (n_sources², tiny). Gram keys are xxhash64 LONGs vs the oracle's
+    strings — the _ngram_pairs collision-probability precedent."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import ANCHOR_K
+
+    k = ANCHOR_K
+    d = load(spark, sf_dir, "documents")
+    gram_args = ", ".join(f"element_at(tokens, i + {j})" for j in range(k))
+    grams = F.expr(
+        f"transform(sequence(1, n_tokens - {k} + 1), i -> xxhash64({gram_args}))"
+    )
+    # materialize the per-doc gram arrays BEFORE the explode — the same
+    # barrier dedup_substring_spans uses, and it is load-bearing: without
+    # it CollapseProject substitutes the tokens expression into every
+    # element_at reference inside the transform lambda feeding the
+    # Generate, re-running the split+filter tokenization per reference
+    # (measured 9.9 s vs 0.6 s for the exploded count at sf0.1, 15×).
+    arrays = (
+        d.select("source", _tokens().alias("tokens"))
+        .select("source", "tokens", F.size("tokens").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= k)
+        .select("source", grams.alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    sp = arrays.select("source", F.explode("grams").alias("g"))
+    # ONE corpus pass builds the gram → distinct-sources inverted index
+    # (collect_set dedupes within-source repeats, so no separate DISTINCT
+    # shuffle); it is materialized once because BOTH outputs derive from
+    # it — per-source totals by re-exploding the small source sets, pair
+    # counts from the capped sets. At rest this checkpoint IS the
+    # gram-index table a governance stack would persist.
+    bygram = (
+        sp.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=True)
+    )
+    per_source = (
+        bygram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    )
+    bysrc = bygram.filter(
+        (F.size("srcs") >= 2) & (F.size("srcs") <= OVERLAP_SRC_MAX)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(srcs) - 1), "
+        "i -> transform(sequence(i + 1, size(srcs)), "
+        "j -> struct(element_at(srcs, i) AS source_a, "
+        "element_at(srcs, j) AS source_b))))"
+    )
+    shared = (
+        bysrc.select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    return (
+        shared.join(
+            per_source.select(
+                F.col("source").alias("source_a"), F.col("total").alias("grams_a")
+            ),
+            "source_a",
+        )
+        .join(
+            per_source.select(
+                F.col("source").alias("source_b"), F.col("total").alias("grams_b")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -85,9 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     # graph_kcore_hindex, sim_mmr_diversified_topk,
     # dedup_substring_spans, multimodal_phash_neardup,
     # data_skew_audit, sim_ivfpq_adc_topk, sim_prefix_rerank_topk,
-    # and dedup_substring_removal (added 51st–58th, slot-capped to
-    # r7) has a driver verdict (255 oracle-backed total); they and
-    # the 6 rows-only entries get theirs in r7.
+    # dedup_substring_removal, and text_source_overlap_grams (added
+    # 51st–59th, slot-capped to r7) has a driver verdict (256
+    # oracle-backed total); they and the 6 rows-only entries get
+    # theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -151,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivfpq_adc_topk",
     "sim_prefix_rerank_topk",
     "dedup_substring_removal",
+    "text_source_overlap_grams",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

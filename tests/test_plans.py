@@ -533,3 +533,15 @@ def test_substring_removal_linear_stages(spark, sf_dir):
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_source_overlap_bounded_expansion(spark, sf_dir):
+    """text_source_overlap_grams: pair expansion happens strictly inside
+    the per-gram DISTINCT-source set (bounded by OVERLAP_SRC_MAX, never
+    a source×source or corpus-sized join), every aggregate combines
+    map-side, nothing is cartesian or Python."""
+    q = all_queries()["text_source_overlap_grams"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
