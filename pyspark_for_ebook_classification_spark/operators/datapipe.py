@@ -765,8 +765,8 @@ def _skew_audit_sql_block(label: str, table: str, key: str) -> str:
                ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
                ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6)
                    AS skew_ratio,
-               split_part(MAX(lpad(CAST(cnt AS VARCHAR), 20, '0') || '|' || k),
-                          '|', 2) AS top_key,
+               substring(MAX(lpad(CAST(cnt AS VARCHAR), 20, '0') || '|' || k),
+                         22) AS top_key,
                ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS hot_share,
                CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT)
                    AS suggested_salt
@@ -840,7 +840,9 @@ def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_rows"),
                 6,
             ).alias("skew_ratio"),
-            F.element_at(F.split("packed", r"\|"), 2).alias("top_key"),
+            # slice past the fixed-width 20-digit count + '|' separator —
+            # splitting on '|' would truncate a KEY containing '|'
+            F.expr("substring(packed, 22)").alias("top_key"),
             F.round(
                 F.col("max_per_key").cast("double") / F.col("n_rows"), 6
             ).alias("hot_share"),

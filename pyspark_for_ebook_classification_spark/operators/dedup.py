@@ -1714,15 +1714,22 @@ _FIRST_KEY_SQL = (
                    (c.cpos IS NOT NULL) AS rm
             FROM toks2 t
             LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        ),
+        rebuilt AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS removed_tokens,
+                   COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
+                                       ' ' ORDER BY pos), '') AS cleaned_text
+            FROM flagged
+            GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(n_tokens AS BIGINT) AS n_tokens,
-               CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+        SELECT s.doc_id,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(r.removed_tokens, 0) AS BIGINT)
                    AS removed_tokens,
-               COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
-                                   ' ' ORDER BY pos), '') AS cleaned_text
-        FROM flagged
-        GROUP BY doc_id, n_tokens
+               COALESCE(r.cleaned_text, '') AS cleaned_text
+        FROM sized s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
     """,
 )
 def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,12 +1815,16 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    return flagged.groupBy("doc_id", "n_tokens").agg(
+    rebuilt = flagged.groupBy("doc_id").agg(
         F.sum(F.col("rm").cast("int")).cast("bigint").alias("removed_tokens"),
         kept_sorted.alias("cleaned_text"),
-    ).select(
+    )
+    # drive from ALL docs: a zero-token document emits no token rows and
+    # would otherwise vanish from the rebuilt corpus — the contract is
+    # one output row per input doc, cleaned_text '' when nothing remains
+    return arrays.select("doc_id", "n_tokens").join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "removed_tokens",
-        "cleaned_text",
+        F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )

@@ -427,6 +427,11 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is LOSSLESS for the radius below.
 PHASH_BANDS = 4
 PHASH_BITS_PER_BAND = 16
+# the output schema (b0..b3), the oracle's MAX CASE pivot, and the 64-way
+# pixel downsample are written against exactly this geometry — changing
+# the banding means changing those in lockstep, which this assert forces
+# a reader to notice
+assert PHASH_BANDS * PHASH_BITS_PER_BAND == 64
 PHASH_HAMMING_MAX = 3
 #: a band value shared by this many media rows is a degenerate plane
 #: (blank thumbnails), not near-dup signal — same cap design as SimHash.
@@ -446,6 +451,10 @@ def _make_phash_kernel():
     bucket join and Hamming verify below are production-ready as-is.
     The mean threshold is the INTEGER comparison 64·p ≥ Σp — no float
     crosses the kernel/oracle boundary."""
+    # bound as a factory LOCAL so the closure captures the value itself —
+    # referencing the module global from the worker would require the
+    # package on the executor's sys.path, which by-value pickling avoids
+    n_bands = PHASH_BANDS
 
     def phash_row(payload: bytes):
         if not payload:
@@ -460,7 +469,7 @@ def _make_phash_kernel():
         bits = [1 if 64 * p >= total else 0 for p in pix]
         return tuple(
             sum(b << (15 - j) for j, b in enumerate(bits[16 * k : 16 * k + 16]))
-            for k in range(4)
+            for k in range(n_bands)
         )
 
     def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

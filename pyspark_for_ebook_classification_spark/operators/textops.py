@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.numeric import davg, sql_davg
+from pyspark_for_ebook_classification_spark.operators.dedup import ANCHOR_K
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -1008,10 +1009,12 @@ OVERLAP_SRC_MAX = 12
         ),
         sp AS (
             SELECT DISTINCT source,
-                   array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+                   array_to_string(
+                       list_slice(toks, i, i + {ANCHOR_K} - 1), ' ') AS g
             FROM tok,
-                 LATERAL unnest(range(1, length(toks) - 6)) AS r(i)
-            WHERE length(toks) >= 8
+                 LATERAL unnest(
+                     range(1, length(toks) - {ANCHOR_K} + 2)) AS r(i)
+            WHERE length(toks) >= {ANCHOR_K}
         ),
         per_source AS (
             SELECT source, COUNT(*) AS total FROM sp GROUP BY source
@@ -1060,8 +1063,6 @@ def text_source_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair count groupBy and the two total joins are matrix-sized
     (n_sources², tiny). Gram keys are xxhash64 LONGs vs the oracle's
     strings — the _ngram_pairs collision-probability precedent."""
-    from pyspark_for_ebook_classification_spark.operators.dedup import ANCHOR_K
-
     k = ANCHOR_K
     d = load(spark, sf_dir, "documents")
     gram_args = ", ".join(f"element_at(tokens, i + {j})" for j in range(k))

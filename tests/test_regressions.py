@@ -575,6 +575,7 @@ def test_substring_removal_keeps_earliest_copy(spark, tmp_path, duck_tmp):
         (2, shared12),                                  # exact dup → ''
         (3, f"p0 p1 p2 p3 {shared12}"),                 # quote → loses it
         (4, "tiny doc here"),                           # < K tokens
+        (5, ""),                                        # zero tokens
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
     path = str(tmp_path / "documents.parquet")
@@ -591,7 +592,33 @@ def test_substring_removal_keeps_earliest_copy(spark, tmp_path, duck_tmp):
     assert got.loc[3, "cleaned_text"] == "p0 p1 p2 p3"
     assert int(got.loc[3, "removed_tokens"]) == 12
     assert got.loc[4, "cleaned_text"] == "tiny doc here"
+    # a zero-token doc must still get its output row (the contract is one
+    # row per input doc), with nothing removed and nothing rebuilt
+    assert got.loc[5, "cleaned_text"] == ""
+    assert int(got.loc[5, "removed_tokens"]) == 0
     oracle_pdf = _oracle(duck_tmp, q.oracle)
     assert_frames_match(
         got.reset_index(), oracle_pdf, "dedup_substring_removal[fixture]"
     )
+
+
+def test_skew_audit_top_key_survives_pipe_in_key(spark):
+    """The skew audit's heavy-hitter arg-max packs lpad(cnt,20)|key and
+    unpacks with substring(22): a split on '|' truncated a KEY that
+    itself contains '|' ('click|mobile' reported as 'click'). Pin the
+    fixed-width unpack on exactly that shape, tie included."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("click|mobile", 7), ("view", 7), ("buy", 3)], "k string, cnt long"
+    )
+    packed = F.concat(
+        F.lpad(F.col("cnt").cast("string"), 20, "0"), F.lit("|"), F.col("k")
+    )
+    top = df.select(packed.alias("packed")).agg(
+        F.expr("substring(max(packed), 22)").alias("top_key")
+    )
+    assert top.collect()[0]["top_key"] == "view"  # max cnt, tie → max key
+    only = df.filter(F.col("k") == "click|mobile").select(packed.alias("packed"))
+    got = only.agg(F.expr("substring(max(packed), 22)").alias("top_key"))
+    assert got.collect()[0]["top_key"] == "click|mobile"
