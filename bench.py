@@ -93,6 +93,9 @@ EXTRA = [
     "sim_prefix_rerank_topk",
     "dedup_substring_removal",
     "text_source_overlap_grams",
+    "data_importance_resample",
+    "data_privacy_kl_audit",
+    "text_novelty_curve",
 ]
 
 

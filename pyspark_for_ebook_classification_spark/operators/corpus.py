@@ -666,3 +666,130 @@ def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "exact_dedup", n_exact))
         .unionByName(stage(4, "near_dedup", n_near))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty-decay curve: how much NEW content each ingest slice adds.
+
+#: ingest slices the curve reports (deciles of the doc_id range — the
+#: driver corpus mints doc_ids in ingest order, the common crawl layout).
+_NOVELTY_BUCKETS = 10
+
+
+@query(
+    "text_novelty_curve",
+    survey_ref="L4,L6,A1,A8,J4",
+    doc="Novelty-decay curve: per ingest decile, the fraction of per-doc "
+    "distinct trigrams never seen in any earlier document.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+            WHERE length(list_filter(string_split(text, ' '), t -> t <> '')) >= 3
+        ),
+        mx AS (
+            SELECT CAST(MAX(doc_id) + 1 AS DOUBLE) AS denom FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, length(tokens) - 1),
+                       i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                   ))) AS g
+            FROM toks
+        ),
+        occb AS (
+            SELECT least({_NOVELTY_BUCKETS - 1},
+                         CAST(floor(doc_id * {_NOVELTY_BUCKETS} / denom) AS BIGINT))
+                       AS bucket,
+                   COUNT(*) AS n_grams
+            FROM occ CROSS JOIN mx GROUP BY 1
+        ),
+        firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM occ GROUP BY g),
+        newb AS (
+            SELECT least({_NOVELTY_BUCKETS - 1},
+                         CAST(floor(first_doc * {_NOVELTY_BUCKETS} / denom) AS BIGINT))
+                       AS bucket,
+                   COUNT(*) AS n_new_grams
+            FROM firsts CROSS JOIN mx GROUP BY 1
+        ),
+        docsb AS (
+            SELECT least({_NOVELTY_BUCKETS - 1},
+                         CAST(floor(doc_id * {_NOVELTY_BUCKETS} / denom) AS BIGINT))
+                       AS bucket,
+                   COUNT(*) AS n_docs
+            FROM toks CROSS JOIN mx GROUP BY 1
+        )
+        SELECT d.bucket, d.n_docs, o.n_grams,
+               COALESCE(n.n_new_grams, 0) AS n_new_grams,
+               round(CAST(COALESCE(n.n_new_grams, 0) AS DOUBLE) / o.n_grams, 6)
+                   AS novelty_rate
+        FROM docsb d
+        JOIN occb o ON o.bucket = d.bucket
+        LEFT JOIN newb n ON n.bucket = d.bucket
+    """,
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-saturation diagnostic: split the corpus into ``_NOVELTY_BUCKETS``
+    ingest slices (doc_id-range deciles — ingest order in the driver
+    corpus) and report, per slice, how many of its per-doc distinct
+    trigrams had never appeared in ANY earlier document. A flattening
+    `novelty_rate` is the "more crawl adds nothing" signal that gates
+    further ingestion spend in a pre-training data build.
+
+    Pipeline: the checkpointed per-doc shingle arrays (shared with the
+    containment query — the checkpoint pins one materialization before the
+    explode, the r5/r6 Generate-recompute rule) explode once; first-seen
+    docs come from ONE gram-keyed partial aggregate (min(doc_id) — the
+    corpus-scale shuffle); every later table is bucket-keyed and bounded
+    by ``_NOVELTY_BUCKETS`` rows, so the closing joins broadcast. The
+    Spark side grams are xxhash64 LONGs vs the oracle's strings — counts
+    agree unless two distinct trigrams collide in 64 bits (P < 1e-12;
+    the parity run proves equivalence corpus-wide, the _shingle_arrays
+    argument)."""
+    arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
+    denom = (
+        load(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).cast("double").alias("denom"))
+    )
+
+    def bucket(col: str):
+        return F.least(
+            F.lit(_NOVELTY_BUCKETS - 1),
+            F.floor(F.col(col) * _NOVELTY_BUCKETS / F.col("denom")).cast("bigint"),
+        )
+
+    occ = arrays.select("doc_id", F.explode("shingles").alias("g"))
+    occb = (
+        occ.crossJoin(F.broadcast(denom))
+        .groupBy(bucket("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    firsts = occ.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    newb = (
+        firsts.crossJoin(F.broadcast(denom))
+        .groupBy(bucket("first_doc").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_new_grams"))
+    )
+    docsb = (
+        arrays.select("doc_id")
+        .crossJoin(F.broadcast(denom))
+        .groupBy(bucket("doc_id").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # bucket tables are ≤ _NOVELTY_BUCKETS rows — broadcast the closers
+    return (
+        docsb.join(F.broadcast(occb), "bucket")
+        .join(F.broadcast(newb), "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_grams",
+            F.coalesce(F.col("n_new_grams"), F.lit(0)).alias("n_new_grams"),
+            F.round(
+                F.coalesce(F.col("n_new_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

@@ -852,3 +852,200 @@ def data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): select raw-corpus docs whose
+# hashed n-gram feature distribution looks like a small curated target set.
+
+#: hashed-feature bucket count. DSIR's paper uses 10k buckets for unigram+
+#: bigram features; 4096 keeps the bucket table broadcast-trivial while
+#: still separating the driver corpus's vocabulary.
+_DSIR_BUCKETS = 4096
+#: Laplace smoothing mass per bucket — keeps ln() finite for buckets the
+#: target never hits.
+_DSIR_ALPHA = 0.5
+#: target-corpus proxy: one curated source (the DSIR setting is "raw web
+#: crawl, small trusted target"; src0 stands in for the trusted side).
+_DSIR_TARGET_SRC = "src0"
+#: selection budget (docs kept).
+_DSIR_KEEP = 400
+
+
+@query(
+    "data_importance_resample",
+    survey_ref="L7,L4,L6,A1,O3",
+    doc="DSIR importance resampling: hashed-unigram log-likelihood-ratio "
+    "selection of raw docs toward a curated target source.",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, source,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS t
+                FROM documents
+            )
+        ),
+        bc AS (
+            SELECT b, COUNT(*) AS cr,
+                   COUNT(*) FILTER (WHERE source = '{_DSIR_TARGET_SRC}') AS ct
+            FROM occ GROUP BY b
+        ),
+        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+        bs AS (
+            SELECT b,
+                   CAST(ln((ct + {_DSIR_ALPHA}) / (tt + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                        - ln((cr + {_DSIR_ALPHA}) / (tr + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                        AS DECIMAL(28,6)) AS term
+            FROM bc CROSS JOIN tot
+        ),
+        ds AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(term) AS DOUBLE) / COUNT(*) AS dsir_score
+            FROM occ JOIN bs USING (b)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, ds.n_tokens, ds.dsir_score
+        FROM ds JOIN documents d USING (doc_id)
+        ORDER BY ds.dsir_score DESC, d.doc_id
+        LIMIT {_DSIR_KEEP}
+    """,
+)
+def data_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every raw doc by the average hashed-unigram
+    log-likelihood ratio ln(p_target/p_raw) and keep the top ``_DSIR_KEEP``.
+
+    The pipeline is the paper's estimator re-expressed relationally: one
+    exploded token stream, bucketed by an engine-portable md5 hash (the
+    datapipe determinism contract — no ``rand()``, no JVM-specific hash);
+    ONE grouped aggregate computes raw and target bucket counts together
+    (count + conditional count — a single shuffle, not two passes over the
+    corpus); bucket log-ratio terms round to decimal(28,6) before the
+    per-doc sum so the accumulation is order- and engine-independent.
+
+    Scale shape: the bucket-score table is bounded by ``_DSIR_BUCKETS``
+    (constant, corpus-independent) so its join back onto the token stream
+    is an explicit ``broadcast`` — per-doc scoring is map-side over one
+    token-stream shuffle to doc_id. Selection is global top-k
+    (TakeOrderedAndProject — no single-partition global sort), tie-broken
+    by doc_id. At 100 TB nothing here grows beyond the token stream's own
+    doc_id-keyed aggregate; the DSIR sampled-Gumbel variant would replace
+    the top-k with the same md5-coin thinning data_stratified_sample uses.
+    """
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bucket = (
+        F.expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+        % _DSIR_BUCKETS
+    )
+    occ = (
+        d.select("doc_id", "source", F.explode(tokens).alias("t"))
+        .select("doc_id", "source", bucket.alias("b"))
+    )
+    bc = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("source") == _DSIR_TARGET_SRC).alias("ct"),
+    )
+    tot = bc.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    denom_t = F.col("tt") + _DSIR_ALPHA * _DSIR_BUCKETS
+    denom_r = F.col("tr") + _DSIR_ALPHA * _DSIR_BUCKETS
+    term = (
+        F.log((F.col("ct") + _DSIR_ALPHA) / denom_t)
+        - F.log((F.col("cr") + _DSIR_ALPHA) / denom_r)
+    ).cast("decimal(28,6)")
+    # bounded by _DSIR_BUCKETS rows — broadcast is safe at any corpus size
+    bs = bc.crossJoin(F.broadcast(tot)).select("b", term.alias("term"))
+    ds = (
+        occ.join(F.broadcast(bs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("term").cast("double") / F.count(F.lit(1))).alias("dsir_score"),
+        )
+    )
+    return (
+        ds.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "dsir_score")
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_DSIR_KEEP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit — the release-gate report a
+# training-data (or analytics-export) pipeline runs before publishing
+# user-derived records (Sweeney 2002; Machanavajjhala et al. 2007).
+
+#: minimum equivalence-class size for k-anonymity.
+_PRIV_K = 5
+#: minimum distinct sensitive values per class for l-diversity.
+_PRIV_L = 3
+#: account-balance generalization band width (the QI coarsening step).
+_PRIV_BAND = 2000.0
+
+
+@query(
+    "data_privacy_kl_audit",
+    survey_ref="L7,L4,A1,A2,J4",
+    doc="k-anonymity / l-diversity audit over quasi-identifier classes "
+    "(nation, segment, balance band) with per-class re-id risk.",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               c.c_mktsegment AS segment,
+               CAST(floor((c.c_acctbal + 1000.0) / {_PRIV_BAND}) AS BIGINT)
+                   AS acct_band,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c.c_acctbal) AS n_sensitive,
+               (COUNT(*) >= {_PRIV_K}) AS k_anon,
+               (COUNT(DISTINCT c.c_acctbal) >= {_PRIV_L}) AS l_diverse,
+               round(1.0 / COUNT(*), 6) AS reident_risk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+)
+def data_privacy_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate: group records into quasi-identifier
+    equivalence classes (nation × market segment × generalized balance
+    band) and report, per class, its size (k-anonymity: a class smaller
+    than ``_PRIV_K`` re-identifies its members), the count of distinct
+    sensitive values (l-diversity: a class where everyone shares one
+    sensitive value leaks it even when k-anonymous), and the worst-case
+    re-identification risk 1/class_size. Downstream, classes failing
+    either flag are suppressed or further generalized before release.
+
+    Scale shape: the nation dim broadcasts; one QI-keyed shuffle with
+    map-side partial aggregation (COUNT DISTINCT is exact two-phase over
+    the same key — no extra corpus pass); output is one row per
+    equivalence class, bounded by the QI domain product, not the corpus.
+    The generalization band uses literal arithmetic (floor over a fixed
+    width) so the QI derivation constant-folds into the scan projection.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    band = F.floor((F.col("c_acctbal") + 1000.0) / _PRIV_BAND).cast("bigint")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("acct_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col("c_acctbal")).alias("n_sensitive"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "acct_band",
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") >= _PRIV_K).alias("k_anon"),
+            (F.col("n_sensitive") >= _PRIV_L).alias("l_diverse"),
+            F.round(F.lit(1.0) / F.col("class_size"), 6).alias("reident_risk"),
+        )
+    )

@@ -85,10 +85,11 @@ _PRIORITY: tuple[str, ...] = (
     # graph_kcore_hindex, sim_mmr_diversified_topk,
     # dedup_substring_spans, multimodal_phash_neardup,
     # data_skew_audit, sim_ivfpq_adc_topk, sim_prefix_rerank_topk,
-    # dedup_substring_removal, and text_source_overlap_grams (added
-    # 51st–59th, slot-capped to r7) has a driver verdict (256
-    # oracle-backed total); they and the 6 rows-only entries get
-    # theirs in r7.
+    # dedup_substring_removal, text_source_overlap_grams,
+    # data_importance_resample, data_privacy_kl_audit, and
+    # text_novelty_curve (added 51st–62nd, slot-capped to r7) has a
+    # driver verdict (259 oracle-backed total); they and the 6
+    # rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -153,6 +154,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_prefix_rerank_topk",
     "dedup_substring_removal",
     "text_source_overlap_grams",
+    "data_importance_resample",
+    "data_privacy_kl_audit",
+    "text_novelty_curve",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -545,3 +545,42 @@ def test_source_overlap_bounded_expansion(spark, sf_dir):
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_dsir_resample_plan_shape(spark, sf_dir):
+    """data_importance_resample: the bucket-score table is bounded by a
+    constant (_DSIR_BUCKETS) so both its builds stay broadcast; global
+    selection is top-k (TakeOrderedAndProject), never a global sort; and
+    nothing plans a cartesian product."""
+    q = all_queries()["data_importance_resample"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in rep["plan"], rep["plan"]
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["broadcast_joins"] >= 2, rep["plan"]
+
+
+def test_privacy_audit_plan_shape(spark, sf_dir):
+    """data_privacy_kl_audit: the nation dim broadcasts (never shuffles)
+    and the QI aggregate partial-combines map-side before its one
+    shuffle."""
+    q = all_queries()["data_privacy_kl_audit"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0
+
+
+def test_novelty_curve_plan_shape(spark, sf_dir):
+    """text_novelty_curve: one gram-keyed partial aggregate is the only
+    corpus-scale shuffle; the ≤10-row bucket tables broadcast into the
+    closing joins; nothing is cartesian or Python-side. (The scalar
+    denom cross-joins are broadcast-nested-loop by construction — a
+    1-row build side — so bnl_joins is not asserted zero here.)"""
+    q = all_queries()["text_novelty_curve"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
