@@ -96,6 +96,8 @@ EXTRA = [
     "data_importance_resample",
     "data_privacy_kl_audit",
     "text_novelty_curve",
+    "data_dp_noisy_counts",
+    "sim_embedding_hygiene_gate",
 ]
 
 

@@ -1049,3 +1049,90 @@ def data_privacy_kl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) / F.col("class_size"), 6).alias("reident_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy-count release (Dwork et al. 2006) — the
+# publishable companion to data_privacy_kl_audit: per-group counts with
+# calibrated Laplace noise instead of suppression.
+
+#: privacy budget ε for the count release (sensitivity of a count is 1,
+#: so the Laplace scale is b = 1/ε).
+_DP_EPSILON = 1.0
+#: 2^52 — the md5-derived uniform uses 13 hex chars (52 bits) so the
+#: integer→double conversion is EXACT (< 2^53), keeping u identical
+#: across engines.
+_DP_DENOM = 4503599627370496.0
+
+
+def _dp_noise_sql(key: str) -> str:
+    """Engine-portable Laplace sample via inverse CDF over an md5-derived
+    uniform. u ∈ (0,1) strictly (the +0.5 offset keeps both tails finite);
+    branch gives b·ln(2u) below the median, -b·ln(2(1-u)) above."""
+    b = 1.0 / _DP_EPSILON
+    u = f"((CAST(('0x' || substring(md5({key}), 1, 13)) AS BIGINT) + 0.5) / {_DP_DENOM})"
+    return (
+        f"CASE WHEN {u} < 0.5 THEN {b} * ln(2 * {u}) "
+        f"ELSE -{b} * ln(2 * (1 - {u})) END"
+    )
+
+
+def _dp_noise_spark(key: str) -> str:
+    b = 1.0 / _DP_EPSILON
+    u = (
+        f"((CAST(conv(substring(md5({key}), 1, 13), 16, 10) AS BIGINT) + 0.5)"
+        f" / {_DP_DENOM})"
+    )
+    return (
+        f"CASE WHEN {u} < 0.5 THEN {b} * ln(2 * {u}) "
+        f"ELSE -{b} * ln(2 * (1 - {u})) END"
+    )
+
+
+@query(
+    "data_dp_noisy_counts",
+    survey_ref="L7,L4,A1,F7",
+    doc="Differentially-private per-(lang, source) doc counts: "
+    "deterministic md5-seeded Laplace noise at epsilon=1.",
+    oracle=f"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round({_dp_noise_sql("lang || '|' || source")}, 6) AS noise,
+               round(COUNT(*) + {_dp_noise_sql("lang || '|' || source")}, 6)
+                   AS released_count
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def data_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP count release: per-group document counts plus Laplace(1/ε) noise
+    — the standard ε-DP mechanism for a count query (sensitivity 1). A
+    publishable view would drop `n_docs` and `noise`; both are kept here
+    because this is the pipeline-operator (and its audit: the oracle twin
+    re-derives the identical noise, proving the release is reproducible).
+
+    Determinism contract: the noise is NOT ``rand()`` — the uniform comes
+    from md5(group key) (13 hex chars → 52 bits → EXACT double), pushed
+    through the Laplace inverse CDF with identical double arithmetic on
+    both engines; the only libm call (ln) is covered by the registry's
+    round-to-6 rule. Seeded noise is also what a real redaction pipeline
+    wants: retries and backfills must not re-roll the release. (For a
+    production system the seed would fold in a private salt so the noise
+    is unpredictable to adversaries; the mechanism is otherwise
+    unchanged.)
+
+    Scale shape: one partial-agg groupBy; noise is a projection over the
+    group keys — output is bounded by the group domain, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    noise = F.expr(_dp_noise_spark("concat(lang, '|', source)"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "lang",
+            "source",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.round(noise, 6).alias("noise"),
+            F.round(F.col("cnt") + noise, 6).alias("released_count"),
+        )
+    )

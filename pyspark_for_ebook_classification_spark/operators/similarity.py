@@ -2019,3 +2019,113 @@ def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene gate: broken-encode detection before an index build.
+
+#: absolute tolerance for |norm² − 1| on a normalized corpus.
+_NORM2_TOL = 0.01
+#: |z| threshold for the peak-concentration statistic.
+_PEAK_Z_MAX = 2.5
+
+
+@query(
+    "sim_embedding_hygiene_gate",
+    survey_ref="L3,L4,A7,J4",
+    doc="Embedding QA gate: vectors failing the unit-norm check or with "
+    "an outlier peak-component concentration within their label cell.",
+    oracle=f"""
+        WITH feat AS (
+            SELECT vec_id, label,
+                   {sql_dot('embedding', 'embedding')} AS norm2,
+                   list_max(list_transform(range(1, 65),
+                       i -> abs(CAST(embedding[i] AS DOUBLE)))) AS peak
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(peak AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(peak * peak AS DECIMAL(28,6))) AS DOUBLE) AS s2
+            FROM feat GROUP BY label
+            HAVING COUNT(*) >= 2
+        ),
+        scored AS (
+            SELECT f.vec_id, f.label, f.norm2, f.peak,
+                   (f.peak - s.s1 / s.n)
+                       / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS z
+            FROM feat f JOIN stats s ON s.label = f.label
+            WHERE s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0
+        )
+        SELECT vec_id, label,
+               round(norm2, 6) AS norm2,
+               round(peak, 6) AS peak,
+               round(z, 6) AS z_peak,
+               CASE WHEN abs(norm2 - 1.0) > {_NORM2_TOL} THEN 'norm'
+                    ELSE 'peak' END AS reason
+        FROM scored
+        WHERE abs(norm2 - 1.0) > {_NORM2_TOL} OR abs(z) > {_PEAK_Z_MAX}
+    """,
+)
+def sim_embedding_hygiene_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-indexing embedding QA: catch broken encodes before they poison
+    a cosine/IP ANN structure. Two independent checks per vector:
+
+    * **norm drift** — on a normalized corpus every |v|² must sit within
+      ``_NORM2_TOL`` of 1; a truncated input or missed normalization
+      shows up as a gross violation. This is an ABSOLUTE check: the
+      z-score of norm² is numerically vacuous on normalized data (the
+      true spread is float-rounding noise ~1e-14, below the cancellation
+      error of any moments formula — measured while building this op).
+    * **peak concentration** — max|component|, z-scored within the label
+      cell. A random unit vector concentrates ~N(0.3, 0.03) of its mass
+      in its largest of 64 coordinates; a one-hot-ish or clipped encode
+      is a heavy tail. Moments come from decimal(28,6) sums (peak ~0.3,
+      spread ~3e-2, so 6-digit quantization is harmless — unlike norm²),
+      making mean/var order- and engine-exact; z doubles are then
+      bit-identical cross-engine (IEEE ops on identical inputs), so the
+      threshold filter cannot diverge.
+
+    Scale shape: one map-side projection (both statistics are per-row
+    array folds), ONE label-keyed partial aggregate, per-label stats
+    broadcast back (bounded by the label domain). No corpus-squared
+    stage; singleton/zero-variance cells drop in both engines (ANSI
+    division guard)."""
+    e = load(spark, sf_dir, "embeddings")
+    peak = F.expr(
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    )
+    feat = e.select(
+        "vec_id",
+        "label",
+        spark_dot("embedding", "embedding").alias("norm2"),
+        peak.alias("peak"),
+    )
+    stats = (
+        feat.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("peak").cast("decimal(28,6)")).cast("double").alias("s1"),
+            F.sum((F.col("peak") * F.col("peak")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("peak") - mean) / F.sqrt(var)
+    norm_bad = F.abs(F.col("norm2") - 1.0) > _NORM2_TOL
+    return (
+        feat.join(F.broadcast(stats), "label")
+        .filter(var > 0)
+        .filter(norm_bad | (F.abs(z) > _PEAK_Z_MAX))
+        .select(
+            "vec_id",
+            "label",
+            F.round("norm2", 6).alias("norm2"),
+            F.round("peak", 6).alias("peak"),
+            F.round(z, 6).alias("z_peak"),
+            F.when(norm_bad, "norm").otherwise("peak").alias("reason"),
+        )
+    )

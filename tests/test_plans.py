@@ -584,3 +584,26 @@ def test_novelty_curve_plan_shape(spark, sf_dir):
     assert rep["sortmerge_joins"] == 0, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_dp_noisy_counts_plan_shape(spark, sf_dir):
+    """data_dp_noisy_counts: one partial-agg groupBy over the scan; the
+    noise is pure projection arithmetic — no joins, no Python, nothing
+    cartesian."""
+    q = all_queries()["data_dp_noisy_counts"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_embedding_hygiene_plan_shape(spark, sf_dir):
+    """sim_embedding_hygiene_gate: per-row array folds map-side, one
+    label-keyed partial aggregate, per-label stats broadcast back."""
+    q = all_queries()["sim_embedding_hygiene_gate"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
