@@ -67,3 +67,113 @@ def test_quantize_int8_range_and_dims(spark, sf_dir):
         # corpus, so the global envelope must reach both extremes.
     assert min(r.q_min for r in out) == -128
     assert max(r.q_max for r in out) == 127
+
+
+def test_dsir_selects_toward_target(spark, sf_dir):
+    """DSIR semantic check: documents from the target source must score
+    higher on average than the rest — the estimator's whole point is that
+    target-like token distributions get positive log-likelihood ratios."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _DSIR_KEEP,
+        _DSIR_TARGET_SRC,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+
+    out = get("data_importance_resample").fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == _DSIR_KEEP
+    by_src = (
+        out.groupBy(F.col("source") == _DSIR_TARGET_SRC)
+        .agg(F.avg("dsir_score").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in by_src}
+    assert means.get(True, float("-inf")) > means[False]
+
+
+def test_dp_noise_centered_and_deterministic(spark, sf_dir):
+    """The Laplace(1) noise across ~100 group keys must be roughly
+    centered (md5 uniforms behave like uniforms) and EXACTLY reproducible
+    across runs — the retry-safety claim."""
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+
+    q = get("data_dp_noisy_counts")
+    a = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+    assert a == b  # deterministic re-roll
+    noises = [r[3] for r in a]
+    n = len(noises)
+    assert n >= 50
+    mean = sum(noises) / n
+    # Laplace(1) sample mean se = sqrt(2/n) ~ 0.14 at n~100; 5 sigma.
+    assert abs(mean) < 0.75, mean
+    # released_count = n_docs + noise (rounded), within additive bound
+    for r in a:
+        assert abs(r[4] - (r[2] + r[3])) < 1e-5
+
+
+def test_hygiene_gate_catches_injected_broken_vector(spark, sf_dir, tmp_path):
+    """Golden corruption test: copy the embeddings table, scale one
+    vector's components by 0.5 (norm² = 0.25), and the gate must flag
+    exactly that vector with reason='norm' in the copied corpus."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    e = load(spark, sf_dir, "embeddings")
+    broken = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))"),
+        ).otherwise(F.col("embedding")),
+    )
+    out_dir = str(tmp_path / "sf_broken")
+    broken.write.parquet(out_dir + "/embeddings.parquet")
+    flagged = get("sim_embedding_hygiene_gate").fn(spark, out_dir).collect()
+    norm_rows = [r for r in flagged if r["reason"] == "norm"]
+    assert [r["vec_id"] for r in norm_rows] == [0]
+    assert abs(norm_rows[0]["norm2"] - 0.25) < 1e-3
+
+
+def test_novelty_curve_partitions_distinct_grams(spark, sf_dir):
+    """Conservation invariant: every distinct corpus trigram is 'new' in
+    exactly one bucket, so Σ n_new_grams equals the corpus-wide distinct
+    gram count; and early buckets must be more novel than late ones."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.corpus import (
+        _shingle_arrays,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+
+    rows = get("text_novelty_curve").fn(spark, sf_dir).orderBy("bucket").collect()
+    total_new = sum(r["n_new_grams"] for r in rows)
+    distinct = (
+        _shingle_arrays(spark, sf_dir)
+        .select(F.explode("shingles").alias("g"))
+        .agg(F.count_distinct("g"))
+        .collect()[0][0]
+    )
+    assert total_new == distinct
+    assert rows[0]["novelty_rate"] == max(r["novelty_rate"] for r in rows)
+    assert rows[-1]["novelty_rate"] < rows[0]["novelty_rate"]
+
+
+def test_privacy_audit_partitions_customers(spark, sf_dir):
+    """The QI equivalence classes partition the joined customer set:
+    Σ class_size == |customer| (every customer's nation key resolves),
+    and flags agree with the reported counts."""
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    rows = get("data_privacy_kl_audit").fn(spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r["class_size"] for r in rows) == n_cust
+    for r in rows:
+        assert r["k_anon"] == (r["class_size"] >= 5)
+        assert r["l_diverse"] == (r["n_sensitive"] >= 3)
+        assert r["n_sensitive"] <= r["class_size"]
