@@ -98,6 +98,8 @@ EXTRA = [
     "text_novelty_curve",
     "data_dp_noisy_counts",
     "sim_embedding_hygiene_gate",
+    "text_chunk_sliding",
+    "data_epoch_allocation",
 ]
 
 

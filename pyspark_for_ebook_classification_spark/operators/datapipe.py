@@ -1136,3 +1136,141 @@ def data_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") + noise, 6).alias("released_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"): when demand exceeds unique supply,
+# plan repetition epochs and account for the decaying value of repeats.
+
+#: total training-char demand as a multiple of the unique corpus — >1 by
+#: construction so the repetition path is exercised.
+_EPOCH_DEMAND_MULT = 1.5
+#: maximum planned epochs over any source.
+_EPOCH_MAX = 4
+#: per-epoch value decay: epoch e contributes decay^(e-1) of fresh value
+#: (the paper's fitted repeats lose value smoothly; a geometric ladder is
+#: the standard planning approximation).
+_EPOCH_DECAY = 0.6
+
+
+@query(
+    "data_epoch_allocation",
+    survey_ref="L7,A1,W3,F3",
+    doc="Data-constrained epoch planning: per-source repeat epochs under "
+    "a demand multiple, with diminishing-returns effective chars.",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(substring(source, 4) AS INT) AS src_idx,
+                   CAST(SUM(n_chars) AS BIGINT) AS avail_chars
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, avail_chars,
+                   1.0 + (src_idx % 3) AS wt,
+                   SUM(1.0 + (src_idx % 3)) OVER () AS wt_sum,
+                   SUM(avail_chars) OVER () AS corpus_chars
+            FROM per_src
+        ),
+        plan AS (
+            SELECT source, avail_chars,
+                   CAST(round(wt / wt_sum * corpus_chars * {_EPOCH_DEMAND_MULT}, 0)
+                        AS BIGINT) AS demand_chars
+            FROM w
+        )
+        SELECT source, avail_chars, demand_chars,
+               CAST(least({_EPOCH_MAX},
+                    CAST(ceil(CAST(demand_chars AS DOUBLE) / avail_chars)
+                         AS BIGINT)) AS BIGINT) AS epochs,
+               served_chars,
+               round(avail_chars
+                         * (1 - power({_EPOCH_DECAY}, served_chars // avail_chars))
+                         / (1 - {_EPOCH_DECAY})
+                     + (served_chars - (served_chars // avail_chars) * avail_chars)
+                         * power({_EPOCH_DECAY}, served_chars // avail_chars),
+                     1) AS effective_chars
+        FROM (
+            SELECT source, avail_chars, demand_chars,
+                   CAST(least(demand_chars,
+                        avail_chars * least({_EPOCH_MAX},
+                            CAST(ceil(CAST(demand_chars AS DOUBLE) / avail_chars)
+                                 AS BIGINT))) AS BIGINT) AS served_chars
+            FROM plan
+        )
+    """,
+)
+def data_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER data_mixture_budget_plan reports a shortfall: when
+    per-source demand exceeds unique supply, plan repetition — epochs =
+    ceil(demand/available) capped at ``_EPOCH_MAX`` (past ~4 epochs
+    repeats stop helping, the paper's headline result), chars actually
+    served under that cap, and the diminishing-returns EFFECTIVE chars:
+    full epoch e is worth decay^(e-1) of fresh data (geometric sum) and
+    the trailing PARTIAL epoch is credited pro-rata at its epoch's decay
+    — so a source whose demand is under one epoch counts exactly its
+    served chars, never a full-epoch overstatement. This is the number a
+    compute-allocation decision should use instead of raw served
+    volume.
+
+    Scale shape: one partial-agg groupBy to per-source totals; the
+    window totals and all the epoch arithmetic run over the
+    dimension-sized (≤ n_sources rows) aggregate — the plan output is
+    config-sized at any corpus scale. power() is the one libm call,
+    covered by the round-to-1 output contract (operands are identical
+    small integers in both engines)."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("avail_chars")
+    )
+    src_idx = F.substring("source", 4, 10).cast("int")
+    w = per_src.select(
+        "source",
+        "avail_chars",
+        (1.0 + (src_idx % 3)).alias("wt"),
+    )
+    tot = Window.partitionBy()
+    plan = w.select(
+        "source",
+        "avail_chars",
+        F.round(
+            F.col("wt")
+            / F.sum("wt").over(tot)
+            * F.sum("avail_chars").over(tot)
+            * _EPOCH_DEMAND_MULT,
+            0,
+        )
+        .cast("bigint")
+        .alias("demand_chars"),
+    )
+    epochs = F.least(
+        F.lit(_EPOCH_MAX),
+        F.ceil(F.col("demand_chars").cast("double") / F.col("avail_chars")).cast(
+            "bigint"
+        ),
+    )
+    plan2 = plan.select(
+        "source",
+        "avail_chars",
+        "demand_chars",
+        epochs.cast("bigint").alias("epochs"),
+        F.least(F.col("demand_chars"), F.col("avail_chars") * epochs)
+        .cast("bigint")
+        .alias("served_chars"),
+    )
+    full = F.expr("served_chars DIV avail_chars")
+    return plan2.select(
+        "source",
+        "avail_chars",
+        "demand_chars",
+        "epochs",
+        "served_chars",
+        F.round(
+            F.col("avail_chars")
+            * (1 - F.pow(F.lit(_EPOCH_DECAY), full))
+            / (1 - _EPOCH_DECAY)
+            + (F.col("served_chars") - full * F.col("avail_chars"))
+            * F.pow(F.lit(_EPOCH_DECAY), full),
+            1,
+        ).alias("effective_chars"),
+    )

@@ -1140,3 +1140,103 @@ def text_source_overlap_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-ingestion chunker: fixed-window sliding chunks with stable ids.
+
+#: chunk window (tokens) and stride — 25% overlap. Production RAG uses
+#: ~512/384; these are scaled to the driver corpus's ~10-100-token docs
+#: so the multi-chunk and overlap paths actually execute (and get
+#: oracle-checked) at test scale — the formula is parameter-independent.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "text_chunk_sliding",
+    survey_ref="L4,F4,F7,P1",
+    doc="Sliding-window RAG chunker: fixed-size overlapping token chunks "
+    "with stable ids and content hashes.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, tokens, length(tokens) AS n
+            FROM toks WHERE length(tokens) >= 1
+        ),
+        chunks AS (
+            SELECT doc_id, n,
+                   unnest(range(0, CASE WHEN n <= {_CHUNK_W} THEN 1
+                       ELSE CAST(ceil(CAST(n - {_CHUNK_W} AS DOUBLE) / {_CHUNK_S})
+                            AS BIGINT) + 1 END)) AS chunk_idx,
+                   tokens
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+               CAST(least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S}) AS BIGINT)
+                   AS n_tok,
+               md5(array_to_string(
+                   tokens[chunk_idx * {_CHUNK_S} + 1 :
+                          chunk_idx * {_CHUNK_S}
+                          + least({_CHUNK_W}, n - chunk_idx * {_CHUNK_S})],
+                   ' ')) AS chunk_sha
+        FROM chunks
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-ingestion primitive: split every document into
+    fixed-window token chunks with 25% overlap (window _CHUNK_W, stride _CHUNK_S),
+    emitting a stable (doc_id, chunk_idx) key, the token span, and an
+    md5 content hash — the id/embedding-input layout a vector-index
+    build consumes. Chunk text itself is NOT emitted (hash instead):
+    the driver canonicalizer and a 100 TB shuffle both prefer 32 bytes
+    to a re-copied corpus; downstream embedding reads the span from the
+    checkpointed arrays.
+
+    Scale shape: per-doc token arrays are localCheckpoint'd BEFORE the
+    chunk-index explode (the r5/r6 Generate-recompute rule — the slice
+    projection above the Generate references the array per OUTPUT row,
+    which on the unmaterialized form would re-run tokenization per
+    chunk); the explode itself generates ~n/stride small rows per doc,
+    linear in corpus tokens, no shuffle at all — chunking is a pure
+    map-side Generate and the output partitioning inherits the scan's.
+    """
+    d = load(spark, sf_dir, "documents")
+    arrays = (
+        d.select("doc_id", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    n = F.size("tokens")
+    k = (
+        F.when(n <= _CHUNK_W, F.lit(1))
+        .otherwise(
+            F.ceil((n - _CHUNK_W).cast("double") / _CHUNK_S).cast("bigint") + 1
+        )
+    )
+    sized = arrays.select("doc_id", "tokens", n.alias("n"), k.alias("k"))
+    start = F.col("chunk_idx") * _CHUNK_S  # 0-based offset
+    n_tok = F.least(F.lit(_CHUNK_W), F.col("n") - start)
+    return (
+        sized.select(
+            "doc_id",
+            "tokens",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (start + 1).cast("bigint").alias("start_tok"),
+            n_tok.cast("bigint").alias("n_tok"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("tokens"), (start + 1).cast("int"), n_tok.cast("int")))
+            ).alias("chunk_sha"),
+        )
+    )

@@ -87,9 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     # data_skew_audit, sim_ivfpq_adc_topk, sim_prefix_rerank_topk,
     # dedup_substring_removal, text_source_overlap_grams,
     # data_importance_resample, data_privacy_kl_audit,
-    # text_novelty_curve, data_dp_noisy_counts, and
-    # sim_embedding_hygiene_gate (added 51st–64th, slot-capped to r7)
-    # has a driver verdict (261 oracle-backed total); they and the 6
+    # text_novelty_curve, data_dp_noisy_counts,
+    # sim_embedding_hygiene_gate, text_chunk_sliding, and
+    # data_epoch_allocation (added 51st–66th, slot-capped to r7) has
+    # a driver verdict (263 oracle-backed total); they and the 6
     # rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
@@ -160,6 +161,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_novelty_curve",
     "data_dp_noisy_counts",
     "sim_embedding_hygiene_gate",
+    "text_chunk_sliding",
+    "data_epoch_allocation",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

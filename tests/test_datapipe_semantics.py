@@ -177,3 +177,71 @@ def test_privacy_audit_partitions_customers(spark, sf_dir):
         assert r["k_anon"] == (r["class_size"] >= 5)
         assert r["l_diverse"] == (r["n_sensitive"] >= 3)
         assert r["n_sensitive"] <= r["class_size"]
+
+
+def test_chunker_covers_every_token_with_fixed_stride(spark, sf_dir):
+    """Chunk-coverage invariants: chunk 0 starts at token 1, consecutive
+    chunks advance by exactly the stride, the last chunk ends at the
+    doc's final token, and interior chunks are full-window — so the
+    chunks tile the document with the declared overlap and no gaps."""
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        _CHUNK_S,
+        _CHUNK_W,
+        _tokens,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+    from pyspark_for_ebook_classification_spark.sources.io import load
+    from pyspark.sql import functions as F
+
+    rows = get("text_chunk_sliding").fn(spark, sf_dir).collect()
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens()).alias("n"))
+        .filter(F.col("n") >= 1)
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    multi = 0
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = n_tokens[doc]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_idx"] * _CHUNK_S + 1
+            assert c["n_tok"] == min(_CHUNK_W, n - c["chunk_idx"] * _CHUNK_S)
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tok"] - 1 == n
+        if len(chunks) > 1:
+            multi += 1
+            # every chunk but possibly the last is full-window
+            assert all(c["n_tok"] == _CHUNK_W for c in chunks[:-1])
+    assert multi > 0, "fixture never exercised the multi-chunk path"
+
+
+def test_epoch_allocation_invariants(spark, sf_dir):
+    """Epoch-plan sanity: epochs bounded by the cap, served never exceeds
+    demand nor epochs×available, effective ≤ served with equality exactly
+    when nothing is repeated (epochs == 1 and served ≤ available)."""
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _EPOCH_MAX,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import get
+
+    rows = get("data_epoch_allocation").fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    repeated = 0
+    for r in rows:
+        assert 1 <= r["epochs"] <= _EPOCH_MAX
+        assert r["served_chars"] <= r["demand_chars"]
+        assert r["served_chars"] <= r["avail_chars"] * r["epochs"]
+        assert r["effective_chars"] <= r["served_chars"] + 0.05
+        if r["served_chars"] <= r["avail_chars"]:
+            assert abs(r["effective_chars"] - r["served_chars"]) < 0.05
+        else:
+            repeated += 1
+            assert r["effective_chars"] < r["served_chars"]
+    assert repeated > 0, "fixture never exercised the repetition path"

@@ -607,3 +607,24 @@ def test_embedding_hygiene_plan_shape(spark, sf_dir):
     assert rep["partial_agg"], rep["plan"]
     assert rep["cartesian"] == 0
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_chunker_is_map_side_only(spark, sf_dir):
+    """text_chunk_sliding: chunking is a pure map-side Generate over the
+    checkpointed arrays — zero exchanges, zero joins, zero Python."""
+    q = all_queries()["text_chunk_sliding"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_epoch_allocation_is_config_sized(spark, sf_dir):
+    """data_epoch_allocation: one partial-agg groupBy; window totals and
+    epoch arithmetic run over the ≤ n_sources aggregate — no joins, no
+    Python, nothing cartesian."""
+    q = all_queries()["data_epoch_allocation"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
