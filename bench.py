@@ -100,6 +100,7 @@ EXTRA = [
     "sim_embedding_hygiene_gate",
     "text_chunk_sliding",
     "data_epoch_allocation",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -1240,3 +1240,80 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_sha"),
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    survey_ref="L4,L6,A1,F3",
+    doc="Tokenizer fertility table: chars/bytes per word and per subword "
+    "piece, by language — the chars-to-tokens conversion planning input.",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   length(text) AS n_chars,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   length({_SQL_TOKENS}) AS n_words,
+                   list_sum(list_transform({_SQL_TOKENS},
+                        t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_pieces
+            FROM documents
+            WHERE length({_SQL_TOKENS}) >= 1
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+               round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words), 6)
+                   AS chars_per_word,
+               round(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_pieces), 6)
+                   AS bytes_per_piece,
+               round(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6)
+                   AS fertility
+        FROM per_doc
+        GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion table that turns char budgets into token budgets:
+    per language, total chars/bytes/words/subword pieces and the derived
+    rates — chars per word, bytes per piece, and FERTILITY (pieces per
+    word), the number multilingual tokenizer papers report to show which
+    languages pay more tokens for the same text. Feeds directly into
+    data_mixture_budget_plan / data_epoch_allocation, whose char budgets
+    divide by these rates to become token budgets.
+
+    All counters are exact integers (the ratios are the only doubles —
+    one division of identical BIGINTs per group, rounded per contract);
+    byte length uses the UTF-8 encoding on both engines. One map-side
+    projection + one lang-keyed partial aggregate; output is
+    language-domain-sized at any corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    tokens = _tokens()
+    per_doc = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+        F.size(tokens).alias("n_words"),
+        F.aggregate(
+            tokens,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ).alias("n_pieces"),
+    ).filter(F.col("n_words") >= 1)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_words"), 6
+        ).alias("chars_per_word"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_pieces"), 6
+        ).alias("bytes_per_piece"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )

@@ -628,3 +628,14 @@ def test_epoch_allocation_is_config_sized(spark, sf_dir):
     assert rep["partial_agg"], rep["plan"]
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_fertility_is_one_aggregate(spark, sf_dir):
+    """text_tokenizer_fertility: map-side per-doc counters, one lang-keyed
+    partial aggregate, no joins, no Python."""
+    q = all_queries()["text_tokenizer_fertility"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["shuffles"] <= 1, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
