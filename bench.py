@@ -101,6 +101,7 @@ EXTRA = [
     "text_chunk_sliding",
     "data_epoch_allocation",
     "text_tokenizer_fertility",
+    "window_rolling_corr",
 ]
 
 

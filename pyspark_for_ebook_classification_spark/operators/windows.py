@@ -1202,3 +1202,65 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        round(CAST(n3 AS DOUBLE)/nullif(n1, 0), 6)"
         ") AS (stage, n_users, conv_from_prev, conv_from_first)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation over a row frame — the quant/BI composite of the
+# frame-spec (W3) and decimal-exact moment (A7) idioms.
+
+_ROLLCORR_N = 15
+
+_ROLLCORR_SQL = f"""
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6)
+           END AS corr_qty_price
+    FROM (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) OVER w
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) OVER w
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) OVER w
+                    AS DOUBLE) AS syy,
+               COUNT(*) OVER w AS frame_n
+        FROM lineitem
+        WHERE l_suppkey % 20 = 0
+        WINDOW w AS (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN {_ROLLCORR_N - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    WHERE frame_n = {_ROLLCORR_N}
+"""
+
+
+@query(
+    "window_rolling_corr",
+    survey_ref="W3,A7,F3",
+    doc="Rolling 15-row Pearson correlation of quantity vs extendedprice "
+    "per supplier series — frame-spec moments, decimal-exact.",
+    oracle=_ROLLCORR_SQL,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling correlation the distributed way: six frame-spec moment
+    sums over ONE window pass (count, Σx, Σy, Σxy, Σx², Σy² — each
+    summand rounded to decimal(28,6) pre-sum so the frame accumulation
+    is order- and engine-exact), then the Pearson closed form with a
+    zero-variance guard (a constant-quantity frame yields NULL, not an
+    ANSI division error). Identical SQL text runs on both engines.
+
+    Scale notes: the partition key is l_suppkey — supplier count grows
+    with the corpus, so no partition is ever data-sized (the
+    with_global_rank lesson: never PARTITION BY a 3-value flag for a
+    data-sized window). Full frames only (frame_n = N) keeps the
+    statistic well-defined; the `l_suppkey % 20` sample bounds the
+    result set, and that predicate pushes into the parquet scan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_ROLLCORR_SQL)

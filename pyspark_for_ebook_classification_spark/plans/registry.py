@@ -89,10 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     # data_importance_resample, data_privacy_kl_audit,
     # text_novelty_curve, data_dp_noisy_counts,
     # sim_embedding_hygiene_gate, text_chunk_sliding,
-    # data_epoch_allocation, and text_tokenizer_fertility (added
-    # 51st–67th, slot-capped to r7) has a driver verdict (264
-    # oracle-backed total); they and the 6 rows-only entries get
-    # theirs in r7.
+    # data_epoch_allocation, text_tokenizer_fertility, and
+    # window_rolling_corr (added 51st–68th, slot-capped to r7) has a
+    # driver verdict (265 oracle-backed total); they and the 6
+    # rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -165,6 +165,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_sliding",
     "data_epoch_allocation",
     "text_tokenizer_fertility",
+    "window_rolling_corr",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

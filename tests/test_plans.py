@@ -639,3 +639,15 @@ def test_fertility_is_one_aggregate(spark, sf_dir):
     assert rep["shuffles"] <= 1, rep["plan"]
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_rolling_corr_single_window_pass(spark, sf_dir):
+    """window_rolling_corr: all six moment sums share ONE window frame —
+    one exchange+sort, no joins, no Python."""
+    q = all_queries()["window_rolling_corr"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 1, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
+    # a single Window node computes all six aggregates
+    assert rep["plan"].count("Window") <= 2, rep["plan"]
