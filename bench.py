@@ -102,6 +102,11 @@ EXTRA = [
     "data_epoch_allocation",
     "text_tokenizer_fertility",
     "window_rolling_corr",
+    "data_shard_token_balanced",
+    "window_peak_concurrency",
+    "agg_basket_affinity",
+    "window_event_transitions",
+    "text_term_burstiness",
 ]
 
 

@@ -73,6 +73,53 @@ def with_global_rank(
     )
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out: str = "global_cumsum",
+) -> DataFrame:
+    """Add ``out`` = inclusive prefix sum of ``value_col`` under the
+    TOTAL order ``order_cols`` (must end in a unique key) — the same
+    two-pass range-partition dance as :func:`with_global_rank`, with
+    per-partition SUMs in place of counts. The only unpartitioned
+    structure is the ~shuffle.partitions-row offsets table; every
+    data-sized stage is partitioned. ``value_col`` must be integral
+    (summed as BIGINT) so the prefix sum is order-exact.
+    """
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_gc_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin ONE boundary sample (see above)
+    )
+    totals = ranged.groupBy("_gc_pid").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("_gc_t")
+    )
+    prior = totals.select(
+        F.col("_gc_pid").alias("_gc_pid2"), F.col("_gc_t").alias("_gc_t2")
+    )
+    offsets = (
+        totals.join(prior, F.col("_gc_pid2") < F.col("_gc_pid"), "left")
+        .groupBy("_gc_pid")
+        .agg(F.coalesce(F.sum("_gc_t2"), F.lit(0)).cast("bigint").alias("_gc_off"))
+    )
+    w_in = (
+        Window.partitionBy("_gc_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "_gc_pid")
+        .withColumn(
+            out,
+            (F.sum(F.col(value_col).cast("bigint")).over(w_in) + F.col("_gc_off")).cast(
+                "bigint"
+            ),
+        )
+        .drop("_gc_pid", "_gc_off")
+    )
+
+
 def ntile_from_rank(rank: str, n_rows: str, n_tiles: int) -> Column:
     """Exact ntile(n) from a precomputed global rank + total row count.
 

@@ -863,3 +863,100 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_approx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity — pairwise co-occurrence with support/confidence/
+# lift, the association-rules classic over order baskets.
+
+_BASKET_ORACLE = """
+    WITH B AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), tot AS (
+        SELECT COUNT(DISTINCT ok) AS n_orders FROM B
+    ), cnt AS (
+        SELECT brand, COUNT(*) AS n FROM B GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM B a JOIN B b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_ab,
+           CAST(ca.n AS BIGINT) AS n_a,
+           CAST(cb.n AS BIGINT) AS n_b,
+           round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / ca.n, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * n_orders / (ca.n * cb.n), 6) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.brand = brand_a
+    JOIN cnt cb ON cb.brand = brand_b
+    CROSS JOIN tot
+"""
+
+
+@query(
+    "agg_basket_affinity",
+    survey_ref="A1,J1,J6,F3",
+    doc="Market-basket association rules: brand-pair co-occurrence over "
+    "order baskets with support, confidence, and lift.",
+    oracle=_BASKET_ORACLE,
+)
+def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules without the Apriori machinery: baskets are the
+    DISTINCT (order, brand) pairs, pair counts come from one basket
+    self-join on the order key (both sides share the exchange; baskets
+    are order-size-bounded so the expansion is ≤ |basket|² per order,
+    never data²), and the unconditioned brand marginals turn counts
+    into support / confidence(a→b) / lift. The item domain is brand —
+    25 values — so the result is domain²-bounded (≤300 rows) at ANY
+    corpus scale; swapping in a higher-cardinality item key only
+    changes the pair-count shuffle key, not the shape.
+
+    The only scalar (total basket count) joins in via a 1-row cross
+    join that Spark broadcasts; the lift double divides exact BIGINTs,
+    rounded per the determinism contract. Ratios are exact-integer
+    quotients so both engines agree bit-for-bit after round(…, 6)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = baskets.agg(F.countDistinct("ok").alias("n_orders"))
+    cnt = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("ok").alias("ok2"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ca = cnt.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

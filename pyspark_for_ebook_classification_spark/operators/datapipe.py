@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_for_ebook_classification_spark.functions.ranks import with_global_rank
+from pyspark_for_ebook_classification_spark.functions.ranks import (
+    with_global_cumsum,
+    with_global_rank,
+)
 from pyspark_for_ebook_classification_spark.functions.vectors import (
     spark_dot,
     sql_dot,
@@ -1273,4 +1276,80 @@ def data_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.pow(F.lit(_EPOCH_DECAY), full),
             1,
         ).alias("effective_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced output sharding — the write-side planning pass that turns
+# "one logical corpus" into N physical shards of ~equal token count.
+
+#: target tokens per output shard (tiny at test SF; at 100 TB you'd pick
+#: ~10^8 so the plan table stays ~10^4 rows for a 10^12-token corpus).
+_SHARD_BUDGET = 2500
+
+
+@query(
+    "data_shard_token_balanced",
+    survey_ref="L7,W3,O1",
+    doc="Token-budget contiguous sharding plan: docs assigned to output "
+    "shards of ~2500 tokens via a scalable global prefix sum; per-shard "
+    "doc/token/source stats and fill ratio.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(ceil(n_chars / 4.0) AS BIGINT) AS doc_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, source, doc_tokens,
+                   SUM(doc_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM toks
+        )
+        SELECT CAST((cum_tokens - doc_tokens) // {_SHARD_BUDGET} + 1 AS BIGINT)
+                   AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_tokens) AS BIGINT) AS shard_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS doc_id_min,
+               CAST(MAX(doc_id) AS BIGINT) AS doc_id_max,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               round(CAST(SUM(doc_tokens) AS DOUBLE) / {_SHARD_BUDGET}, 6)
+                   AS fill_ratio
+        FROM cum
+        GROUP BY shard_id
+    """,
+)
+def data_shard_token_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard plan for the corpus writer: a doc goes to the shard that
+    contains its FIRST token under perfect packing (shard_id =
+    tokens-before DIV budget + 1), so shards are contiguous in doc_id
+    order, every shard lands within one doc of the budget, and the
+    assignment is a pure function of the (deterministic) global prefix
+    sum — reruns and retried tasks produce identical shard manifests.
+
+    Scale: the prefix sum is functions/ranks.with_global_cumsum — the
+    two-pass range-partition dance, NOT an unpartitioned window, so no
+    stage ever holds more than a partition of the corpus; the token
+    estimate reads only (doc_id, source, n_chars) — the text column is
+    never scanned; the output is budget-bounded (corpus_tokens/budget
+    rows), not data-sized. The 4-chars-per-token estimate is the same
+    proxy text_token_count_subwords calibrates, and
+    text_tokenizer_fertility's per-language rates refine per-corpus."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("doc_tokens"),
+    )
+    cum = with_global_cumsum(d, ["doc_id"], "doc_tokens", "cum_tokens")
+    shard = F.expr(f"(cum_tokens - doc_tokens) DIV {_SHARD_BUDGET} + 1").cast("bigint")
+    return cum.groupBy(shard.alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("doc_id_min"),
+        F.max("doc_id").cast("bigint").alias("doc_id_max"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.round(
+            F.sum("doc_tokens").cast("double") / _SHARD_BUDGET, 6
+        ).alias("fill_ratio"),
     )

@@ -1317,3 +1317,76 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("double") / F.sum("n_words"), 6
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness — the index-of-dispersion statistic that separates
+# "bursty" content terms (clumped into few docs) from uniformly spread
+# function words; feeds stopword inference and keyword weighting.
+
+_BURSTINESS_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term
+        FROM documents
+    ), per_doc AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           round(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf,
+           round(CAST(COUNT(*) * SUM(tf * tf) - SUM(tf) * SUM(tf) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * SUM(tf))
+                 * COUNT(*), 6) AS burstiness
+    FROM per_doc
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+"""
+
+
+@query(
+    "text_term_burstiness",
+    survey_ref="L4,L6,A7",
+    doc="Per-term burstiness (variance-to-mean of in-doc frequency over "
+    "containing docs) — separates clumped content terms from uniform "
+    "function words.",
+    oracle=_BURSTINESS_ORACLE,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion per term: over the docs CONTAINING a term,
+    burstiness = Var(tf)/Mean(tf) (population variance). ≈1 means
+    Poisson-like scatter (function words); ≫1 means the term clumps
+    into few docs (content/topic words) — Church & Gale's burstiness,
+    the statistic behind data-driven stopword lists and BM25-style
+    saturation. Both moments come from exact BIGINT sums (Σtf, Σtf²),
+    composed as (n·Σtf² − (Σtf)²)/(n·Σtf) in ONE double expression with
+    the same operation order on both engines, rounded per contract.
+
+    Scale: explode → (term, doc) partial-count → term-keyed moment agg;
+    two token-keyed shuffles, output vocab-bounded (df ≥ 5 gate). The
+    per-doc tf table is the same shape text_tfidf_vocab shuffles, so at
+    100 TB the two share a cached/bucketed intermediate."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("tf")
+    s2 = F.sum(F.col("tf") * F.col("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            n.cast("bigint").alias("df"),
+            s1.cast("bigint").alias("total_tf"),
+            F.round(s1.cast("double") / n, 6).alias("mean_tf"),
+            F.round(
+                (n * s2 - s1 * s1).cast("double")
+                / (n.cast("double") * n * s1)
+                * n,
+                6,
+            ).alias("burstiness"),
+        )
+        .filter(F.col("df") >= 5)
+    )

@@ -1264,3 +1264,134 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     result set, and that predicate pushes into the parquet scan."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_ROLLCORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency via boundary sweep — the "max concurrent sessions"
+# classic, done as pure relational algebra (no self-join on overlap).
+
+_PEAK_ORACLE = """
+    WITH iv AS (
+        SELECT date_trunc('day', ts) AS day, ts AS t0,
+               ts + INTERVAL (CAST(floor(value) AS INT)) MINUTE AS t1
+        FROM events
+    ), b AS (
+        SELECT day, t0 AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT day, t1 AS t, -1 AS delta FROM iv
+    ), run AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c
+        FROM b
+    )
+    SELECT day,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(c) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY day
+"""
+
+
+@query(
+    "window_peak_concurrency",
+    survey_ref="W3,U1,A1",
+    doc="Peak concurrent intervals per day via a +1/-1 boundary sweep — "
+    "no overlap self-join; each event holds floor(value) whole minutes.",
+    oracle=_PEAK_ORACLE,
+)
+def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrency the sweep-line way: every interval contributes a
+    +1 boundary at its start and a -1 at its end, a per-day running sum
+    walks the boundaries in time order, and the day's max is the peak.
+    O(n log n) against the O(n²) overlap self-join a naive formulation
+    would shuffle. Tie rule: equal timestamps order -1 before +1 (delta
+    ascending), so back-to-back intervals never double-count; the
+    default peer-inclusive RANGE frame makes each row's running value
+    the post-tie-group count — deterministic on both engines regardless
+    of physical row order within a tie. Intervals belong to their START
+    day (the standard daily-report convention; the few that drain past
+    midnight still sum to zero inside their partition).
+
+    Portability note: the duration is floor(value) — an EXPLICIT floor,
+    because CAST(double AS INT) truncates in Spark but banker-rounds in
+    DuckDB (6.55 → 6 vs 7); any double→int conversion in an oracle-
+    checked query must spell out floor/round/trunc.
+
+    Scale: partitioned by day — the calendar bounds partition count and
+    daily volume bounds partition size; finer grains (hour) need the
+    two-pass offset-carry dance of functions/ranks.with_global_cumsum
+    run per day, which is the documented upgrade path."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("ts").alias("t0"),
+        F.expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").alias("t1"),
+    )
+    b = ev.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(ev.select("day", F.col("t1").alias("t"), F.lit(-1).alias("delta")))
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    run = b.withColumn("c", F.sum("delta").over(w))
+    return run.groupBy("day").agg(
+        F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_intervals"),
+        F.max("c").cast("bigint").alias("peak_concurrent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type AS etype_from,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS etype_to
+        FROM events
+    ), pairs AS (
+        SELECT etype_from, etype_to, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE etype_to IS NOT NULL
+        GROUP BY etype_from, etype_to
+    )
+    SELECT etype_from, etype_to, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY etype_from), 6)
+               AS p_next
+    FROM pairs
+"""
+
+
+@query(
+    "window_event_transitions",
+    survey_ref="W2,A1",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: counts and conditional next-event probabilities.",
+    oracle=_TRANSITIONS_ORACLE,
+)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: each user's events in (ts, event_id) order
+    yield (current → next) bigrams via lead(); grouping the bigrams and
+    normalizing within each source state gives the Markov transition
+    matrix P(next | current) — the session-model / anomaly-baseline
+    input. The lead window is user-partitioned (scalable — no global
+    order), the bigram aggregate partial-combines map-side, and the
+    normalizing window runs over the domain²-bounded transition table
+    (|event_type|² rows), never the data. The order key ends in the
+    unique event_id so ties are deterministic; p_next is an exact-
+    BIGINT quotient rounded per the determinism contract."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("etype_from"),
+        F.lead("event_type").over(w).alias("etype_to"),
+    ).filter(F.col("etype_to").isNotNull())
+    pairs = seq.groupBy("etype_from", "etype_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wnorm = Window.partitionBy("etype_from")
+    return pairs.select(
+        "etype_from",
+        "etype_to",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias(
+            "p_next"
+        ),
+    )

@@ -89,10 +89,13 @@ _PRIORITY: tuple[str, ...] = (
     # data_importance_resample, data_privacy_kl_audit,
     # text_novelty_curve, data_dp_noisy_counts,
     # sim_embedding_hygiene_gate, text_chunk_sliding,
-    # data_epoch_allocation, text_tokenizer_fertility, and
-    # window_rolling_corr (added 51st–68th, slot-capped to r7) has a
-    # driver verdict (265 oracle-backed total); they and the 6
-    # rows-only entries get theirs in r7.
+    # data_epoch_allocation, text_tokenizer_fertility,
+    # window_rolling_corr, data_shard_token_balanced,
+    # window_peak_concurrency, agg_basket_affinity,
+    # window_event_transitions, and text_term_burstiness (added
+    # 51st–73rd, slot-capped to r7) has a driver verdict (270
+    # oracle-backed total); they and the 6 rows-only entries get
+    # theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -166,6 +169,11 @@ _PRIORITY: tuple[str, ...] = (
     "data_epoch_allocation",
     "text_tokenizer_fertility",
     "window_rolling_corr",
+    "data_shard_token_balanced",
+    "window_peak_concurrency",
+    "agg_basket_affinity",
+    "window_event_transitions",
+    "text_term_burstiness",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -651,3 +651,67 @@ def test_rolling_corr_single_window_pass(spark, sf_dir):
     assert rep["python_workers"] == 0, rep["plan"]
     # a single Window node computes all six aggregates
     assert rep["plan"].count("Window") <= 2, rep["plan"]
+
+
+def test_shard_plan_uses_checkpointed_cumsum(spark, sf_dir):
+    """data_shard_token_balanced: the global prefix sum is the two-pass
+    range-partition dance with ONE pinned materialization — no residual
+    range exchange in the executed plan (same invariant as
+    with_global_rank), no unpartitioned data-sized window, no Python."""
+    q = all_queries()["data_shard_token_balanced"]
+    df = q.fn(spark, sf_dir)
+    rep = audit(df)
+    assert "rangepartitioning" not in rep["plan"].lower(), rep["plan"]
+    assert rep["cartesian"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
+    final = executed_plan_string(q.fn(spark, sf_dir))
+    assert final.count("Scan ExistingRDD") >= 2, final
+
+
+def test_peak_concurrency_one_day_exchange(spark, sf_dir):
+    """window_peak_concurrency: the boundary union, the sweep window and
+    the per-day max all share the day partitioning — at most two
+    exchanges, one Window node, no joins at all."""
+    q = all_queries()["window_peak_concurrency"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 2, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["broadcast_joins"] == 0 and rep["sortmerge_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_basket_affinity_broadcasts_marginals(spark, sf_dir):
+    """agg_basket_affinity: both marginal tables and the 1-row total join
+    in via broadcast (the pair table never re-shuffles for them); the
+    basket self-join is the only data-sized join and it is keyed on the
+    order key — never a cartesian."""
+    q = all_queries()["agg_basket_affinity"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 3, rep["plan"]
+    assert rep["cartesian"] == 0, rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_event_transitions_partitioned_windows(spark, sf_dir):
+    """window_event_transitions: the lead() window is user-partitioned and
+    the normalizing window runs over the domain²-bounded pair table —
+    nothing unpartitioned+data-sized; the bigram aggregate combines
+    map-side."""
+    q = all_queries()["window_event_transitions"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 3, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_burstiness_two_token_shuffles(spark, sf_dir):
+    """text_term_burstiness: explode → (term,doc) partial-count → term
+    moment agg; both aggregates partial-combine and only token-keyed
+    exchanges appear."""
+    q = all_queries()["text_term_burstiness"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 2, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
