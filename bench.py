@@ -107,6 +107,8 @@ EXTRA = [
     "agg_basket_affinity",
     "window_event_transitions",
     "text_term_burstiness",
+    "agg_gini_revenue",
+    "sim_centroid_shift_drift",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark_for_ebook_classification_spark.functions.numeric import (
     sql_davg,
     sql_dsum,
 )
+from pyspark_for_ebook_classification_spark.functions.ranks import with_global_rank
 from pyspark_for_ebook_classification_spark.plans.registry import query
 from pyspark_for_ebook_classification_spark.sources.io import load
 
@@ -959,4 +960,70 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration — the inequality scalar behind "top-1% of customers"
+# dashboards, computed exactly from the rank-weighted closed form.
+
+_GINI_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(18,6))
+                   AS rev
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           round((2 * CAST(SUM(CAST(i AS DECIMAL(10,0)) * rev) AS DOUBLE)
+                  - (COUNT(*) + 1) * CAST(SUM(rev) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(rev) AS DOUBLE)), 6) AS gini
+    FROM ranked
+"""
+
+
+@query(
+    "agg_gini_revenue",
+    survey_ref="A7,W1,F3",
+    doc="Gini coefficient of per-customer revenue via the rank-weighted "
+    "closed form — exact decimal moments, scalable global rank.",
+    oracle=_GINI_ORACLE,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as one exact scalar: with per-customer
+    revenues x_(1) ≤ … ≤ x_(n) (ascending, custkey tiebreak), Gini =
+    (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx). Both moments are exact decimals —
+    per-customer revenue accumulates in DECIMAL(28,6) (narrowed to
+    (18,6) so the rank product stays inside 38 digits on both engines),
+    the rank weight multiplies as DECIMAL(10,0) — so the only doubles
+    are two correctly-rounded casts composed in the same IEEE order in
+    both engines, rounded per contract.
+
+    Scale: the ascending rank comes from functions/ranks.with_global_rank
+    (two-pass range partition — no single-task global window); everything
+    else is one partial-combined aggregate. The oracle's plain
+    row_number() window is the deliberate contrast: correct in DuckDB,
+    a one-task bottleneck on a cluster."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(18,6)")
+        .alias("rev")
+    )
+    ranked = with_global_rank(per_cust, [F.col("rev"), F.col("o_custkey")], out="i")
+    n = F.count(F.lit(1))
+    s = F.sum("rev")
+    sw = F.sum(F.col("i").cast("decimal(10,0)") * F.col("rev"))
+    return ranked.agg(
+        n.cast("bigint").alias("n_customers"),
+        s.cast("double").alias("total_revenue"),
+        F.round(
+            (F.lit(2) * sw.cast("double") - (n + F.lit(1)) * s.cast("double"))
+            / (n * s.cast("double")),
+            6,
+        ).alias("gini"),
     )

@@ -2129,3 +2129,109 @@ def sim_embedding_hygiene_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(norm_bad, "norm").otherwise("peak").alias("reason"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor — per-label centroid shift between two corpus
+# snapshots (the "did my embedding distribution move?" production check).
+
+_DRIFT_ORACLE = """
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS half, u.i AS pos,
+               CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ), cent AS (
+        SELECT label, half, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v) AS c,
+               COUNT(v) AS nv
+        FROM ex GROUP BY label, half, pos
+    ), paired AS (
+        SELECT a.label, a.pos, a.c AS ca, b.c AS cb, a.nv AS n_a, b.nv AS n_b
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           round(CAST(SUM(CAST(ca * cb AS DECIMAL(28,6))) AS DOUBLE)
+                 / (sqrt(CAST(SUM(CAST(ca * ca AS DECIMAL(28,6))) AS DOUBLE))
+                    * sqrt(CAST(SUM(CAST(cb * cb AS DECIMAL(28,6))) AS DOUBLE))),
+                 6) AS centroid_cosine,
+           round(sqrt(CAST(SUM(CAST((ca - cb) * (ca - cb) AS DECIMAL(28,6)))
+                      AS DOUBLE)), 6) AS l2_shift
+    FROM paired
+    GROUP BY label
+"""
+
+
+@query(
+    "sim_centroid_shift_drift",
+    survey_ref="L3,F4,A1",
+    doc="Per-label embedding drift between two snapshot halves: centroid "
+    "cosine similarity and L2 shift — the distribution-drift monitor.",
+    oracle=_DRIFT_ORACLE,
+)
+def sim_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection for embedding pipelines: split the corpus into two
+    snapshots (vec_id parity stands in for crawl t vs t+1), mean-pool a
+    per-label centroid in each, and report how far each label's centroid
+    moved — cosine similarity (≈1 means stable) and absolute L2 shift.
+    A centroid cosine dropping across crawls is the standard early
+    warning that an encoder change or corpus shift broke comparability
+    (and that ANN cells/PQ codebooks need retraining).
+
+    Determinism: per-dim means are exact decimal sums over identical
+    parquet bytes; the three quadratic moments decimal-accumulate their
+    rounded products (the dsum pattern) so no double sum is order-
+    dependent; sqrt is IEEE-exact on both engines; final round(…,6).
+
+    Scale: posexplode → (label, half, pos)-keyed partial agg — one
+    shuffle of dims×labels×2 rows; the centroid pair join and the final
+    per-label agg run over label-domain-sized tables. No vector ever
+    reaches the driver."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "fv"),
+    ).withColumn("v", F.col("fv").cast("double"))
+    cent = ex.groupBy("label", "half", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("v")).alias(
+            "c"
+        ),
+        F.count("v").alias("nv"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca"), F.col("nv").alias("n_a")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+        F.col("nv").alias("n_b"),
+    )
+    paired = a.join(
+        b, (a.label == b.label_b) & (a.pos == b.pos_b)
+    ).select("label", "pos", "ca", "cb", "n_a", "n_b")
+
+    def _dacc(col):
+        return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+    dot = _dacc(F.col("ca") * F.col("cb"))
+    na2 = _dacc(F.col("ca") * F.col("ca"))
+    nb2 = _dacc(F.col("cb") * F.col("cb"))
+    d2 = _dacc((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+    return paired.groupBy("label").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.round(dot / (F.sqrt(na2) * F.sqrt(nb2)), 6).alias("centroid_cosine"),
+        F.round(F.sqrt(d2), 6).alias("l2_shift"),
+    ).select(
+        F.col("label").cast("int").alias("label"),
+        "n_a",
+        "n_b",
+        "centroid_cosine",
+        "l2_shift",
+    )

@@ -715,3 +715,26 @@ def test_burstiness_two_token_shuffles(spark, sf_dir):
     assert rep["partial_agg"], rep["plan"]
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_gini_uses_scalable_rank(spark, sf_dir):
+    """agg_gini_revenue: the ascending rank is the checkpointed two-pass
+    with_global_rank — no residual range exchange, no unpartitioned
+    data-sized window, no Python; the final reduce is one aggregate."""
+    q = all_queries()["agg_gini_revenue"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert "rangepartitioning" not in rep["plan"].lower(), rep["plan"]
+    assert rep["cartesian"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_centroid_drift_domain_bounded_join(spark, sf_dir):
+    """sim_centroid_shift_drift: the only data-sized stage is the
+    posexplode partial agg; the half-pair join and final agg run over
+    labels×dims tables. Partial aggregation must be on, and nothing
+    cartesian/Python appears."""
+    q = all_queries()["sim_centroid_shift_drift"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["python_workers"] == 0, rep["plan"]
