@@ -109,6 +109,7 @@ EXTRA = [
     "text_term_burstiness",
     "agg_gini_revenue",
     "sim_centroid_shift_drift",
+    "graph_jaccard_link_prediction",
 ]
 
 

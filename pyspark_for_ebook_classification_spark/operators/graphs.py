@@ -156,6 +156,50 @@ def _ship_sequence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ship_sequence_pairs(spark, sf_dir).distinct()
 
 
+def _sparse_strongtie_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 strong-tie undirected backbone of the co-ship graph — the
+    kNN sparsification both graph_triangle_count (which documents the
+    scale rationale) and graph_jaccard_link_prediction enumerate over.
+    Edge weight = co-ship multiplicity; (w DESC, other) is a total,
+    deterministic pick order; each undirected edge is stored once as
+    (a < b)."""
+    seq = _ship_sequence_pairs(spark, sf_dir)
+    wp = (
+        seq.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # one explode, not unionAll-of-two-selects: the weighted-pair agg
+    # runs once, and each pair fans into its two directed halves map-side
+    both = wp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+            )
+        ).alias("e"),
+        "w",
+    ).select("e.node", "e.other", "w")
+    w_rank = Window.partitionBy("node").orderBy(F.desc("w"), "other")
+    picks = (
+        both.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 8)
+        .select("node", "other")
+    )
+    # the sparse edge list (<= 8n rows) feeds every consumer — checkpoint
+    # it so the window/groupBy pipeline above runs exactly once
+    return (
+        picks.select(
+            F.least("node", "other").alias("a"),
+            F.greatest("node", "other").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 #: shared CTE chain: undirected edge set -> degrees -> degree-oriented
 #: edges (each undirected edge stored once, pointing from the endpoint
 #: that is smaller under the (degree, id) total order).
@@ -259,42 +303,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
        against the oriented edge set.
 
     All stages are partial-agg / shuffle-hash shapes; no cartesian."""
-    seq = _ship_sequence_pairs(spark, sf_dir)
-    wp = (
-        seq.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    # one explode, not unionAll-of-two-selects: the weighted-pair agg
-    # runs once, and each pair fans into its two directed halves map-side
-    both = wp.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
-                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
-            )
-        ).alias("e"),
-        "w",
-    ).select("e.node", "e.other", "w")
-    w_rank = Window.partitionBy("node").orderBy(F.desc("w"), "other")
-    picks = (
-        both.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 8)
-        .select("node", "other")
-    )
-    # the sparse edge list (<= 8n rows) feeds degree, orientation and the
-    # closing join — checkpoint it so the window/groupBy pipeline above
-    # runs exactly once instead of once per consumer
-    und = (
-        picks.select(
-            F.least("node", "other").alias("a"),
-            F.greatest("node", "other").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _sparse_strongtie_und(spark, sf_dir)
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -459,3 +468,101 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k % 3 == 2:
             c = c.localCheckpoint(eager=True)
     return c.select("node", F.col("c").alias("coreness"))
+
+
+# ------------------------------------------- Jaccard link prediction
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    survey_ref="L2,J8,A1",
+    doc="Common-neighbor / Jaccard link prediction over the strong-tie "
+    "backbone: score non-adjacent pairs by shared-neighbor overlap.",
+    oracle=f"""
+        WITH {_TRI_CTES},
+        adj AS (
+            SELECT a AS w, b AS n FROM und
+            UNION ALL
+            SELECT b AS w, a AS n FROM und
+        ),
+        cand AS (
+            SELECT x.n AS u, y.n AS v, COUNT(*) AS cn
+            FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+            GROUP BY x.n, y.n
+        ),
+        newpairs AS (
+            SELECT c.u, c.v, c.cn
+            FROM cand c
+            LEFT JOIN und e ON e.a = c.u AND e.b = c.v
+            WHERE e.a IS NULL
+        )
+        SELECT u, v,
+               CAST(cn AS BIGINT) AS common_neighbors,
+               CAST(du.d AS BIGINT) AS deg_u,
+               CAST(dv.d AS BIGINT) AS deg_v,
+               round(CAST(cn AS DOUBLE) / (du.d + dv.d - cn), 6) AS jaccard
+        FROM newpairs
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+        WHERE cn >= 2
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: candidate pairs are the
+    wedge endpoints (two nodes sharing a middle neighbor), their
+    common-neighbor count falls out of the wedge GROUP BY, existing
+    edges anti-join away, and Jaccard = cn / (deg_u + deg_v − cn) —
+    the inclusion–exclusion denominator — scores what remains. cn ≥ 2
+    gates the declared output to genuinely supported predictions.
+
+    Scale: runs on the SAME top-8 strong-tie backbone as
+    graph_triangle_count (shared _sparse_strongtie_und, one
+    checkpointed ≤8n-edge list), so per-node degree is capped and the
+    wedge self-join fans out at most C(2·cap, 2) pairs per middle node
+    — linear in nodes, skew-proof by construction, never data². The
+    Jaccard double is one exact-BIGINT quotient, rounded per contract."""
+    und = _sparse_strongtie_und(spark, sf_dir)
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("w"), F.col("b").alias("n")),
+                F.struct(F.col("b").alias("w"), F.col("a").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.w", "e.n")
+    x = adj.select("w", F.col("n").alias("u"))
+    y = adj.select(F.col("w").alias("w2"), F.col("n").alias("v"))
+    cand = (
+        x.join(y, (x.w == y.w2) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    newpairs = cand.join(
+        und,
+        (cand.u == und.a) & (cand.v == und.b),
+        "left_anti",
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        newpairs.join(du, "u")
+        .join(dv, "v")
+        .filter(F.col("cn") >= 2)
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.col("deg_u").cast("bigint").alias("deg_u"),
+            F.col("deg_v").cast("bigint").alias("deg_v"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -93,9 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     # window_rolling_corr, data_shard_token_balanced,
     # window_peak_concurrency, agg_basket_affinity,
     # window_event_transitions, text_term_burstiness,
-    # agg_gini_revenue, and sim_centroid_shift_drift (added 51st–75th,
-    # slot-capped to r7) has a driver verdict (272 oracle-backed
-    # total); they and the 6 rows-only entries get theirs in r7.
+    # agg_gini_revenue, sim_centroid_shift_drift, and
+    # graph_jaccard_link_prediction (added 51st–76th, slot-capped to
+    # r7) has a driver verdict (273 oracle-backed total); they and the
+    # 6 rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -176,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_term_burstiness",
     "agg_gini_revenue",
     "sim_centroid_shift_drift",
+    "graph_jaccard_link_prediction",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

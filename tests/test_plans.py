@@ -738,3 +738,17 @@ def test_centroid_drift_domain_bounded_join(spark, sf_dir):
     assert rep["partial_agg"], rep["plan"]
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_link_prediction_bounded_wedges(spark, sf_dir):
+    """graph_jaccard_link_prediction: candidates come from the shared
+    checkpointed strong-tie backbone (one Scan ExistingRDD feeding the
+    wedge join, the anti-join, and both degree joins) — no cartesian,
+    no Python, partial aggregation on the wedge GROUP BY."""
+    q = all_queries()["graph_jaccard_link_prediction"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    final = executed_plan_string(q.fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in final, final
