@@ -110,6 +110,8 @@ EXTRA = [
     "agg_gini_revenue",
     "sim_centroid_shift_drift",
     "graph_jaccard_link_prediction",
+    "window_cusum_alarm",
+    "data_packing_efficiency_report",
 ]
 
 

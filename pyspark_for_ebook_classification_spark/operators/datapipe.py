@@ -1353,3 +1353,120 @@ def data_shard_token_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_tokens").cast("double") / _SHARD_BUDGET, 6
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-length planning: padding/truncation waste per candidate ctx size.
+
+_CTX_SIZES = (512, 1024, 2048, 4096)
+
+
+@query(
+    "data_packing_efficiency_report",
+    survey_ref="L7,F4,A1",
+    doc="Padding/truncation waste per candidate context length (512–4096): "
+    "the choose-your-ctx planning table for sequence packing.",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id,
+                   CAST(length(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), grid AS (
+            SELECT n_tokens, unnest([{", ".join(str(c) for c in _CTX_SIZES)}]) AS ctx
+            FROM sized
+        )
+        SELECT CAST(ctx AS BIGINT) AS ctx,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE n_tokens > ctx) AS BIGINT)
+                   AS oversize_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN n_tokens > ctx THEN n_tokens - ctx
+                        ELSE 0 END) AS BIGINT) AS tokens_truncated,
+               CAST(SUM(CASE WHEN n_tokens > ctx THEN 0
+                        ELSE ctx - n_tokens END) AS BIGINT) AS pad_waste_doc_per_seq,
+               CAST((SUM(CASE WHEN n_tokens > ctx THEN ctx ELSE n_tokens END)
+                     + ctx - 1) // ctx AS BIGINT) AS packed_seqs,
+               round(CAST(SUM(CASE WHEN n_tokens > ctx THEN ctx
+                            ELSE n_tokens END) AS DOUBLE)
+                     / (COUNT(*) * ctx), 6) AS doc_per_seq_utilization
+        FROM grid
+        GROUP BY ctx
+    """,
+)
+def data_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table a training team reads before fixing the context length:
+    for each candidate ctx, how many docs overflow (truncation loss in
+    tokens), how much padding the naive one-doc-per-sequence policy
+    wastes, the sequence count a greedy packer needs (⌈kept/ctx⌉), and
+    one-doc-per-sequence utilization. Everything is exact integers but
+    the final utilization ratio.
+
+    Plan shape (the Generate-recompute dodge): docs collapse FIRST into
+    a token-length histogram — one partial-combined groupBy over a
+    domain-bounded key (documents cluster into at most a few thousand
+    distinct lengths at any corpus size) — and only that tiny table
+    fans out ×|grid|. The tokenization expression therefore runs once
+    per doc, never once per (doc, ctx) output row (the hazard where a
+    projection beside an explode re-evaluates per generated row), and
+    the exploded stage is histogram-sized, not corpus-sized. All later
+    sums weight by the histogram count.
+
+    Pairs with data_pack_sequences (the packer this plans for) and
+    data_shard_token_balanced (the writer downstream)."""
+    d = load(spark, sf_dir, "documents")
+    hist = (
+        d.select(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = hist.select(
+        "n_tokens",
+        "n",
+        F.explode(F.array(*[F.lit(c) for c in _CTX_SIZES])).alias("ctx"),
+    )
+    over = F.col("n_tokens") > F.col("ctx")
+    kept = F.when(over, F.col("ctx")).otherwise(F.col("n_tokens"))
+    return grid.groupBy("ctx").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(over, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("oversize_docs"),
+        F.sum(F.col("n") * F.col("n_tokens")).cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(over, F.col("n") * (F.col("n_tokens") - F.col("ctx"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("tokens_truncated"),
+        F.sum(
+            F.when(over, F.lit(0)).otherwise(
+                F.col("n") * (F.col("ctx") - F.col("n_tokens"))
+            )
+        )
+        .cast("bigint")
+        .alias("pad_waste_doc_per_seq"),
+        F.expr(
+            "CAST((sum(n * (CASE WHEN n_tokens > ctx THEN ctx ELSE n_tokens END))"
+            " + ctx - 1) DIV ctx AS BIGINT)"
+        ).alias("packed_seqs"),
+        F.round(
+            F.sum(F.col("n") * kept).cast("double")
+            / (F.sum("n") * F.col("ctx")),
+            6,
+        ).alias("doc_per_seq_utilization"),
+    ).select(
+        F.col("ctx").cast("bigint").alias("ctx"),
+        "n_docs",
+        "oversize_docs",
+        "total_tokens",
+        "tokens_truncated",
+        "pad_waste_doc_per_seq",
+        "packed_seqs",
+        "doc_per_seq_utilization",
+    )

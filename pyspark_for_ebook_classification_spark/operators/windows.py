@@ -1395,3 +1395,113 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection — recursive on paper, pure window algebra
+# via the prefix-sum identity.
+
+_CUSUM_T = 450  # alarm when cusum exceeds T·n_days (avg excess of T units)
+
+_CUSUM_ORACLE = f"""
+    WITH daily AS (
+        SELECT l_suppkey AS sk, date_trunc('day', l_shipdate) AS day,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY l_suppkey, date_trunc('day', l_shipdate)
+    ), tot AS (
+        SELECT sk, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(q) AS BIGINT) AS total_q
+        FROM daily GROUP BY sk
+    ), d AS (
+        SELECT daily.sk, day, n_days, total_q, n_days * q - total_q AS dev
+        FROM daily JOIN tot ON tot.sk = daily.sk
+    ), p AS (
+        SELECT sk, day, n_days, total_q,
+               SUM(dev) OVER (PARTITION BY sk ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        FROM d
+    ), c AS (
+        SELECT sk, day, n_days, total_q,
+               pf - LEAST(MIN(pf) OVER (PARTITION BY sk ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                   AS cusum
+        FROM p
+    )
+    SELECT sk AS l_suppkey, CAST(n_days AS BIGINT) AS n_days,
+           CAST(total_q AS BIGINT) AS total_q,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(COUNT(*) FILTER (WHERE cusum > {_CUSUM_T} * n_days)
+                AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN cusum > {_CUSUM_T} * n_days THEN day END)
+               AS first_alarm_day
+    FROM c
+    GROUP BY sk, n_days, total_q
+"""
+
+
+@query(
+    "window_cusum_alarm",
+    survey_ref="W3,A1,F3",
+    doc="CUSUM changepoint detector per supplier daily-quantity series — "
+    "the recursive statistic computed as prefix-sum minus running-min, "
+    "exact integer arithmetic throughout.",
+    oracle=_CUSUM_ORACLE,
+)
+def window_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper CUSUM over each supplier's daily shipped quantity: the
+    textbook statistic s_t = max(0, s_{t-1} + (x_t − k)) looks
+    recursive (and un-SQL-able), but with P_t the prefix sum of
+    deviations and P_0 = 0 it equals P_t − min_{i≤t} P_i — one running
+    sum window and one running min window, both partitioned by series.
+    The reference level k is the series' own mean; to keep everything
+    in BIGINTs the deviation is scaled by n_days (dev = n_days·x_t −
+    total), so cusum is n_days× the unscaled statistic and the alarm
+    rule cusum > T·n_days means "average excess of T units since the
+    change" — zero divisions, zero doubles, bit-identical on both
+    engines. Declared output is the per-series summary (max statistic,
+    alarm-day count, first alarm date).
+
+    Scale: daily pre-aggregation collapses fact rows before any window;
+    both windows and the final agg share the supplier partitioning
+    (series-keyed — cardinality grows with data, never a constant-key
+    window); threshold math is a map-side expression."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("sk"),
+        F.date_trunc("day", "l_shipdate").alias("day"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    # per-series totals as FULL-FRAME windows over the same sk
+    # partitioning the running windows need — one exchange serves the
+    # totals, both running windows, and (via partitioning reuse) the
+    # final aggregate; a groupBy+join formulation would scan and
+    # aggregate the dailies twice
+    wall = Window.partitionBy("sk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = daily.select(
+        "sk",
+        "day",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_days"),
+        F.sum("q").over(wall).cast("bigint").alias("total_q"),
+        "q",
+    ).withColumn("dev", F.col("n_days") * F.col("q") - F.col("total_q"))
+    wrun = (
+        Window.partitionBy("sk")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = d.withColumn("pf", F.sum("dev").over(wrun))
+    c = p.withColumn(
+        "cusum", F.col("pf") - F.least(F.min("pf").over(wrun), F.lit(0))
+    )
+    alarm = F.col("cusum") > _CUSUM_T * F.col("n_days")
+    # group by sk alone (n_days/total_q are functionally dependent —
+    # max() recovers them) so the final aggregate reuses the window's
+    # hashpartitioning(sk) instead of re-exchanging on a 3-column key
+    return c.groupBy(F.col("sk").alias("l_suppkey")).agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.max("total_q").cast("bigint").alias("total_q"),
+        F.max("cusum").cast("bigint").alias("max_cusum"),
+        F.count_if(alarm).cast("bigint").alias("n_alarm_days"),
+        F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
+    )

@@ -93,9 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     # window_rolling_corr, data_shard_token_balanced,
     # window_peak_concurrency, agg_basket_affinity,
     # window_event_transitions, text_term_burstiness,
-    # agg_gini_revenue, sim_centroid_shift_drift, and
-    # graph_jaccard_link_prediction (added 51st–76th, slot-capped to
-    # r7) has a driver verdict (273 oracle-backed total); they and the
+    # agg_gini_revenue, sim_centroid_shift_drift,
+    # graph_jaccard_link_prediction, window_cusum_alarm, and
+    # data_packing_efficiency_report (added 51st–78th, slot-capped to
+    # r7) has a driver verdict (275 oracle-backed total); they and the
     # 6 rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
@@ -178,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_gini_revenue",
     "sim_centroid_shift_drift",
     "graph_jaccard_link_prediction",
+    "window_cusum_alarm",
+    "data_packing_efficiency_report",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

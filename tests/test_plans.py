@@ -752,3 +752,35 @@ def test_link_prediction_bounded_wedges(spark, sf_dir):
     assert rep["python_workers"] == 0, rep["plan"]
     final = executed_plan_string(q.fn(spark, sf_dir))
     assert "Scan ExistingRDD" in final, final
+
+
+def test_cusum_series_partitioned_windows(spark, sf_dir):
+    """window_cusum_alarm: daily pre-agg collapses facts before any
+    window; both running windows and the final agg share the supplier
+    partitioning — bounded shuffles, no joins wider than the broadcastable
+    totals join, no Python."""
+    q = all_queries()["window_cusum_alarm"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["shuffles"] <= 3, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_packing_report_explodes_histogram_not_corpus(spark, sf_dir):
+    """data_packing_efficiency_report: the Generate must sit ABOVE the
+    token-length histogram aggregate (docs collapse first; only the
+    domain-bounded histogram fans out ×|grid|) — structurally immune to
+    the projection-beside-explode recompute hazard."""
+    q = all_queries()["data_packing_efficiency_report"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    import re
+
+    # in the top-down tree, the Generate's immediate child must be the
+    # histogram HashAggregate (docs collapsed BEFORE the ctx fan-out)
+    assert re.search(
+        r"Generate(?: explode)?[^\n]*\n\s*\+- (\*\(\d+\) )?HashAggregate",
+        rep["plan"],
+    ), rep["plan"]
