@@ -946,3 +946,62 @@ def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
         )
     )
+
+
+#: TPC-H-Q4-shaped SQL (order priority checking). "Late" = any line
+#: shipped more than 30 days after the order date (the driver schema
+#: carries no commit/receipt dates — same adaptation as Q21's lateness).
+_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_order_priority_q4", survey_ref="J3,A1,F2,§3-EP3", oracle=_Q4_SQL)
+def sql_order_priority_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact table with a correlated
+    date comparison. Catalyst decorrelates to a left-semi hash join on
+    orderkey (the date predicate rides along as a join condition), so the
+    quarter's orders probe one shuffled build of late lines — no per-row
+    subquery. The quarter filter pushes into the orders scan."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+#: TPC-H-Q10-shaped SQL (returned item reporting): top 20 customers by
+#: revenue lost to returns in a quarter.
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name, c_mktsegment
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_returned_items_q10", survey_ref="J1,J4,A1,O3,§3-EP3", oracle=_Q10_SQL)
+def sql_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact (orders⋈lineitem) with two broadcast
+    dims, a selective flag + date-window filter pushed to both fact
+    scans, decimal-exact revenue, and a global top-20 planned as
+    TakeOrderedAndProject (custkey tiebreak keeps the cut
+    deterministic). The returns-audit classic."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)

@@ -784,3 +784,11 @@ def test_packing_report_explodes_histogram_not_corpus(spark, sf_dir):
         r"Generate(?: explode)?[^\n]*\n\s*\+- (\*\(\d+\) )?HashAggregate",
         rep["plan"],
     ), rep["plan"]
+
+
+def test_q10_top20_take_ordered(spark, sf_dir):
+    """sql_returned_items_q10: the global top-20 plans as
+    TakeOrderedAndProject, never a full global sort."""
+    q = all_queries()["sql_returned_items_q10"]
+    plan = audit(q.fn(spark, sf_dir))["plan"]
+    assert "TakeOrderedAndProject" in plan, plan
