@@ -1,0 +1,208 @@
+"""Semantic third-engine checks for the round-6 operator additions.
+Parity says Spark == DuckDB; these say both == the intended math, via a
+pure-Python/numpy reimplementation (the "third engine") or via closed
+invariants the result must satisfy regardless of engine.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pyspark_for_ebook_classification_spark.operators.aggregates import (
+    agg_basket_affinity,
+    agg_gini_revenue,
+)
+from pyspark_for_ebook_classification_spark.operators.datapipe import (
+    _SHARD_BUDGET,
+    data_packing_efficiency_report,
+    data_shard_token_balanced,
+)
+from pyspark_for_ebook_classification_spark.operators.graphs import (
+    _sparse_strongtie_und,
+    graph_jaccard_link_prediction,
+)
+from pyspark_for_ebook_classification_spark.operators.windows import (
+    _CUSUM_T,
+    window_cusum_alarm,
+    window_event_transitions,
+    window_peak_concurrency,
+)
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def test_cusum_matches_recursive_definition(spark, sf_dir):
+    """The prefix-sum identity must equal the textbook recursion
+    s_t = max(0, s_{t-1} + dev_t) replayed in pure Python per series."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(
+            F.col("l_suppkey").alias("sk"),
+            F.date_trunc("day", "l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r.sk].append((r.day, r.q))
+    expect = {}
+    for sk, rows in series.items():
+        rows.sort()
+        n, total = len(rows), sum(q for _, q in rows)
+        s, mx, alarms, first = 0, 0, 0, None
+        for day, q in rows:
+            s = max(0, s + (n * q - total))
+            mx = max(mx, s)
+            if s > _CUSUM_T * n:
+                alarms += 1
+                first = first or day
+        expect[sk] = (n, total, mx, alarms, first)
+    got = {r.l_suppkey: r for r in window_cusum_alarm(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for sk, (n, total, mx, alarms, first) in expect.items():
+        g = got[sk]
+        assert (g.n_days, g.total_q, g.max_cusum) == (n, total, mx), sk
+        assert g.n_alarm_days == alarms and g.first_alarm_day == first, sk
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Sweep-line peak == brute-force point-in-time max, sampled at every
+    interval start (the max concurrency is always attained at a start)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("ts").alias("t0"),
+            F.expr("timestampadd(MINUTE, CAST(floor(value) AS INT), ts)").alias("t1"),
+        )
+        .collect()
+    )
+    per_day = defaultdict(list)
+    for r in ev:
+        per_day[r.day].append((r.t0, r.t1))
+    got = {r.day: r for r in window_peak_concurrency(spark, sf_dir).collect()}
+    assert set(got) == set(per_day)
+    for day, iv in per_day.items():
+        # closed-open [t0, t1): ends at the same instant don't overlap
+        peak = max(sum(1 for a, b in iv if a <= t0 < b) for t0, _ in iv)
+        assert got[day].peak_concurrent == peak, day
+        assert got[day].n_intervals == len(iv), day
+
+
+def test_gini_matches_mean_absolute_difference(spark, sf_dir):
+    """Rank-weighted closed form == the O(n²) mean-absolute-difference
+    definition G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean)."""
+    rows = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"))
+        .collect()
+    )
+    xs = sorted(float(r.rev) for r in rows)
+    n = len(xs)
+    total = sum(xs)
+    mad = sum(abs(a - b) for a in xs for b in xs)
+    gini_bruteforce = mad / (2 * n * n * (total / n))
+    got = agg_gini_revenue(spark, sf_dir).collect()[0]
+    assert got.n_customers == n
+    assert abs(got.gini - gini_bruteforce) < 1e-6
+    assert abs(got.total_revenue - total) < 1e-3
+
+
+def test_link_prediction_matches_set_algebra(spark, sf_dir):
+    """Jaccard candidates == pure-Python set algebra over the same
+    strong-tie backbone: non-adjacent pairs, |N(a)∩N(b)| ≥ 2, exact
+    score."""
+    und = {(r.a, r.b) for r in _sparse_strongtie_und(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    for u in nbrs:
+        for v in nbrs:
+            if u < v and (u, v) not in und:
+                cn = len(nbrs[u] & nbrs[v])
+                if cn >= 2:
+                    expect[(u, v)] = (
+                        cn,
+                        len(nbrs[u]),
+                        len(nbrs[v]),
+                        round(cn / (len(nbrs[u]) + len(nbrs[v]) - cn), 6),
+                    )
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.deg_u, r.deg_v, r.jaccard)
+        for r in graph_jaccard_link_prediction(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_event_transitions_rows_are_distributions(spark, sf_dir):
+    """Each source state's outgoing probabilities sum to ~1 and counts
+    equal the lead-bigram total."""
+    rows = window_event_transitions(spark, sf_dir).collect()
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.etype_from].append(r)
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users  # one bigram less per user
+    for etype, out in by_from.items():
+        assert abs(sum(r.p_next for r in out) - 1.0) < 1e-4, etype
+
+
+def test_shard_plan_contiguous_and_budget_bounded(spark, sf_dir):
+    """Shards are contiguous in doc_id order, cover every doc exactly
+    once, and no shard exceeds budget + one doc's tokens."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    toks = {r.doc_id: -(-r.n_chars // 4) for r in docs}
+    max_doc = max(toks.values())
+    shards = sorted(
+        data_shard_token_balanced(spark, sf_dir).collect(), key=lambda r: r.shard_id
+    )
+    assert sum(r.n_docs for r in shards) == len(docs)
+    assert sum(r.shard_tokens for r in shards) == sum(toks.values())
+    prev_max = None
+    for s in shards:
+        assert s.doc_id_min <= s.doc_id_max
+        if prev_max is not None:
+            assert s.doc_id_min > prev_max  # contiguous, non-overlapping
+        prev_max = s.doc_id_max
+        assert s.shard_tokens < _SHARD_BUDGET + max_doc
+    # every shard but the last starts a doc past the budget boundary
+    for s in shards[:-1]:
+        assert s.shard_tokens >= _SHARD_BUDGET - max_doc
+
+
+def test_basket_affinity_marginal_identities(spark, sf_dir):
+    """Pair counts are bounded by both marginals; lift reproduces from
+    the published integers; support sums to the expected pair mass."""
+    rows = agg_basket_affinity(spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n_orders = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 1 <= r.n_ab <= min(r.n_a, r.n_b)
+        assert abs(r.support - round(r.n_ab / n_orders, 6)) < 1e-9
+        assert abs(r.lift - round(r.n_ab * n_orders / (r.n_a * r.n_b), 6)) < 1e-9
+
+
+def test_packing_report_conservation(spark, sf_dir):
+    """kept + truncated == total; packed_seqs == ceil(kept/ctx);
+    utilization == kept/(n_docs·ctx)."""
+    for r in data_packing_efficiency_report(spark, sf_dir).collect():
+        kept = r.total_tokens - r.tokens_truncated
+        assert r.packed_seqs == -(-kept // r.ctx)
+        assert kept + r.pad_waste_doc_per_seq == r.n_docs * r.ctx
+        assert abs(r.doc_per_seq_utilization - round(kept / (r.n_docs * r.ctx), 6)) < 1e-9
+        assert 0 < r.doc_per_seq_utilization <= 1.0
