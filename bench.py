@@ -112,6 +112,7 @@ EXTRA = [
     "graph_jaccard_link_prediction",
     "window_cusum_alarm",
     "data_packing_efficiency_report",
+    "data_zorder_layout",
 ]
 
 

@@ -1470,3 +1470,101 @@ def data_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFram
         "packed_seqs",
         "doc_per_seq_utilization",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout planning — the lakehouse data-skipping optimization,
+# quantified relationally.
+
+_Z_BITS = 16
+_Z_BUCKETS = 64
+
+
+def _morton(xr: str, yr: str, shl: str, shr: str) -> str:
+    """Bit-interleave two {_Z_BITS}-bit ranks into one Morton key.
+    ``shl``/``shr`` render shifts per engine (Spark: shiftleft(a,b) /
+    shiftright(a,b); DuckDB: (a << b) / (a >> b))."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shl.format(expr=f"({shr.format(expr=xr, n=i)} & 1)", n=2 * i + 1))
+        terms.append(shl.format(expr=f"({shr.format(expr=yr, n=i)} & 1)", n=2 * i))
+    return "(" + " | ".join(terms) + ")"
+
+
+_SPARK_SHL = "shiftleft({expr}, {n})"
+_SPARK_SHR = "shiftright({expr}, {n})"
+_DUCK_SHL = "({expr} << {n})"
+_DUCK_SHR = "({expr} >> {n})"
+
+
+def _zorder_sql(morton: str, intdiv: str, day_unit: str) -> str:
+    # day_unit: Spark's date_diff wants the unquoted keyword DAY,
+    # DuckDB the string literal 'day'
+    return f"""
+        WITH base AS (
+            SELECT o_custkey AS ck,
+                   CAST(date_diff({day_unit}, TIMESTAMP '1995-01-01 00:00:00',
+                        o_orderdate) AS BIGINT) AS dy
+            FROM orders
+        ), rng AS (
+            SELECT MIN(ck) AS ck0, MAX(ck) AS ck1,
+                   MIN(dy) AS dy0, MAX(dy) AS dy1 FROM base
+        ), norm AS (
+            SELECT ((ck - ck0) * 65535) {intdiv} (ck1 - ck0) AS xr,
+                   ((dy - dy0) * 65535) {intdiv} (dy1 - dy0) AS yr
+            FROM base, rng
+        ), keys AS (
+            SELECT xr, yr, {morton} AS zkey FROM norm
+        ), bucketed AS (
+            SELECT (zkey * {_Z_BUCKETS}) {intdiv} 4294967296 AS zb,
+                   (xr * {_Z_BUCKETS}) {intdiv} 65536 AS lb, xr, yr
+            FROM keys
+        )
+        SELECT 'zorder' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               round(CAST(SUM(xspan) AS DOUBLE) / COUNT(*), 6) AS avg_cust_span,
+               round(CAST(SUM(yspan) AS DOUBLE) / COUNT(*), 6) AS avg_day_span
+        FROM (SELECT zb, MAX(xr) - MIN(xr) AS xspan, MAX(yr) - MIN(yr) AS yspan
+              FROM bucketed GROUP BY zb)
+        UNION ALL
+        SELECT 'lex' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               round(CAST(SUM(xspan) AS DOUBLE) / COUNT(*), 6) AS avg_cust_span,
+               round(CAST(SUM(yspan) AS DOUBLE) / COUNT(*), 6) AS avg_day_span
+        FROM (SELECT lb, MAX(xr) - MIN(xr) AS xspan, MAX(yr) - MIN(yr) AS yspan
+              FROM bucketed GROUP BY lb)
+    """
+
+
+@query(
+    "data_zorder_layout",
+    survey_ref="L7,F7,A1,§3-EP3",
+    doc="Z-order (Morton) vs lexicographic layout quality: per-bucket "
+    "min/max span of BOTH sort dimensions — the data-skipping planner.",
+    oracle=_zorder_sql(_morton("xr", "yr", _DUCK_SHL, _DUCK_SHR), "//", "'day'"),
+)
+def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse layout decision, quantified before rewriting a
+    single file: normalize the two query dimensions (custkey, order
+    day) to 16-bit ranks, bit-interleave them into a 32-bit Morton key,
+    carve z-space into equal-width buckets (stand-ins for output
+    files), and report each layout's average per-bucket min/max span of
+    BOTH dimensions — the exact statistic file-skipping uses. On the
+    driver data z-ordering yields ~8 k/8 k spans of the 65 k space
+    (both predicates prune ~8× per file) while lexicographic gives
+    981/64 943 (day predicates prune nothing) — the table that justifies
+    an OPTIMIZE ZORDER BY job. Everything is exact BIGINT bit/band
+    arithmetic (identical on both engines; shifts spelled
+    shiftleft/shiftright in Spark, <</>> in DuckDB by the same
+    generator), and the two summary aggregates run over the
+    bucket-count-sized table.
+
+    Scale: one pass computes keys map-side against a broadcast 1-row
+    min/max; bucketing is arithmetic (no sort, no sample); the actual
+    rewrite would be write.partitionBy/repartitionByRange on zkey —
+    this operator is its planning/acceptance twin."""
+    _SPARK_ZSQL = _zorder_sql(
+        _morton("xr", "yr", _SPARK_SHL, _SPARK_SHR), "DIV", "DAY"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SPARK_ZSQL)

@@ -206,3 +206,55 @@ def test_packing_report_conservation(spark, sf_dir):
         assert kept + r.pad_waste_doc_per_seq == r.n_docs * r.ctx
         assert abs(r.doc_per_seq_utilization - round(kept / (r.n_docs * r.ctx), 6)) < 1e-9
         assert 0 < r.doc_per_seq_utilization <= 1.0
+
+
+def test_zorder_matches_python_morton(spark, sf_dir):
+    """The SQL bit-interleave == Python's int-based Morton encode, and
+    z-order must dominate lex on the day dimension while staying
+    competitive on custkey (the whole point of the layout)."""
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _Z_BUCKETS,
+        data_zorder_layout,
+    )
+
+    rows = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").collect()
+    import datetime
+
+    epoch = datetime.datetime(1995, 1, 1)
+    pts = [(r.o_custkey, (r.o_orderdate - epoch).days) for r in rows]
+    ck0, ck1 = min(p[0] for p in pts), max(p[0] for p in pts)
+    dy0, dy1 = min(p[1] for p in pts), max(p[1] for p in pts)
+
+    def enc(x, y):
+        xr = (x - ck0) * 65535 // (ck1 - ck0)
+        yr = (y - dy0) * 65535 // (dy1 - dy0)
+        z = 0
+        for i in range(16):
+            z |= ((xr >> i) & 1) << (2 * i + 1)
+            z |= ((yr >> i) & 1) << (2 * i)
+        return xr, yr, z
+
+    zb, lb = defaultdict(list), defaultdict(list)
+    for x, y in pts:
+        xr, yr, z = enc(x, y)
+        zb[z * _Z_BUCKETS // 2**32].append((xr, yr))
+        lb[xr * _Z_BUCKETS // 65536].append((xr, yr))
+
+    def spans(buckets):
+        xs = [max(p[0] for p in v) - min(p[0] for p in v) for v in buckets.values()]
+        ys = [max(p[1] for p in v) - min(p[1] for p in v) for v in buckets.values()]
+        return (
+            len(buckets),
+            round(sum(xs) / len(xs), 6),
+            round(sum(ys) / len(ys), 6),
+        )
+
+    expect = {"zorder": spans(zb), "lex": spans(lb)}
+    got = {
+        r.layout: (r.n_buckets, r.avg_cust_span, r.avg_day_span)
+        for r in data_zorder_layout(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the layout property itself: z-order prunes the second dimension,
+    # lex cannot (its per-bucket day span ≈ the whole domain)
+    assert got["zorder"][2] < got["lex"][2] / 3
