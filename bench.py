@@ -113,6 +113,7 @@ EXTRA = [
     "window_cusum_alarm",
     "data_packing_efficiency_report",
     "data_zorder_layout",
+    "data_psi_drift",
 ]
 
 

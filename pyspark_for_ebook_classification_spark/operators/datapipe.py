@@ -1568,3 +1568,116 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SPARK_ZSQL)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the model-monitoring drift metric, over
+# corpus snapshot halves.
+
+_PSI_BANDS = 10
+
+
+@query(
+    "data_psi_drift",
+    survey_ref="L4,W1,A5,F3",
+    doc="Population Stability Index between two corpus snapshots over "
+    "baseline-decile length bands — the standard drift monitor, "
+    "Laplace-smoothed.",
+    oracle=f"""
+        WITH halves AS (
+            SELECT doc_id, n_chars, doc_id % 2 AS half FROM documents
+        ), base AS (
+            SELECT n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+            FROM halves WHERE half = 0
+        ), ncte AS (
+            SELECT COUNT(*) AS n FROM base
+        ), cutpos AS (
+            SELECT CAST(ceil(k * n / {_PSI_BANDS}.0) AS BIGINT) AS cut
+            FROM (SELECT unnest(range(1, {_PSI_BANDS})) AS k), ncte
+        ), edges AS (
+            SELECT DISTINCT n_chars AS edge
+            FROM base JOIN cutpos ON rn = cut
+        ), banded AS (
+            SELECT h.doc_id, h.half, 1 + COUNT(e.edge) AS band
+            FROM halves h LEFT JOIN edges e ON e.edge < h.n_chars
+            GROUP BY h.doc_id, h.half
+        ), cnt AS (
+            SELECT band,
+                   CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_base,
+                   CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_comp
+            FROM banded GROUP BY band
+        ), tot AS (
+            SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+                   CAST(SUM(n_comp) AS BIGINT) AS tc FROM cnt
+        )
+        SELECT band, n_base, n_comp,
+               round((n_base + 0.5) / (tb + {_PSI_BANDS} * 0.5), 6) AS p_base,
+               round((n_comp + 0.5) / (tc + {_PSI_BANDS} * 0.5), 6) AS p_comp,
+               round(((n_base + 0.5) / (tb + {_PSI_BANDS} * 0.5)
+                      - (n_comp + 0.5) / (tc + {_PSI_BANDS} * 0.5))
+                     * ln(((n_base + 0.5) / (tb + {_PSI_BANDS} * 0.5))
+                          / ((n_comp + 0.5) / (tc + {_PSI_BANDS} * 0.5))), 6)
+                   AS psi_term
+        FROM cnt CROSS JOIN tot
+    """,
+)
+def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI over doc-length deciles: band edges are the baseline
+    snapshot's own decile order statistics (exact — ranks from the
+    scalable two-pass with_global_rank, cut positions ceil(k·n/10)),
+    every doc in both snapshots maps to a band by counting edges below
+    its value (a ≤9-row broadcast non-equi join), and each band
+    contributes (p_base − p_comp)·ln(p_base/p_comp). Laplace smoothing
+    (+0.5 per band) keeps empty comparison bands finite — the standard
+    production guard. Σ psi_term > 0.2 is the conventional
+    "investigate" threshold; snapshot = doc_id parity here, crawl t vs
+    t+1 in production. Complements sim_centroid_shift_drift (embedding
+    space) and data_privacy_kl_audit (categorical KL): this is the
+    numeric-feature drift leg.
+
+    Determinism: counts and cut ranks are exact integers; the only
+    doubles are the smoothed ratios (identical expression text, one ln
+    rounded per contract). Scale: one rank pass over the baseline, one
+    broadcast band join, one partial-agg count — nothing data² and no
+    unpartitioned data-sized window."""
+    docs = load(spark, sf_dir, "documents")
+    halves = docs.select(
+        "doc_id", "n_chars", (F.col("doc_id") % 2).alias("half")
+    )
+    base = halves.filter(F.col("half") == 0)
+    ranked = with_global_rank(base, [F.col("n_chars"), F.col("doc_id")], out="rn")
+    ncte = base.agg(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, _PSI_BANDS).select(F.col("id").alias("k"))
+    cutpos = ks.crossJoin(F.broadcast(ncte)).select(
+        F.ceil(F.col("k") * F.col("n") / float(_PSI_BANDS)).cast("bigint").alias("cut")
+    )
+    edges = (
+        ranked.join(F.broadcast(cutpos), ranked.rn == cutpos.cut)
+        .select(F.col("n_chars").alias("edge"))
+        .distinct()
+    )
+    banded = (
+        halves.join(F.broadcast(edges), F.col("edge") < F.col("n_chars"), "left")
+        .groupBy("doc_id", "half")
+        .agg((1 + F.count("edge")).alias("band"))
+    )
+    cnt = banded.groupBy("band").agg(
+        F.count_if(F.col("half") == 0).cast("bigint").alias("n_base"),
+        F.count_if(F.col("half") == 1).cast("bigint").alias("n_comp"),
+    )
+    tot = cnt.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_comp").cast("bigint").alias("tc"),
+    )
+    sm = _PSI_BANDS * 0.5
+    pa = (F.col("n_base") + 0.5) / (F.col("tb") + sm)
+    pb = (F.col("n_comp") + 0.5) / (F.col("tc") + sm)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_base",
+        "n_comp",
+        F.round(pa, 6).alias("p_base"),
+        F.round(pb, 6).alias("p_comp"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -95,10 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     # window_event_transitions, text_term_burstiness,
     # agg_gini_revenue, sim_centroid_shift_drift,
     # graph_jaccard_link_prediction, window_cusum_alarm,
-    # data_packing_efficiency_report, the Q4/Q10 classics, and
-    # data_zorder_layout (added 51st–81st, slot-capped to r7) has a
-    # driver verdict (278 oracle-backed total); they and the 6
-    # rows-only entries get theirs in r7.
+    # data_packing_efficiency_report, the Q4/Q10 classics,
+    # data_zorder_layout, and data_psi_drift (added 51st–82nd,
+    # slot-capped to r7) has a driver verdict (279 oracle-backed
+    # total); they and the 6 rows-only entries get theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -185,6 +185,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_order_priority_q4",
     "sql_returned_items_q10",
     "data_zorder_layout",
+    "data_psi_drift",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -258,3 +258,43 @@ def test_zorder_matches_python_morton(spark, sf_dir):
     # the layout property itself: z-order prunes the second dimension,
     # lex cannot (its per-bucket day span ≈ the whole domain)
     assert got["zorder"][2] < got["lex"][2] / 3
+
+
+def test_psi_matches_python_reimplementation(spark, sf_dir):
+    """Band edges, band assignment, and smoothed PSI terms all reproduce
+    from a sorted-list Python reimplementation."""
+    import math
+
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _PSI_BANDS,
+        data_psi_drift,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    base = sorted(
+        (r.n_chars, r.doc_id) for r in docs if r.doc_id % 2 == 0
+    )
+    n = len(base)
+    edges = sorted(
+        {base[math.ceil(k * n / _PSI_BANDS) - 1][0] for k in range(1, _PSI_BANDS)}
+    )
+
+    def band(v):
+        return 1 + sum(1 for e in edges if e < v)
+
+    n_base, n_comp = defaultdict(int), defaultdict(int)
+    for r in docs:
+        (n_base if r.doc_id % 2 == 0 else n_comp)[band(r.n_chars)] += 1
+    tb, tc = sum(n_base.values()), sum(n_comp.values())
+    sm = _PSI_BANDS * 0.5
+    got = {r.band: r for r in data_psi_drift(spark, sf_dir).collect()}
+    assert set(got) == set(n_base) | set(n_comp)
+    total_psi = 0.0
+    for b, r in got.items():
+        assert r.n_base == n_base.get(b, 0) and r.n_comp == n_comp.get(b, 0), b
+        pa = (r.n_base + 0.5) / (tb + sm)
+        pb = (r.n_comp + 0.5) / (tc + sm)
+        assert abs(r.psi_term - round((pa - pb) * math.log(pa / pb), 6)) < 1e-9, b
+        total_psi += r.psi_term
+    # identical halves of the same corpus should not scream drift
+    assert total_psi < 0.25
