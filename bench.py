@@ -114,6 +114,7 @@ EXTRA = [
     "data_packing_efficiency_report",
     "data_zorder_layout",
     "data_psi_drift",
+    "text_nucleus_vocab",
 ]
 
 

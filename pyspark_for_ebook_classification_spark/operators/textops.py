@@ -1390,3 +1390,88 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary coverage — the tokenizer-design statistic.
+
+_NUCLEUS_P = 0.9
+
+_NUCLEUS_ORACLE = f"""
+    WITH tok AS (
+        SELECT lang, unnest({_SQL_TOKENS}) AS token
+        FROM documents
+    ), freq AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY lang, token
+    ), ranked AS (
+        SELECT lang, tf,
+               SUM(tf) OVER (PARTITION BY lang
+                   ORDER BY tf DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(tf) OVER (PARTITION BY lang) AS total
+        FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE cum - tf < {_NUCLEUS_P} * total)
+                AS BIGINT) AS nucleus_size,
+           round(CAST(COUNT(*) FILTER (WHERE cum - tf < {_NUCLEUS_P} * total)
+                      AS DOUBLE) / COUNT(*), 6) AS nucleus_frac
+    FROM ranked
+    GROUP BY lang
+"""
+
+
+@query(
+    "text_nucleus_vocab",
+    survey_ref="L6,L4,W3,A5",
+    doc="Nucleus (top-p) vocabulary size per language: how many distinct "
+    "tokens cover 90% of the token mass — the tokenizer-design statistic.",
+    oracle=_NUCLEUS_ORACLE,
+)
+def text_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p coverage of the unigram distribution: tokens sorted by
+    frequency (token-text tiebreak — total order), a token is inside
+    the p=0.9 nucleus iff the mass BEFORE it is < p·total (the standard
+    smallest-covering-set rule, matching nucleus sampling's cutoff).
+    A tiny nucleus_frac means a head-heavy distribution (good BPE merge
+    candidates / aggressive vocab truncation is safe); ≈1 means a flat
+    tail. Complements text_zipf_slope (the power-law exponent) with the
+    actionable integer a vocab designer needs.
+
+    Determinism: the cumulative is an exact BIGINT running sum under a
+    total order; the p·total comparison multiplies exact integers by
+    the literal 0.9 identically in both engines. Scale: token-keyed
+    partial count, then lang-partitioned windows over the vocab-sized
+    frequency table (vocab ≪ corpus; the window never sees raw
+    tokens), one final lang agg."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(_tokens()).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = freq.select(
+        "lang",
+        "tf",
+        F.sum("tf").over(wcum).alias("cum"),
+        F.sum("tf").over(wall).alias("total"),
+    )
+    in_nucleus = (F.col("cum") - F.col("tf")) < _NUCLEUS_P * F.col("total")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.count_if(in_nucleus).cast("bigint").alias("nucleus_size"),
+        F.round(
+            F.count_if(in_nucleus).cast("double") / F.count(F.lit(1)), 6
+        ).alias("nucleus_frac"),
+    )

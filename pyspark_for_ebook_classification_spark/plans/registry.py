@@ -96,9 +96,10 @@ _PRIORITY: tuple[str, ...] = (
     # agg_gini_revenue, sim_centroid_shift_drift,
     # graph_jaccard_link_prediction, window_cusum_alarm,
     # data_packing_efficiency_report, the Q4/Q10 classics,
-    # data_zorder_layout, and data_psi_drift (added 51st–82nd,
-    # slot-capped to r7) has a driver verdict (279 oracle-backed
-    # total); they and the 6 rows-only entries get theirs in r7.
+    # data_zorder_layout, data_psi_drift, and text_nucleus_vocab
+    # (added 51st–83rd, slot-capped to r7) has a driver verdict (280
+    # oracle-backed total); they and the 6 rows-only entries get
+    # theirs in r7.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
@@ -186,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "sql_returned_items_q10",
     "data_zorder_layout",
     "data_psi_drift",
+    "text_nucleus_vocab",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -298,3 +298,58 @@ def test_psi_matches_python_reimplementation(spark, sf_dir):
         total_psi += r.psi_term
     # identical halves of the same corpus should not scream drift
     assert total_psi < 0.25
+
+
+def test_with_global_cumsum_exactness_shapes(spark, sf_dir):
+    """The two-pass prefix sum must equal a Python running sum under the
+    same total order — across skewed values, negatives, ties on the
+    value column, and a 1-row frame."""
+    from pyspark_for_ebook_classification_spark.functions.ranks import (
+        with_global_cumsum,
+    )
+
+    rows = [(i, ((i * 2654435761) % 97) - 48) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(13)
+    out = {
+        r.id: r.cs
+        for r in with_global_cumsum(df, [F.col("v"), F.col("id")], "v", "cs").collect()
+    }
+    run = 0
+    for v, i in sorted((v, i) for i, v in rows):
+        run += v
+        assert out[i] == run, (i, v)
+    one = spark.createDataFrame([(7, 42)], "id bigint, v bigint")
+    got = with_global_cumsum(one, [F.col("id")], "v", "cs").collect()
+    assert got[0].cs == 42
+
+
+def test_nucleus_vocab_matches_python(spark, sf_dir):
+    """Nucleus sizes reproduce from a Counter-based reimplementation of
+    the smallest-covering-set rule."""
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        _NUCLEUS_P,
+        text_nucleus_vocab,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text").collect()
+    freqs = defaultdict(Counter)
+    for r in docs:
+        freqs[r.lang].update(t for t in r.text.split(" ") if t)
+    got = {r.lang: r for r in text_nucleus_vocab(spark, sf_dir).collect()}
+    assert set(got) == set(freqs)
+    for lang, c in freqs.items():
+        total = sum(c.values())
+        order = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum, nucleus = 0, 0
+        for _, tf in order:
+            if cum < _NUCLEUS_P * total:
+                nucleus += 1
+            cum += tf
+        g = got[lang]
+        assert (g.vocab_size, g.total_tokens, g.nucleus_size) == (
+            len(c),
+            total,
+            nucleus,
+        ), lang
