@@ -74,32 +74,20 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ================= r6 front block: 50 oracle-backed, all unverified ==
-    # After r1–r5, 45 oracle-backed queries had no driver verdict (42
-    # carried from the r5 tail + the 3 operators added in r5); round 6
-    # added 5 more oracle-backed operators, so the front 50 is exactly
-    # the never-verified oracle-backed set — hash-match is the stronger
-    # verdict, so oracle debt drains first and ALL 6 rows-only entries
-    # spill to r7 (ordering rationale in the bookkeeping note below).
-    # After this round every oracle-backed query except
-    # graph_kcore_hindex, sim_mmr_diversified_topk,
-    # dedup_substring_spans, multimodal_phash_neardup,
-    # data_skew_audit, sim_ivfpq_adc_topk, sim_prefix_rerank_topk,
-    # dedup_substring_removal, text_source_overlap_grams,
-    # data_importance_resample, data_privacy_kl_audit,
-    # text_novelty_curve, data_dp_noisy_counts,
-    # sim_embedding_hygiene_gate, text_chunk_sliding,
-    # data_epoch_allocation, text_tokenizer_fertility,
-    # window_rolling_corr, data_shard_token_balanced,
-    # window_peak_concurrency, agg_basket_affinity,
-    # window_event_transitions, text_term_burstiness,
-    # agg_gini_revenue, sim_centroid_shift_drift,
-    # graph_jaccard_link_prediction, window_cusum_alarm,
-    # data_packing_efficiency_report, the Q4/Q10 classics,
-    # data_zorder_layout, data_psi_drift, and text_nucleus_vocab
-    # (added 51st–83rd, slot-capped to r7) has a driver verdict (280
-    # oracle-backed total); they and the 6 rows-only entries get
-    # theirs in r7.
+    # ========== front block: every never-driver-verified query ==========
+    # Hash-match is the stronger verdict, so oracle-backed debt drains
+    # first and the 6 rows-only entries sit last.
+    # Bookkeeping (recomputed against union(CORRECTNESS_r01-r05) at the
+    # end of the r6 build): 89 front-block entries have no driver
+    # verdict -- 42 carried from the r5 tail, 3 added in r5, 38 added
+    # in r6 (this round's operator growth: 265->280 oracle-backed), and
+    # the 6 rows-only entries. The driver verifies 50 per round in list
+    # order, so positions 1-50 get their verdicts in r7 and the
+    # remaining 39 (positions 51-89: the r6-mid additions from
+    # graph_kcore_hindex through text_nucleus_vocab, then the 6
+    # rows-only ml_*/HLL/approx-percentile entries) in r8. All 89 are
+    # locally parity-green every pytest run -- this is evidence
+    # scheduling, not implementation debt.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
     "merge_upsert_emulation",
     "join_pit_scd2_state",
