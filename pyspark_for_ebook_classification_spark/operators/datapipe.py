@@ -1559,15 +1559,69 @@ def data_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator), and the two summary aggregates run over the
     bucket-count-sized table.
 
-    Scale: one pass computes keys map-side against a broadcast 1-row
-    min/max; bucketing is arithmetic (no sort, no sample); the actual
-    rewrite would be write.partitionBy/repartitionByRange on zkey —
-    this operator is its planning/acceptance twin."""
-    _SPARK_ZSQL = _zorder_sql(
-        _morton("xr", "yr", _SPARK_SHL, _SPARK_SHR), "DIV", "DAY"
+    Scale: ONE scan — the Spark side fans each row into its two
+    (layout, bucket) memberships inside the explode's own argument
+    (nothing recomputes per output row), so both layouts' stats come
+    out of a single pass + two domain-sized aggregates; the oracle's
+    UNION ALL formulation is the same math with DuckDB-side
+    simplicity. Normalization reads a broadcast 1-row min/max;
+    bucketing is arithmetic (no sort, no sample); the actual rewrite
+    would be write.partitionBy/repartitionByRange on zkey — this
+    operator is its planning/acceptance twin."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            "CAST(date_diff(DAY, TIMESTAMP '1995-01-01 00:00:00',"
+            " o_orderdate) AS BIGINT)"
+        ).alias("dy"),
     )
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_SPARK_ZSQL)
+    rng = base.agg(
+        F.min("ck").alias("ck0"),
+        F.max("ck").alias("ck1"),
+        F.min("dy").alias("dy0"),
+        F.max("dy").alias("dy1"),
+    )
+    norm = base.crossJoin(F.broadcast(rng)).select(
+        F.expr("((ck - ck0) * 65535) DIV (ck1 - ck0)").alias("xr"),
+        F.expr("((dy - dy0) * 65535) DIV (dy1 - dy0)").alias("yr"),
+    )
+    keys = norm.select(
+        "xr",
+        "yr",
+        F.expr(_morton("xr", "yr", _SPARK_SHL, _SPARK_SHR)).alias("zkey"),
+    )
+    expanded = keys.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"(zkey * {_Z_BUCKETS}) DIV 4294967296").alias("bucket"),
+                    F.col("xr"),
+                    F.col("yr"),
+                ),
+                F.struct(
+                    F.lit("lex").alias("layout"),
+                    F.expr(f"(xr * {_Z_BUCKETS}) DIV 65536").alias("bucket"),
+                    F.col("xr"),
+                    F.col("yr"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.layout", "e.bucket", "e.xr", "e.yr")
+    per_bucket = expanded.groupBy("layout", "bucket").agg(
+        (F.max("xr") - F.min("xr")).alias("xspan"),
+        (F.max("yr") - F.min("yr")).alias("yspan"),
+    )
+    return per_bucket.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(
+            F.sum("xspan").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_cust_span"),
+        F.round(
+            F.sum("yspan").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_day_span"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1627,7 +1681,9 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot's own decile order statistics (exact — ranks from the
     scalable two-pass with_global_rank, cut positions ceil(k·n/10)),
     every doc in both snapshots maps to a band by counting edges below
-    its value (a ≤9-row broadcast non-equi join), and each band
+    its value (the ≤9 edges ride ONE broadcast array row, so banding
+    is a map-side filter-size expression — no per-doc shuffle), and
+    each band
     contributes (p_base − p_comp)·ln(p_base/p_comp). Laplace smoothing
     (+0.5 per band) keeps empty comparison bands finite — the standard
     production guard. Σ psi_term > 0.2 is the conventional
@@ -1657,10 +1713,15 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_chars").alias("edge"))
         .distinct()
     )
-    banded = (
-        halves.join(F.broadcast(edges), F.col("edge") < F.col("n_chars"), "left")
-        .groupBy("doc_id", "half")
-        .agg((1 + F.count("edge")).alias("band"))
+    # the ≤9 edges collapse into ONE sorted array riding a broadcast —
+    # band assignment becomes a pure map-side expression (no per-doc
+    # shuffle; the groupBy below partial-aggregates band-domain rows)
+    edge_arr = edges.agg(F.sort_array(F.collect_list("edge")).alias("earr"))
+    banded = halves.crossJoin(F.broadcast(edge_arr)).select(
+        "half",
+        (
+            1 + F.size(F.filter(F.col("earr"), lambda e: e < F.col("n_chars")))
+        ).alias("band"),
     )
     cnt = banded.groupBy("band").agg(
         F.count_if(F.col("half") == 0).cast("bigint").alias("n_base"),

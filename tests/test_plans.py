@@ -792,3 +792,33 @@ def test_q10_top20_take_ordered(spark, sf_dir):
     q = all_queries()["sql_returned_items_q10"]
     plan = audit(q.fn(spark, sf_dir))["plan"]
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_psi_banding_is_map_side(spark, sf_dir):
+    """data_psi_drift: band assignment must be a map-side expression
+    against a broadcast 1-row edge array — no per-doc shuffle; the rank
+    pipeline is the checkpointed two-pass (no residual range exchange)."""
+    q = all_queries()["data_psi_drift"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert "rangepartitioning" not in rep["plan"].lower(), rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0, rep["plan"]
+    # exchanges: the band-domain count agg, the tot agg, and the tiny
+    # edge/cut plumbing — never a doc_id-keyed data shuffle
+    assert "hashpartitioning(doc_id" not in rep["plan"], rep["plan"]
+
+
+def test_zorder_single_scan_two_aggs(spark, sf_dir):
+    """data_zorder_layout: both layouts' stats come from ONE data scan
+    plus the 1-row min/max stats scan (two scan nodes total — the
+    explode carries layout membership inside its argument, so there is
+    no UNION-ALL subtree duplication), bounded exchanges, no Python."""
+    import re
+
+    q = all_queries()["data_zorder_layout"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", rep["plan"])) == 2, rep["plan"]
+    assert rep["shuffles"] <= 3, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["python_workers"] == 0, rep["plan"]
