@@ -115,6 +115,7 @@ EXTRA = [
     "data_zorder_layout",
     "data_psi_drift",
     "text_nucleus_vocab",
+    "multimodal_token_budget",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_for_ebook_classification_spark.functions.vectors import spark_dot, sql_dot
@@ -644,4 +644,135 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vision/audio token accounting — the multimodal leg of the budget planners.
+
+_TILE = 448  # ViT tile edge
+_TOK_PER_TILE = 256
+_TOK_IMG_BASE = 85  # global-view tokens per image
+_TOK_PER_FRAME = 85  # low-res per-frame tokens for sampled video
+_TOK_AUDIO_PER_SEC = 25
+
+_MM_BUDGET_ORACLE = f"""
+    WITH media AS (
+        SELECT
+            doc_id,
+            n_chars,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                 ELSE 'audio' END AS modality,
+            64 + ascii(substring(text, 1, 1)) % 192 AS w,
+            64 + ascii(substring(text, length(text), 1)) % 192 AS h,
+            1 + length(text) % 7 AS n_frames,
+            10 + length(text) % 300 AS dur_s
+        FROM documents
+    ), toks AS (
+        SELECT modality, n_chars,
+               CASE modality
+                   WHEN 'image' THEN
+                       ((w + {_TILE - 1}) // {_TILE})
+                       * ((h + {_TILE - 1}) // {_TILE})
+                       * {_TOK_PER_TILE} + {_TOK_IMG_BASE}
+                   WHEN 'video' THEN
+                       ((n_frames + 1) // 2) * {_TOK_PER_FRAME}
+                   ELSE dur_s * {_TOK_AUDIO_PER_SEC}
+               END AS media_tokens,
+               (n_chars + 3) // 4 AS text_tokens
+        FROM media
+    ), agg AS (
+        SELECT modality,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(media_tokens) AS BIGINT) AS media_tokens,
+               CAST(SUM(text_tokens) AS BIGINT) AS text_tokens,
+               CAST(SUM(media_tokens + text_tokens) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY modality
+    )
+    SELECT modality, n_items, media_tokens, text_tokens, total_tokens,
+           round(CAST(total_tokens AS DOUBLE)
+                 / SUM(total_tokens) OVER (), 6) AS budget_share
+    FROM agg
+"""
+
+
+@query(
+    "multimodal_token_budget",
+    survey_ref="L5,L7,A1,F3",
+    doc="Per-modality vision/audio/text token accounting — the multimodal "
+    "leg of the training-budget planners (tiles×256+85 for images, "
+    "sampled frames×85 for video, 25 tok/s for audio).",
+    oracle=_MM_BUDGET_ORACLE,
+)
+def multimodal_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a multimodal mixture planner actually needs: each media row's
+    token-equivalent cost under the standard encoder accounting — images
+    pay ceil(w/448)·ceil(h/448) tiles × 256 tokens + an 85-token global
+    view, videos pay their sampled frames (every 2nd) × 85, audio pays
+    25 tokens/second, and the caption/text side pays the same
+    4-chars-per-token proxy the text planners use. The per-modality
+    totals and budget shares plug straight into data_mixture_budget_plan
+    / data_epoch_allocation, turning their char budgets into modality-
+    aware token budgets. Metadata (dims, frame count, duration) comes
+    from the same deterministic fake codec as the other L5 ops — swap a
+    real probe in and the accounting is unchanged.
+
+    All ceil divisions are integer ((x+d−1) DIV d) — exact on both
+    engines; the only double is the final share (exact-BIGINT quotient,
+    rounded). One map-side projection + a 3-group aggregate; the share
+    window runs over 3 rows."""
+    d = load(spark, sf_dir, "documents")
+    first_c = F.ascii(F.substring("text", 1, 1))
+    last_c = F.ascii(F.expr("substring(text, length(text), 1)"))
+    media = d.select(
+        "n_chars",
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'"
+            " ELSE 'audio' END"
+        ).alias("modality"),
+        (64 + first_c % 192).alias("w"),
+        (64 + last_c % 192).alias("h"),
+        (1 + F.length("text") % 7).alias("n_frames"),
+        (10 + F.length("text") % 300).alias("dur_s"),
+    )
+    media_tokens = (
+        F.when(
+            F.col("modality") == "image",
+            F.expr(
+                f"((w + {_TILE - 1}) DIV {_TILE})"
+                f" * ((h + {_TILE - 1}) DIV {_TILE})"
+                f" * {_TOK_PER_TILE} + {_TOK_IMG_BASE}"
+            ),
+        )
+        .when(
+            F.col("modality") == "video",
+            F.expr(f"((n_frames + 1) DIV 2) * {_TOK_PER_FRAME}"),
+        )
+        .otherwise(F.col("dur_s") * _TOK_AUDIO_PER_SEC)
+    )
+    toks = media.select(
+        "modality",
+        media_tokens.alias("media_tokens"),
+        F.expr("(n_chars + 3) DIV 4").alias("text_tokens"),
+    )
+    agg = toks.groupBy("modality").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("media_tokens").cast("bigint").alias("media_tokens"),
+        F.sum("text_tokens").cast("bigint").alias("text_tokens"),
+        F.sum(F.col("media_tokens") + F.col("text_tokens"))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        "modality",
+        "n_items",
+        "media_tokens",
+        "text_tokens",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(wall),
+            6,
+        ).alias("budget_share"),
     )

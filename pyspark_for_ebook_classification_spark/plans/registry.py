@@ -79,13 +79,13 @@ _PRIORITY: tuple[str, ...] = (
     # first and the 6 rows-only entries sit last.
     # Bookkeeping (recomputed against union(CORRECTNESS_r01-r05) at the
     # end of the r6 build): 89 front-block entries have no driver
-    # verdict -- 42 carried from the r5 tail, 3 added in r5, 38 added
-    # in r6 (this round's operator growth: 265->280 oracle-backed), and
+    # verdict -- 42 carried from the r5 tail, 3 added in r5, 39 added
+    # in r6 (this round's operator growth: 265->281 oracle-backed), and
     # the 6 rows-only entries. The driver verifies 50 per round in list
     # order, so positions 1-50 get their verdicts in r7 and the
-    # remaining 39 (positions 51-89: the r6-mid additions from
-    # graph_kcore_hindex through text_nucleus_vocab, then the 6
-    # rows-only ml_*/HLL/approx-percentile entries) in r8. All 89 are
+    # remaining 40 (positions 51-90: the r6-mid additions from
+    # graph_kcore_hindex through multimodal_token_budget, then the 6
+    # rows-only ml_*/HLL/approx-percentile entries) in r8. All 90 are
     # locally parity-green every pytest run -- this is evidence
     # scheduling, not implementation debt.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "data_zorder_layout",
     "data_psi_drift",
     "text_nucleus_vocab",
+    "multimodal_token_budget",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -353,3 +353,45 @@ def test_nucleus_vocab_matches_python(spark, sf_dir):
             total,
             nucleus,
         ), lang
+
+
+def test_multimodal_token_budget_accounting(spark, sf_dir):
+    """Token accounting reproduces from a pure-Python reimplementation of
+    the tile/frame/audio formulas over the same fake-codec metadata."""
+    from pyspark_for_ebook_classification_spark.operators.multimodal import (
+        _TILE,
+        _TOK_AUDIO_PER_SEC,
+        _TOK_IMG_BASE,
+        _TOK_PER_FRAME,
+        _TOK_PER_TILE,
+        multimodal_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        mod = ("image", "video", "audio")[r.doc_id % 3]
+        w = 64 + ord(r.text[0]) % 192
+        h = 64 + ord(r.text[-1]) % 192
+        if mod == "image":
+            mt = ((w + _TILE - 1) // _TILE) * (
+                (h + _TILE - 1) // _TILE
+            ) * _TOK_PER_TILE + _TOK_IMG_BASE
+        elif mod == "video":
+            mt = ((1 + len(r.text) % 7 + 1) // 2) * _TOK_PER_FRAME
+        else:
+            mt = (10 + len(r.text) % 300) * _TOK_AUDIO_PER_SEC
+        tt = (r.n_chars + 3) // 4
+        agg[mod][0] += 1
+        agg[mod][1] += mt
+        agg[mod][2] += tt
+    grand = sum(v[1] + v[2] for v in agg.values())
+    got = {r.modality: r for r in multimodal_token_budget(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for mod, (n, mt, tt) in agg.items():
+        g = got[mod]
+        assert (g.n_items, g.media_tokens, g.text_tokens) == (n, mt, tt), mod
+        assert g.total_tokens == mt + tt
+        assert abs(g.budget_share - round((mt + tt) / grand, 6)) < 1e-9
