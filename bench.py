@@ -116,6 +116,7 @@ EXTRA = [
     "data_psi_drift",
     "text_nucleus_vocab",
     "multimodal_token_budget",
+    "sketch_bloom_fpr_calibration",
 ]
 
 

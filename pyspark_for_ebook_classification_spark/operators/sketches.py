@@ -929,3 +929,162 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom FPR calibration — realized vs bitmap-predicted false-positive rate.
+
+
+def _sql_bloom_fpr() -> str:
+    hits = " AND ".join(
+        f"(COALESCE(b{t}.word, 0) & (CAST(1 AS BIGINT) <<"
+        f" CAST(p.p{t} % {_BLOOM_WORD} AS INT))) <> 0"
+        for t in range(3)
+    )
+    joins = "\n".join(
+        f"            LEFT JOIN bitmap b{t} ON p.p{t} // {_BLOOM_WORD} = b{t}.word_idx"
+        for t in range(3)
+    )
+    pos_cols = ",\n".join(
+        f"                   {_sql_pos(s, 'c_custkey')} AS p{t}"
+        for t, s in enumerate(_BLOOM_SEEDS)
+    )
+    fill = f"(CAST(bits_set AS DOUBLE) / {_BLOOM_BITS})"
+    return f"""
+        WITH keys AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        seeds AS (SELECT * FROM (VALUES ('0'), ('1'), ('2')) s(seed)),
+        bits AS (
+            SELECT CAST(('0x' || substring(md5(seed || ':' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_BLOOM_BITS} AS pos
+            FROM keys, seeds
+        ),
+        bitmap AS (
+            SELECT pos // {_BLOOM_WORD} AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT))
+                       AS word
+            FROM bits GROUP BY pos // {_BLOOM_WORD}
+        ),
+        stats AS (
+            SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set FROM bitmap
+        ),
+        bsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_build FROM keys),
+        p AS (
+            SELECT c_custkey,
+{pos_cols}
+            FROM customer WHERE c_mktsegment <> 'BUILDING'
+        ),
+        tested AS (
+            SELECT ({hits}) AS bloom_pass
+            FROM p
+{joins}
+        )
+        SELECT n_build, bits_set,
+               round({fill}, 6) AS fill_ratio,
+               CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos,
+               round(CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS fpr_realized,
+               round({fill} * {fill} * {fill}, 6) AS fpr_predicted
+        FROM tested CROSS JOIN stats CROSS JOIN bsize
+        GROUP BY n_build, bits_set
+    """
+
+
+@query(
+    "sketch_bloom_fpr_calibration",
+    survey_ref="A3,L8,F7,F3",
+    doc="Bloom false-positive calibration: probe a disjoint non-member "
+    "universe, compare realized FPR to the bitmap's own (fill)^k "
+    "prediction — the rollout-acceptance number for bloom pre-filters.",
+    oracle=_sql_bloom_fpr(),
+)
+def sketch_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch honesty for the bloom family (the same role
+    dedup_minhash_estimate_error plays for MinHash): build the
+    registered 4096-bit/3-hash filter over BUILDING customers, probe
+    every NON-member customer (ids disjoint by construction — every
+    pass is a false positive), and report realized FPR beside the
+    bitmap's own prediction fill³, where fill = bits_set/m is measured
+    from the realized bitmap (bit_count over the ≤128 words). For
+    independent uniform hashes P(false positive) = fill^k exactly, so
+    realized ≈ predicted is the acceptance check a 100 TB bloom
+    pre-filter rollout needs before trusting the filter to gate a
+    shuffle. Probe side is the same map-side 3-broadcast-word lookup as
+    sketch_bloom_semijoin — no row expansion, no fact shuffle; the
+    doubles are exact-integer ratios composed identically in both
+    engines (fill³ spelled as x·x·x, no pow)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = keys.select(
+        F.explode(F.array(*[F.lit(s) for s in _BLOOM_SEEDS])).alias("seed"),
+        "c_custkey",
+    ).select(
+        F.expr(
+            f"CAST(conv(substring(md5(concat(seed, ':', CAST(c_custkey AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+        ).alias("pos")
+    )
+    bitmap = (
+        bits.select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    stats = bitmap.agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("bits_set")
+    )
+    bsize = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    probed = cust.filter(F.col("c_mktsegment") != "BUILDING").select("c_custkey")
+    hit_cols = []
+    for t, s in enumerate(_BLOOM_SEEDS):
+        probed = probed.withColumn(f"p{t}", F.expr(_spark_pos(s, "c_custkey")))
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"bw{t}"), F.col("word").alias(f"wv{t}")
+        )
+        probed = probed.join(
+            F.broadcast(bm),
+            F.expr(f"p{t} div {_BLOOM_WORD}") == F.col(f"bw{t}"),
+            "left",
+        )
+        hit_cols.append(
+            F.expr(
+                f"(COALESCE(wv{t}, CAST(0 AS BIGINT)) &"
+                f" shiftleft(CAST(1 AS BIGINT), CAST(p{t} % {_BLOOM_WORD} AS INT))) <> 0"
+            )
+        )
+    tested = probed.select(
+        (hit_cols[0] & hit_cols[1] & hit_cols[2]).alias("bloom_pass")
+    )
+    fill = F.col("bits_set").cast("double") / _BLOOM_BITS
+    return (
+        tested.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(bsize))
+        .groupBy("n_build", "bits_set")
+        .agg(
+            F.round(fill, 6).alias("fill_ratio"),
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.count_if(F.col("bloom_pass")).cast("bigint").alias("n_false_pos"),
+            F.round(
+                F.count_if(F.col("bloom_pass")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("fpr_realized"),
+            F.round(fill * fill * fill, 6).alias("fpr_predicted"),
+        )
+        .select(
+            "n_build",
+            "bits_set",
+            "fill_ratio",
+            "n_probes",
+            "n_false_pos",
+            "fpr_realized",
+            "fpr_predicted",
+        )
+    )

@@ -395,3 +395,23 @@ def test_multimodal_token_budget_accounting(spark, sf_dir):
         assert (g.n_items, g.media_tokens, g.text_tokens) == (n, mt, tt), mod
         assert g.total_tokens == mt + tt
         assert abs(g.budget_share - round((mt + tt) / grand, 6)) < 1e-9
+
+
+def test_bloom_fpr_within_binomial_band(spark, sf_dir):
+    """Realized false positives must sit inside a wide binomial band
+    around the bitmap's own fill³ prediction — a silent hash-family
+    break (correlated positions) would blow the band."""
+    from pyspark_for_ebook_classification_spark.operators.sketches import (
+        sketch_bloom_fpr_calibration,
+    )
+
+    r = sketch_bloom_fpr_calibration(spark, sf_dir).collect()[0]
+    assert r.n_probes > 0 and 0.0 < r.fill_ratio < 1.0
+    expected_fp = r.n_probes * r.fpr_predicted
+    # 5-sigma Poisson band plus absolute slack for tiny expectations
+    slack = 5 * (expected_fp ** 0.5) + 3
+    assert abs(r.n_false_pos - expected_fp) <= slack, (
+        r.n_false_pos,
+        expected_fp,
+    )
+    assert abs(r.fpr_realized - round(r.n_false_pos / r.n_probes, 6)) < 1e-9
