@@ -117,6 +117,8 @@ EXTRA = [
     "text_nucleus_vocab",
     "multimodal_token_budget",
     "sketch_bloom_fpr_calibration",
+    "window_funnel_time_to_convert",
+    "dedup_banding_sweep",
 ]
 
 

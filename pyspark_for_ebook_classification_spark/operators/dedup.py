@@ -1828,3 +1828,106 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Banding-parameter sweep — the (bands × rows) planning table for LSH.
+
+#: every (n_bands, rows_per_band) factorization of the 12-hash signature
+_SWEEP_CONFIGS = tuple(
+    (N_HASHES // r, r) for r in (1, 2, 3, 4, 6)
+)
+
+
+def _sql_banding_sweep() -> str:
+    branches = []
+    for nb, r in _SWEEP_CONFIGS:
+        for b in range(nb):
+            bh = " || '|' || ".join(
+                f"CAST(h{b * r + k} AS VARCHAR)" for k in range(r)
+            )
+            branches.append(
+                f"SELECT {nb} AS n_bands, {b} AS band_id, {bh} AS band_hash"
+                " FROM sig"
+            )
+    bands = "\n            UNION ALL\n            ".join(branches)
+    return f"""
+        WITH {_sql_sig_chain()},
+        allbands AS (
+            {bands}
+        ),
+        buckets AS (
+            SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS c
+            FROM allbands GROUP BY n_bands, band_id, band_hash
+        )
+        SELECT n_bands,
+               CAST({N_HASHES} // n_bands AS BIGINT) AS rows_per_band,
+               round(power(1.0 / n_bands,
+                     1.0 / ({N_HASHES} // n_bands)), 6) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_collision_buckets,
+               CAST(MAX(c) AS BIGINT) AS max_bucket,
+               CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pair_slots
+        FROM buckets
+        GROUP BY n_bands
+    """
+
+
+@query(
+    "dedup_banding_sweep",
+    survey_ref="L2,A1,F7",
+    doc="LSH banding-parameter sweep: for every (bands × rows) "
+    "factorization of the 12-hash signature, the S-curve threshold and "
+    "the realized bucket/probe-cost profile — the rollout planning table.",
+    oracle=_sql_banding_sweep(),
+)
+def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choosing (b, r) is THE MinHash-LSH rollout decision: the S-curve
+    similarity threshold moves as (1/b)^(1/r) while probe cost moves
+    with bucket collision mass. This sweep prices every factorization
+    of the registered 12-hash signature on the real corpus — per
+    config: the theoretical threshold, bucket count, colliding-bucket
+    count, hottest bucket, and pair-slots Σc(c−1)/2 (the exact number
+    of in-bucket comparisons a verifier would run; distinct-pair recall
+    for the production config is dedup_lsh_candidate_recall's job).
+
+    Scale: the signature is computed ONCE (the checkpointed corpus
+    pass all MinHash ops share), every config's band rows fan out of
+    one explode whose struct array is built inside the generator
+    argument (27 rows/doc, no recompute hazard, no per-config rescan),
+    and one (config, band, hash)-keyed partial aggregate feeds a
+    5-row summary. The only double is the threshold (libm pow, rounded
+    per contract)."""
+    sig = _minhash_signature(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    structs = []
+    for nb, r in _SWEEP_CONFIGS:
+        for b in range(nb):
+            bh = F.concat_ws(
+                "|", *[F.col(f"h{b * r + k}").cast("string") for k in range(r)]
+            )
+            structs.append(
+                F.struct(
+                    F.lit(nb).alias("n_bands"),
+                    F.lit(b).alias("band_id"),
+                    bh.alias("band_hash"),
+                )
+            )
+    allbands = sig.select(F.explode(F.array(*structs)).alias("e")).select(
+        "e.n_bands", "e.band_id", "e.band_hash"
+    )
+    buckets = allbands.groupBy("n_bands", "band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("n_bands").agg(
+        F.expr(f"CAST({N_HASHES} DIV n_bands AS BIGINT)").alias("rows_per_band"),
+        F.round(
+            F.expr(f"power(1.0 / n_bands, 1.0 / ({N_HASHES} DIV n_bands))"), 6
+        ).alias("threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.count_if(F.col("c") > 1).cast("bigint").alias("n_collision_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.expr("CAST(SUM(c * (c - 1) DIV 2) AS BIGINT)").alias("pair_slots"),
+    )

@@ -296,3 +296,52 @@ def scan_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.filter(
         (F.col("id") >= 1200) & (F.col("id") < 3800) & (F.col("bucket") == 7)
     )
+
+
+@query(
+    "scan_schema_evolution_merge",
+    survey_ref="S1,S5,F8",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(NULL AS BIGINT) AS quality_tier
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars,
+               CAST(n_chars % 5 AS BIGINT) AS quality_tier
+        FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source layer — the situation every
+    long-lived corpus store hits: an old snapshot written WITHOUT a
+    column and a new snapshot written WITH it must read back as ONE
+    table. Two generations land in the same directory tree (old = even
+    doc_ids, no quality_tier; new = odd doc_ids, with it), and
+    ``mergeSchema=true`` unions the footers so old rows surface the new
+    column as NULL — no backfill rewrite of the old petabytes. The
+    oracle states the contract directly: old rows NULL, new rows
+    populated.
+
+    Scale note: mergeSchema reads every file footer at planning time —
+    fine per-snapshot-directory, expensive across 10⁶ files, which is
+    why production tables pin the merged schema in a catalog after one
+    evolution; this query demonstrates the read-side semantics that
+    catalog entry encodes."""
+    base = scratch_dir("s5_docs_evolving")
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 5).cast("bigint").alias("quality_tier"),
+        )
+    )
+    old.write.mode("overwrite").parquet(base + "/gen=1")
+    new.write.mode("overwrite").parquet(base + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return back.select("doc_id", "lang", "n_chars", "quality_tier")

@@ -1505,3 +1505,135 @@ def window_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(alarm).cast("bigint").alias("n_alarm_days"),
         F.min(F.when(alarm, F.col("day"))).alias("first_alarm_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert — the latency distribution behind the counts.
+
+_FUNNEL_TTC_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+        FROM events GROUP BY user_id
+    ),
+    step2 AS (
+        SELECT p.user_id, p.t1,
+               MIN(e.ts) FILTER (
+                   WHERE e.event_type = 'click' AND e.ts > p.t1
+                     AND e.ts <= p.t1 + INTERVAL {{d}} DAY
+               ) AS t2
+        FROM per_user p LEFT JOIN events e ON e.user_id = p.user_id
+        GROUP BY p.user_id, p.t1
+    ),
+    step3 AS (
+        SELECT s.user_id, s.t1, s.t2,
+               MIN(e.ts) FILTER (
+                   WHERE e.event_type = 'purchase' AND e.ts > s.t2
+                     AND e.ts <= s.t2 + INTERVAL {{d}} DAY
+               ) AS t3
+        FROM step2 s LEFT JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id, s.t1, s.t2
+    ),
+    gaps AS (
+        SELECT 'view_to_click' AS transition,
+               CAST(date_diff({{u}}, t1, t2) AS BIGINT) AS gap_s
+        FROM step3 WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT 'click_to_purchase',
+               CAST(date_diff({{u}}, t2, t3) AS BIGINT)
+        FROM step3 WHERE t3 IS NOT NULL
+    )
+    SELECT transition,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(gap_s) AS BIGINT) AS min_s,
+           round(CAST(quantile_cont(gap_s, 0.5) AS DOUBLE), 4) AS p50_s,
+           round(CAST(quantile_cont(gap_s, 0.9) AS DOUBLE), 4) AS p90_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_s,
+           round(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 6) AS mean_s
+    FROM gaps
+    GROUP BY transition
+"""
+
+
+@query(
+    "window_funnel_time_to_convert",
+    survey_ref="W2,A7,F2",
+    doc="Funnel latency distribution: seconds between consecutive "
+    "completed funnel stages (view→click, click→purchase) — min/p50/"
+    "p90/max/mean per transition.",
+    oracle=_FUNNEL_TTC_ORACLE.replace("{d}", str(_FUNNEL_STEP_DAYS)).replace(
+        "{u}", "'second'"
+    ),
+)
+def window_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the funnel report: not HOW MANY convert
+    (window_funnel_strict_order) but HOW FAST — the latency
+    distribution of each completed stage transition, on the identical
+    strictly-ordered re-anchored stage timestamps (earliest qualifying
+    event after the previous stage, 7-day step window), so the two
+    queries describe the same cohort. Gaps are exact integer seconds;
+    the percentiles are the engines' shared linear interpolation,
+    rounded per contract.
+
+    Scale: same shape as the funnel — per-user anchors from one
+    user-keyed aggregate, each step one user-keyed join+aggregate
+    (exchange reused across steps), and the final stats run over the
+    converted-user-sized gap table grouped into TWO rows."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    e2 = ev.select(F.col("user_id").alias("u2"), "event_type", "ts")
+    step2 = (
+        per_user.join(e2, per_user.user_id == e2.u2, "left")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (
+                        F.col("ts")
+                        <= F.expr(f"t1 + INTERVAL {_FUNNEL_STEP_DAYS} DAY")
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    step3 = (
+        step2.join(e2, step2.user_id == e2.u2, "left")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (
+                        F.col("ts")
+                        <= F.expr(f"t2 + INTERVAL {_FUNNEL_STEP_DAYS} DAY")
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    g12 = step3.filter(F.col("t2").isNotNull()).select(
+        F.lit("view_to_click").alias("transition"),
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("gap_s"),
+    )
+    g23 = step3.filter(F.col("t3").isNotNull()).select(
+        F.lit("click_to_purchase").alias("transition"),
+        (F.unix_timestamp("t3") - F.unix_timestamp("t2")).alias("gap_s"),
+    )
+    gaps = g12.unionByName(g23)
+    return gaps.groupBy("transition").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("gap_s").cast("bigint").alias("min_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("gap_s").cast("bigint").alias("max_s"),
+        F.round(F.sum("gap_s").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_s"
+        ),
+    )

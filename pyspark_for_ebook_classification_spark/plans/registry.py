@@ -79,13 +79,13 @@ _PRIORITY: tuple[str, ...] = (
     # first and the 6 rows-only entries sit last.
     # Bookkeeping (recomputed against union(CORRECTNESS_r01-r05) at the
     # end of the r6 build): 89 front-block entries have no driver
-    # verdict -- 42 carried from the r5 tail, 3 added in r5, 40 added
-    # in r6 (this round's operator growth: 265->282 oracle-backed), and
+    # verdict -- 42 carried from the r5 tail, 3 added in r5, 43 added
+    # in r6 (this round's operator growth: 265->285 oracle-backed), and
     # the 6 rows-only entries. The driver verifies 50 per round in list
     # order, so positions 1-50 get their verdicts in r7 and the
-    # remaining 41 (positions 51-91: the r6-mid additions from
-    # graph_kcore_hindex through sketch_bloom_fpr_calibration, then the
-    # 6 rows-only ml_*/HLL/approx-percentile entries) in r8. All 91 are
+    # remaining 44 (positions 51-94: the r6-mid additions from
+    # graph_kcore_hindex through scan_schema_evolution_merge, then the
+    # 6 rows-only ml_*/HLL/approx-percentile entries) in r8. All 94 are
     # locally parity-green every pytest run -- this is evidence
     # scheduling, not implementation debt.
     # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
@@ -178,6 +178,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_nucleus_vocab",
     "multimodal_token_budget",
     "sketch_bloom_fpr_calibration",
+    "window_funnel_time_to_convert",
+    "dedup_banding_sweep",
+    "scan_schema_evolution_merge",
     "ml_nb_text_predictions",
     "ml_lr_confusion_matrix",
     "ml_cv_grid_best",

@@ -822,3 +822,25 @@ def test_zorder_single_scan_two_aggs(spark, sf_dir):
     assert rep["shuffles"] <= 3, rep["plan"]
     assert rep["partial_agg"], rep["plan"]
     assert rep["cartesian"] == 0 and rep["python_workers"] == 0, rep["plan"]
+
+
+def test_banding_sweep_single_signature_pass(spark, sf_dir):
+    """dedup_banding_sweep: all five configs' band rows fan out of ONE
+    explode over the checkpointed signature (Scan ExistingRDD) — no
+    per-config rescan, partial-combined bucket aggregate, no Python."""
+    q = all_queries()["dedup_banding_sweep"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in rep["plan"], rep["plan"]
+    assert rep["plan"].count("Generate") <= 2, rep["plan"]
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["cartesian"] == 0 and rep["python_workers"] == 0
+
+
+def test_funnel_ttc_reuses_user_exchange(spark, sf_dir):
+    """window_funnel_time_to_convert: user-keyed aggregates and joins
+    only — no cartesian, no Python; final stats group into two rows."""
+    q = all_queries()["window_funnel_time_to_convert"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
+    assert rep["partial_agg"], rep["plan"]
+    assert rep["python_workers"] == 0, rep["plan"]
