@@ -74,75 +74,18 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== front block: every never-driver-verified query ==========
-    # Hash-match is the stronger verdict, so oracle-backed debt drains
-    # first and the 6 rows-only entries sit last.
-    # Bookkeeping (recomputed against union(CORRECTNESS_r01-r05) at the
-    # end of the r6 build): 89 front-block entries have no driver
-    # verdict -- 42 carried from the r5 tail, 3 added in r5, 43 added
-    # in r6 (this round's operator growth: 265->285 oracle-backed), and
-    # the 6 rows-only entries. The driver verifies 50 per round in list
-    # order, so positions 1-50 get their verdicts in r7 and the
-    # remaining 44 (positions 51-94: the r6-mid additions from
-    # graph_kcore_hindex through scan_schema_evolution_merge, then the
-    # 6 rows-only ml_*/HLL/approx-percentile entries) in r8. All 94 are
-    # locally parity-green every pytest run -- this is evidence
-    # scheduling, not implementation debt.
-    # — D1 MERGE/SCD2/interval/fuzzy joins (classics2.py, joins.py) —
-    "merge_upsert_emulation",
-    "join_pit_scd2_state",
-    "join_basket_part_pairs",
-    "join_lateral_topn_per_nation",
-    "join_interval_overlap_windows",
-    "join_fuzzy_supplier_names",
-    "join_time_band_pairs",
-    "agg_min_max_by",
-    "agg_corr_regr",
-    "agg_mode_deterministic",
-    "agg_histogram_width_bucket",
-    "agg_group_by_all",
-    "agg_bool_count_if",
-    "window_nth_value_frames",
-    "window_cohort_retention",
-    "window_gapfill_daily",
-    "window_scd2_intervals",
-    "window_anomaly_zscore",
-    "window_streak_islands",
-    "window_yoy_revenue_growth",
-    "window_pct_of_total_share",
-    "window_share_within_region",
-    "window_cumulative_distinct_users",
-    "window_minmax_normalize",
-    "window_sessionize_gap",
-    "window_sliding_distinct_users_7d",
-    "window_interval_range_frame",
-    "window_user_paths",
-    "fn_bitwise_suite",
-    "fn_binary_string_suite",
-    "fn_date_suite2",
-    "fn_time_suite",
-    "fn_url_suite",
-    "fn_sql_udf_suite",
-    "fn_collation_suite",
-    "sql_parameterized_markers",
-    "sql_recursive_month_spine",
-    "sql_pivot_clause",
-    "text_pii_scrub",
-    "text_repetition_ratio",
-    "text_normalize_clean",
-    "text_gopher_quality_rules",
-    # — r5 additions (never verified by construction) —
-    "dedup_boilerplate_segments",
-    "sim_hard_negative_mining",
-    "dedup_semantic_embedding",
-    # — r6 additions (never verified by construction) —
-    "dedup_incremental_neardup",
-    "sim_ann_grid_multiprobe",
-    "window_funnel_strict_order",
-    "sim_grid_recall_report",
-    "multimodal_cdc_chunk_dedup",
-    # — spill to r7 (see bookkeeping note): oracle-backed adds 51+
-    #   (landed after the 50 slots were full) + 6 rows-only —
+    # ========== r7 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r06) — 249 of 293 verified,
+    # 0 FAILs). Positions 1-44: every remaining never-driver-verified
+    # query (38 oracle-backed first — hash-match is the stronger verdict
+    # — then the 6 rows-only ml_*/HLL/approx-percentile entries, queued
+    # most-informative-first per the r6 bookkeeping note). After r7 this
+    # closes the book: all 293 declared queries will carry a driver
+    # verdict. Positions 45-50: the first post-closure freshness
+    # rotation — standing high-risk families (pair pipelines,
+    # decimal-heavy aggregates, rank consumers; policy below). All 50
+    # are locally parity-green every pytest run — evidence scheduling,
+    # not implementation debt. ==========
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
     "dedup_substring_spans",
@@ -181,12 +124,20 @@ _PRIORITY: tuple[str, ...] = (
     "window_funnel_time_to_convert",
     "dedup_banding_sweep",
     "scan_schema_evolution_merge",
-    "ml_nb_text_predictions",
-    "ml_lr_confusion_matrix",
-    "ml_cv_grid_best",
-    "ml_eval_metrics",
-    "agg_hll_mergeable_sketch",
-    "agg_approx_percentile",
+    "ml_nb_text_predictions",  # rows-only
+    "ml_lr_confusion_matrix",  # rows-only
+    "ml_cv_grid_best",  # rows-only
+    "ml_eval_metrics",  # rows-only
+    "agg_hll_mergeable_sketch",  # rows-only
+    "agg_approx_percentile",  # rows-only
+    # — post-closure freshness slots 45-50 (policy step 2: standing
+    #   high-risk families; re-verification, last verdicts r1/r5) —
+    "dedup_ngram_jaccard",
+    "agg_weighted_median",
+    "agg_ols_two_features",
+    "window_rfm_segments",
+    "agg_pareto_deciles",
+    "dedup_simhash_hamming_pairs",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -220,7 +171,16 @@ _PRIORITY: tuple[str, ...] = (
 #       carry oracle hash-matched verdicts (sketch_hll_registers/estimate
 #       r5; percentiles r1, weighted-median/skew-kurtosis/rolling-median
 #       r5).
-#   r7+ (post-closure rotation policy): once union(CORRECTNESS) covers every
+#   r7 (this file's front block): the FINAL 44 never-verified names —
+#       38 oracle-backed (the r6-mid additions from graph_kcore_hindex
+#       through scan_schema_evolution_merge) + the 6 rows-only spill
+#       (ml_nb/ml_lr/ml_cv/ml_eval, HLL-merge, approx-percentile) — plus
+#       the first 6 post-closure freshness slots (high-risk families:
+#       ngram-Jaccard + SimHash pair pipelines, weighted-median/OLS
+#       decimal aggregates, RFM/Pareto rank consumers). Derived by
+#       scripts/rotate_priority.py; pinned by
+#       tests/test_oracle_parity.py::test_priority_matches_rotation_script.
+#   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation
 #       changed since its last verdict (keep evidence current as code

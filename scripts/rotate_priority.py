@@ -12,15 +12,19 @@ prints, in order:
      never-verified names);
   2. the suggested 50-slot front block under the registry's documented
      policy — all never-verified oracle-backed names first, then
-     never-verified rows-only, then (post-closure) the freshness
-     rotation: queries whose operator module changed since their last
-     verdict, the standing high-risk families, then oldest-verdict-first
-     round-robin;
+     never-verified rows-only, then the freshness rotation: the standing
+     high-risk families (pair pipelines, decimal-heavy aggregates,
+     global-rank consumers), then oldest-verdict-first round-robin;
   3. the exact ``_ROTATION_BASIS`` tuple tests/test_oracle_parity.py
      must pin when the block is adopted.
 
-It NEVER edits files — the human pastes the block and re-runs pytest,
-whose rotation guards then re-derive the same facts independently.
+The derivation is a PURE function of (registry, CORRECTNESS files) —
+``front_block()`` below — so tests/test_oracle_parity.py::
+test_priority_matches_rotation_script can recompute it and assert the
+pasted ``_PRIORITY`` front block equals it exactly: since r7 the script
+is the only way the block changes. It NEVER edits files — the human
+pastes the block and re-runs pytest, whose rotation guards then
+re-derive the same facts independently.
 """
 
 from __future__ import annotations
@@ -28,7 +32,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -37,27 +40,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: standing high-risk families for post-closure freshness rotation
 #: (registry bookkeeping note, r7+ policy): pair pipelines, global-rank
-#: consumers, decimal-heavy aggregates.
+#: consumers, decimal-heavy aggregates. Order within the tuple is the
+#: standing-cycle order.
 HIGH_RISK = (
-    "dedup_minhash_estimate_error",
-    "dedup_lsh_candidate_recall",
     "dedup_ngram_jaccard",
-    "text_minhash_containment",
-    "dedup_simhash_hamming_pairs",
+    "agg_weighted_median",
+    "agg_ols_two_features",
     "window_rfm_segments",
     "agg_pareto_deciles",
+    "dedup_simhash_hamming_pairs",
+    "dedup_minhash_estimate_error",
+    "dedup_lsh_candidate_recall",
+    "text_minhash_containment",
+    "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    "agg_histogram_width_bucket",
-    "agg_ols_two_features",
-    "agg_weighted_median",
 )
 
 
-def correctness_files() -> list[str]:
+def correctness_files(root: str = ROOT) -> list[str]:
     return sorted(
         os.path.basename(p)
-        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     )
 
 
@@ -66,59 +70,71 @@ def round_of(path: str) -> int:
     return int(digits) if digits else 0
 
 
+def last_verdicts(root: str = ROOT) -> dict[str, int]:
+    """name -> highest round number in which the driver issued a verdict."""
+    out: dict[str, int] = {}
+    for f in correctness_files(root):
+        names = json.load(open(os.path.join(root, f)))
+        for n in names:
+            out[n] = max(out.get(n, 0), round_of(f))
+    return out
+
+
+def front_block(queries, verdicts: dict[str, int], slots: int = 50) -> list[str]:
+    """The deterministic front-block policy. ``queries`` is the registry
+    dict (name -> Query, insertion-ordered); ``verdicts`` maps name ->
+    last driver-verdict round (absent = never verified).
+
+    Order: (1) never-verified oracle-backed, registry order; (2) never-
+    verified rows-only, registry order; (3) freshness — HIGH_RISK names
+    in standing-cycle order, oldest verdict first among them, then
+    everything else oldest-verdict-first (ties: registry order). No git
+    state enters the computation, so tests can re-derive it exactly.
+    """
+    unverified_oracle = [
+        n for n, q in queries.items() if q.oracle is not None and n not in verdicts
+    ]
+    unverified_rows = [
+        n for n, q in queries.items() if q.oracle is None and n not in verdicts
+    ]
+    front: list[str] = unverified_oracle[:slots]
+    if len(front) < slots:
+        front += unverified_rows[: slots - len(front)]
+    if len(front) < slots:
+        risk_rank = {n: i for i, n in enumerate(HIGH_RISK)}
+
+        def freshness_key(n: str):
+            return (
+                0 if n in risk_rank else 1,
+                risk_rank.get(n, 0),
+                verdicts.get(n, 0),
+            )
+
+        rest = sorted((n for n in queries if n not in front), key=freshness_key)
+        front += rest[: slots - len(front)]
+    return front
+
+
 def main() -> None:
     from pyspark_for_ebook_classification_spark.plans.registry import all_queries
 
     queries = all_queries()
     files = correctness_files()
-    last_verdict: dict[str, int] = {}
+    verdicts = last_verdicts()
     for f in files:
         names = json.load(open(os.path.join(ROOT, f)))
-        for n in names:
-            last_verdict[n] = max(last_verdict.get(n, 0), round_of(f))
         print(f"{f}: {len(names)} verdicts")
-    print(f"union: {len(last_verdict)} of {len(queries)} registered")
+    print(f"union: {len(verdicts)} of {len(queries)} registered")
 
-    unverified_oracle = [
-        n for n, q in queries.items() if q.oracle is not None and n not in last_verdict
-    ]
-    unverified_rows = [
-        n for n, q in queries.items() if q.oracle is None and n not in last_verdict
-    ]
-    print(f"never-verified: {len(unverified_oracle)} oracle-backed, "
-          f"{len(unverified_rows)} rows-only")
+    n_oracle = sum(
+        1 for n, q in queries.items() if q.oracle is not None and n not in verdicts
+    )
+    n_rows = sum(
+        1 for n, q in queries.items() if q.oracle is None and n not in verdicts
+    )
+    print(f"never-verified: {n_oracle} oracle-backed, {n_rows} rows-only")
 
-    front: list[str] = list(unverified_oracle[:50])
-    if len(front) < 50:
-        front += unverified_rows[: 50 - len(front)]
-    if len(front) < 50:
-        # post-closure freshness rotation: changed-since-verdict first
-        # (git log on the operator module since the verdict round is a
-        # human judgment; approximate with files changed in the last
-        # round's commits), then high-risk, then oldest verdict first
-        changed = set()
-        try:
-            out = subprocess.run(
-                ["git", "-C", ROOT, "diff", "--name-only", "HEAD~25..HEAD"],
-                capture_output=True, text=True, check=True,
-            ).stdout.split()
-            changed = {os.path.basename(p) for p in out}
-        except Exception:
-            pass
-
-        def freshness_key(n):
-            q = queries[n]
-            mod = getattr(q.fn, "__module__", "") or ""
-            mod_file = mod.rsplit(".", 1)[-1] + ".py"
-            return (
-                0 if mod_file in changed else 1,
-                0 if n in HIGH_RISK else 1,
-                last_verdict.get(n, 0),
-            )
-
-        rest = sorted((n for n in queries if n not in front), key=freshness_key)
-        front += rest[: 50 - len(front)]
-
+    front = front_block(queries, verdicts)
     print("\n# ==== suggested _PRIORITY front block (paste into registry) ====")
     for n in front:
         tag = "" if queries[n].oracle is not None else "  # rows-only"

@@ -111,6 +111,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 
@@ -168,7 +169,13 @@ def test_front_block_targets_never_verified():
     unverified = [n for n in QUERIES if n not in all_verified]
     front = list(QUERIES)[:50]
     if unverified:
-        stale = [n for n in front if n in basis]
+        # Endgame form (r7): fewer than 50 names may remain unverified;
+        # the zero-overlap rule then applies to the slots the unverified
+        # names must fill — they must ALL sit before any basis-verified
+        # freshness name, so the driver's 50-slot pass closes the book.
+        k = min(len(unverified), 50)
+        must = front[:k]
+        stale = [n for n in must if n in basis]
         assert not stale, (
             "rotation stalled: front-block queries already verified in the "
             f"basis files {_ROTATION_BASIS[-1]}-and-earlier: {stale[:5]}..."
@@ -187,3 +194,34 @@ def test_front_block_targets_never_verified():
             "book is closed but _ROTATION_BASIS is stale — recompute the "
             f"freshness front block and pin these files: {newer}"
         )
+
+
+def test_priority_matches_rotation_script():
+    """scripts/rotate_priority.py is, since r7, the ONLY way the front
+    block changes (r6 verdict item 6 — hand-maintenance caused the r4
+    wasted round). The script's derivation is a pure function of
+    (registry, CORRECTNESS files); recompute it here and require the
+    pasted _PRIORITY front block to equal it exactly. When a driver round
+    lands a new CORRECTNESS file, this fails until the human re-runs the
+    script, pastes the new block, and extends _ROTATION_BASIS — the same
+    moment the stall guards above demand it."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_priority", os.path.join(root, "scripts", "rotate_priority.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    if not rp.correctness_files(root):
+        pytest.skip("no CORRECTNESS files present")
+    expected = rp.front_block(QUERIES, rp.last_verdicts(root))
+    actual = list(QUERIES)[: len(expected)]
+    assert actual == expected, (
+        "front block drifted from scripts/rotate_priority.py output — "
+        "re-run the script and paste its block into plans/registry.py. "
+        f"First divergence at slot {next(i for i, (a, b) in enumerate(zip(actual, expected)) if a != b)}: "
+        f"{[(a, b) for a, b in zip(actual, expected) if a != b][:3]}"
+    )
