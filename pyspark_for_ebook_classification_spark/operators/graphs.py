@@ -470,6 +470,64 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("node", F.col("c").alias("coreness"))
 
 
+def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
+    """PRODUCTION k-core entry point: iterate the h-index update to the
+    FIXPOINT instead of a fixed round count (r6 verdict item 5). The
+    declared query ``graph_kcore_hindex`` runs exactly ``_KC_ITERS`` = 8
+    rounds so a DuckDB oracle can unroll it; 8 is golden-proven sufficient
+    on the test graphs but is NOT k-core on deeper graphs — the h-index
+    sequence needs O(diameter)-ish rounds on path-like topology (a 30-node
+    path takes ~14). This runner uses the CC loop's driver-side fixpoint
+    discipline: one ``changed`` count per round (a single aggregate
+    scalar — the standard iterative-Spark control flow, not a data
+    collect), every-round localCheckpoint to keep lineage flat, stop when
+    no node's value moved. The h-index sequence is monotonically
+    non-increasing and lower-bounded by true coreness (Lü et al. 2016),
+    so the first unchanged round IS the exact answer; ``max_rounds`` is a
+    runaway backstop, not a tuning knob.
+
+    ``bidir``: bidirectional edge list with columns (node, other), both
+    directions present, no duplicate edges. Returns (node, coreness).
+
+    Scale shape per round: one hash join (neighbor values), one bounded
+    window sort (partition size = node degree — cap degrees upstream, as
+    the strong-tie builder's top-8 kNN sparsification does), one partial
+    groupBy, one scalar count. State between rounds is one bigint per
+    node — at 100 TB the per-round shuffle is O(edges), the driver holds
+    one number."""
+    bidir = bidir.select("node", "other").localCheckpoint(eager=True)
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
+        eager=True
+    )
+    w_nb = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("other"))
+    for _ in range(max_rounds):
+        nb = bidir.join(
+            c.select(F.col("node").alias("other"), "c"), "other"
+        ).withColumn("r", F.row_number().over(w_nb))
+        h = nb.groupBy("node").agg(
+            F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h")
+        )
+        new_c = (
+            deg.join(h, "node", "left")
+            .select("node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_c.alias("n")
+            .join(c.alias("o"), "node")
+            .filter(F.col("n.c") != F.col("o.c"))
+            .count()
+        )
+        c = new_c
+        if changed == 0:
+            return c.select("node", F.col("c").alias("coreness"))
+    raise RuntimeError(
+        f"kcore_converged: no fixpoint within {max_rounds} rounds — "
+        "graph deeper than the backstop; raise max_rounds"
+    )
+
+
 # ------------------------------------------- Jaccard link prediction
 
 
