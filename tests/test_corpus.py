@@ -31,6 +31,40 @@ def test_containment_bounds_and_reference(spark, sf_dir):
         assert 0 < r["containment"] <= 1
 
 
+def test_containment_pair_budget_within_ceiling(spark, sf_dir):
+    """Pin the analytical pair-count ceiling from the containment
+    docstring (r6 verdict item 4): the bucket expansion emits
+    Σ C(df,2) ≤ OCC·(SHINGLE_DF_MAX−1)/2 triangular pairs — LINEAR in
+    kept occurrences with a gate-bounded constant — and no surviving
+    bucket exceeds the gate. A third, pure-Python recount of both sides
+    from the raw documents guards the Spark arithmetic itself. If the
+    HAVING gate is dropped/loosened, max_df (and eventually the ceiling)
+    trips; if expansion goes non-triangular, pairs trips."""
+    from pyspark_for_ebook_classification_spark.operators.corpus import (
+        SHINGLE_DF_MAX,
+        containment_pair_budget,
+    )
+
+    row = containment_pair_budget(spark, sf_dir).collect()[0]
+    assert row["max_df"] <= SHINGLE_DF_MAX
+    assert row["pairs"] <= row["ceiling"]
+    assert row["ceiling"] == row["occ_kept"] * (SHINGLE_DF_MAX - 1) // 2
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    df = Counter()
+    for toks in docs.values():
+        if len(toks) < 3:
+            continue
+        for sh in {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}:
+            df[sh] += 1
+    kept = [c for c in df.values() if 2 <= c <= SHINGLE_DF_MAX]
+    assert row["occ_kept"] == sum(kept)
+    assert row["pairs"] == sum(c * (c - 1) // 2 for c in kept)
+
+
 def test_containment_is_directional(spark, sf_dir):
     """(a,b) may clear the threshold while (b,a) does not — containment
     is not symmetric, and no pair may pair a doc with itself."""
