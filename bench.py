@@ -173,6 +173,9 @@ def main() -> None:
     # (per-query min) so one noisy window can't inflate the round's number,
     # and report the drift so the trend reader can see the evidence quality.
     CANARY = "scan_parquet_checksum"
+    run_once(CANARY)  # untimed: absorb its plan compilation / first-scan
+    # cost so the pre-leg isn't systematically colder than the post-leg
+    # (observed: pre 0.41s vs post 0.20s = a spurious 50% "drift")
     canary_pre = min(run_once(CANARY) for _ in range(3))
     timings = measure(names)
     canary_post = min(run_once(CANARY) for _ in range(3))
