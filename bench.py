@@ -125,6 +125,9 @@ EXTRA = [
     "sketch_bloom_fpr_calibration",
     "window_funnel_time_to_convert",
     "dedup_banding_sweep",
+    # r7 additions: the retrieval stack's lexical + hybrid stages
+    "text_bm25_topk",
+    "sim_rrf_hybrid_fusion",
 ]
 
 

@@ -2235,3 +2235,145 @@ def sim_centroid_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_cosine",
         "l2_shift",
     )
+
+
+# -------------------------------------------- reciprocal-rank hybrid fusion
+
+RRF_K = 60  # the Cormack/Clarke/Buettcher constant
+RRF_POOL = 50  # per-modality candidate pool depth
+RRF_TOPK = 5
+_RRF_SCALE = 1_000_000_000_000  # integer-scaled 1/(k+r): exact in both engines
+
+from pyspark_for_ebook_classification_spark.operators.textops import (  # noqa: E402
+    BM25_CTES,
+    BM25_QUERY_MOD,
+    bm25_scored,
+)
+
+
+@query(
+    "sim_rrf_hybrid_fusion",
+    survey_ref="L3,L4,J2,W4",
+    doc="Hybrid retrieval: reciprocal-rank fusion of BM25 lexical ranks "
+    "and exact-cosine vector ranks for the shared query set.",
+    oracle=f"""
+        WITH {BM25_CTES},
+        lex AS (
+            SELECT query_id, neighbor_id, rn AS r_lex
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+                ) AS rn
+                FROM bscore
+            )
+            WHERE rn <= {RRF_POOL}
+        ),
+        {_SQL_NORMED},
+        vq AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+               FROM normed WHERE vec_id % {BM25_QUERY_MOD} = 0),
+        vec AS (
+            SELECT query_id, neighbor_id, rn AS r_vec
+            FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {sql_dot('qe', 'embedding')} / (qn * e.nrm) DESC,
+                                    e.vec_id ASC
+                       ) AS rn
+                FROM vq q JOIN normed e ON e.vec_id <> q.query_id
+            )
+            WHERE rn <= {RRF_POOL}
+        ),
+        fused AS (
+            SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                   COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+                   l.r_lex, v.r_vec,
+                   COALESCE({_RRF_SCALE} // ({RRF_K} + l.r_lex), 0)
+                   + COALESCE({_RRF_SCALE} // ({RRF_K} + v.r_vec), 0) AS rrf
+            FROM lex l
+            FULL JOIN vec v
+              ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rrf AS BIGINT) AS rrf_score,
+               CAST(r_lex AS BIGINT) AS lex_rank,
+               CAST(r_vec AS BIGINT) AS vec_rank,
+               rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+            ) AS rn
+            FROM fused
+        )
+        WHERE rn <= {RRF_TOPK}
+    """,
+)
+def sim_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the production retrieval stack's final stage:
+    reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    LEXICAL ranking (BM25, operators/textops.py — rare-term queries from
+    every 97th doc) and a VECTOR ranking (exact cosine over the aligned
+    embeddings table) for the same query set. RRF(d) = Σ_modality
+    1/(k+rank_m(d)) with k=60 — rank-based, so the two modalities'
+    incommensurable score scales never need calibration.
+
+    Determinism without floats: the fusion score is computed as
+    ⌊10¹²/(60+r)⌋ integer division summed as BIGINT — bit-exact in both
+    engines (the float 1/(k+r) form would hash-diverge); distinct ranks
+    give distinct reciprocals at this scale so fusion order is the true
+    RRF order, ties broken by neighbor_id.
+
+    Scale shape: both pools are rank-truncated to RRF_POOL=50 per query
+    BEFORE the fusion join, so the full-outer join and final top-5
+    window run on |Q|×50-row tables — fusion cost is independent of
+    corpus size; the corpus-sized work is exactly the two upstream
+    retrieval passes (BM25's broadcast probe, brute-force cosine's
+    broadcast scan), each already scale-audited on its own."""
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .filter(F.col("r_lex") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "r_lex")
+    )
+
+    e = _normed(spark, sf_dir)
+    vq = e.filter(F.col("vec_id") % BM25_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    vec = (
+        e.crossJoin(F.broadcast(vq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn("r_vec", F.row_number().over(w_vec))
+        .filter(F.col("r_vec") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "r_vec")
+    )
+
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_lex)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_vec)"), F.lit(0))
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        lex.join(vec, ["query_id", "neighbor_id"], "full")
+        .withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rrf").cast("bigint").alias("rrf_score"),
+            F.col("r_lex").cast("bigint").alias("lex_rank"),
+            F.col("r_vec").cast("bigint").alias("vec_rank"),
+            "rank",
+        )
+    )

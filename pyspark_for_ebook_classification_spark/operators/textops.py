@@ -1475,3 +1475,159 @@ def text_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(in_nucleus).cast("double") / F.count(F.lit(1)), 6
         ).alias("nucleus_frac"),
     )
+
+
+# ----------------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2  # term-frequency saturation (Robertson-Sparck Jones defaults)
+BM25_B = 0.75  # length normalization
+BM25_QUERY_MOD = 97  # query set: doc_id % 97 == 0 (~1% of the corpus)
+BM25_TERMS = 8  # rarest distinct terms per query doc
+BM25_TOPK = 5
+
+#: shared CTE block: per-doc tf, corpus df, doc lengths, the query-term
+#: table (rarest BM25_TERMS informative terms per query doc) and the
+#: decimal-summed BM25 score per (query, candidate) pair. Reused verbatim
+#: by sim_rrf_hybrid_fusion's oracle.
+BM25_CTES = f"""
+    btoks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+    ),
+    bstats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(length(tokens)) AS BIGINT) AS total_tokens
+        FROM btoks
+    ),
+    btf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(tokens) AS token FROM btoks)
+        GROUP BY doc_id, token
+    ),
+    bdf AS (SELECT token, COUNT(*) AS df FROM btf GROUP BY token),
+    bdl AS (SELECT doc_id, length(tokens) AS dl FROM btoks),
+    bqt AS (
+        SELECT query_id, token, idf FROM (
+            SELECT t.doc_id AS query_id, t.token,
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id ORDER BY d.df ASC, t.token ASC
+                   ) AS rn
+            FROM btf t JOIN bdf d ON d.token = t.token, bstats s
+            WHERE t.doc_id % {BM25_QUERY_MOD} = 0 AND d.df >= 2
+        ) WHERE rn <= {BM25_TERMS}
+    ),
+    bscore AS (
+        SELECT q.query_id, f.doc_id AS neighbor_id,
+               CAST(SUM(CAST(
+                   q.idf * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 *
+                       (l.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))))
+               AS DECIMAL(28,6))) AS DOUBLE) AS score
+        FROM bqt q
+        JOIN btf f ON f.token = q.token AND f.doc_id <> q.query_id
+        JOIN bdl l ON l.doc_id = f.doc_id, bstats s
+        GROUP BY q.query_id, f.doc_id
+    )
+"""
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, score) — BM25 score of every candidate doc
+    sharing at least one query term, for every query doc. Shared by
+    text_bm25_topk and sim_rrf_hybrid_fusion.
+
+    Cross-engine determinism: tf/df/dl are integers; the one libm call
+    (ln in idf) follows the text_tfidf_vocab precedent; per-term
+    contributions are identical doubles in both engines (identical
+    literal constants and parenthesization), and the per-pair sum runs
+    through DECIMAL(28,6) (functions/numeric.py discipline) so partial-
+    aggregation order can't move the result."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("tokens"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
+    w_q = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("token"))
+    qt = (
+        tf.filter(F.col("doc_id") % BM25_QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .join(dfr.filter(F.col("df") >= 2), "token")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= BM25_TERMS)
+        .select("query_id", "token", "idf")
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    contrib = F.col("idf") * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qt), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), contrib.alias("c"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("c").cast("decimal(28,6)")).cast("double").alias("score"))
+    )
+
+
+@query(
+    "text_bm25_topk",
+    survey_ref="L3,L4,L6,W4",
+    doc="BM25 ranked retrieval: rarest-8-term queries from every 97th doc, "
+    "top-5 candidates by Robertson-Sparck Jones scoring.",
+    oracle=f"""
+        WITH {BM25_CTES}
+        SELECT query_id, neighbor_id, round(score, 4) AS bm25, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+            ) AS rn
+            FROM bscore
+        )
+        WHERE rn <= {BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval — the search-side operator the corpus
+    tooling was missing (TF-IDF here is a vocabulary STATISTICS pass;
+    this SCORES queries against documents). Okapi BM25 with the standard
+    k1=1.2, b=0.75: score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+
+    b·|d|/avgdl)), idf = ln(1+(N−df+½)/(df+½)). Query workload is
+    self-contained and deterministic: every 97th document queries the
+    corpus with its 8 RAREST informative terms (df≥2; df-ascending —
+    rare terms carry the retrieval signal), top-5 results per query.
+
+    Scale shape: the query-term table is ~corpus/97 × 8 rows → BROADCAST
+    to the token-keyed tf table (corpus-sized side never shuffles; one
+    codegen'd probe stage), then one partial-aggregated (query,doc)
+    groupBy over candidates that share ≥1 rare term — candidate count is
+    bounded by Σ_t df(t) ≤ 8·max_df per query, not corpus size. The
+    per-query top-5 is a WindowGroupLimit. At 100 TB the only
+    corpus-sized traffic is the tf build (one explode + one combine),
+    shared with text_tfidf_vocab's statistics pass."""
+    scored = bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("bm25"), "rank")
+    )

@@ -1,0 +1,149 @@
+"""Semantic third-engine checks for the round-7 retrieval additions.
+Parity says Spark == DuckDB; these say both == the intended math, via a
+pure-Python/numpy reimplementation of BM25 and reciprocal-rank fusion.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from pyspark_for_ebook_classification_spark.operators.textops import (
+    BM25_QUERY_MOD,
+    BM25_TERMS,
+    BM25_TOPK,
+)
+from pyspark_for_ebook_classification_spark.operators.similarity import (
+    RRF_K,
+    RRF_POOL,
+    RRF_TOPK,
+    _RRF_SCALE,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def _d6(x: float) -> Decimal:
+    """The DECIMAL(28,6) accumulation step both engines apply per term.
+    Decimal(x) is the EXACT binary expansion — engines quantize the true
+    double value, not its shortest repr."""
+    return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+def _py_bm25(spark, sf_dir):
+    """Pure-Python BM25 over the same corpus: returns
+    {query_id: [(neighbor_id, score_double), ...] sorted by (-score, id)}."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(docs)
+    total_tokens = sum(len(t) for t in docs.values())
+    avgdl = float(total_tokens) / n_docs
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    df = Counter()
+    for c in tf.values():
+        for tok in c:
+            df[tok] += 1
+
+    scores: dict = {}
+    for q in docs:
+        if q % BM25_QUERY_MOD != 0:
+            continue
+        terms = sorted(
+            (t for t in tf[q] if df[t] >= 2), key=lambda t: (df[t], t)
+        )[:BM25_TERMS]
+        acc: dict = {}
+        for t in terms:
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            for d, c in tf.items():
+                if d == q or t not in c:
+                    continue
+                k = c[t]
+                contrib = idf * ((k * 2.2) / (k + 1.2 * (0.25 + 0.75 * (len(docs[d]) / avgdl))))
+                acc[d] = acc.get(d, Decimal(0)) + _d6(contrib)
+        scores[q] = sorted(
+            ((d, float(s)) for d, s in acc.items()), key=lambda x: (-x[1], x[0])
+        )
+    return scores
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """Spark's top-5 must equal the pure-Python BM25 (scores through the
+    same DECIMAL(28,6) per-term accumulation, rounded to 4)."""
+    py = _py_bm25(spark, sf_dir)
+    expected = {}
+    for q, lst in py.items():
+        for rank, (d, s) in enumerate(lst[:BM25_TOPK], 1):
+            expected[(q, d)] = (round(s, 4), rank)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["bm25"], r["rank"])
+        for r in all_queries()["text_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_rrf_fusion_matches_pure_python(spark, sf_dir):
+    """Fusion = integer ⌊SCALE/(K+r)⌋ over the two rank lists; pure
+    Python re-derives both rankings (BM25 above, cosine via numpy) and
+    the fused top-5 must match exactly, including the preserved
+    per-modality ranks."""
+    py_lex = _py_bm25(spark, sf_dir)
+    lex_rank = {
+        (q, d): r
+        for q, lst in py_lex.items()
+        for r, (d, _) in enumerate(lst[:RRF_POOL], 1)
+    }
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    vec_rank = {}
+    for q in emb:
+        if q % BM25_QUERY_MOD != 0:
+            continue
+        qe = emb[q]
+        qn = math.sqrt(float(np.dot(qe, qe)))
+        cand = []
+        for v, e in emb.items():
+            if v == q:
+                continue
+            cos = float(np.dot(qe, e)) / (qn * math.sqrt(float(np.dot(e, e))))
+            cand.append((v, cos))
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        for r, (v, _) in enumerate(cand[:RRF_POOL], 1):
+            vec_rank[(q, v)] = r
+
+    fused: dict = {}
+    for key in set(lex_rank) | set(vec_rank):
+        s = 0
+        if key in lex_rank:
+            s += _RRF_SCALE // (RRF_K + lex_rank[key])
+        if key in vec_rank:
+            s += _RRF_SCALE // (RRF_K + vec_rank[key])
+        fused.setdefault(key[0], []).append((key[1], s))
+    expected = {}
+    for q, lst in fused.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(lst[:RRF_TOPK], 1):
+            expected[(q, d)] = (
+                s,
+                lex_rank.get((q, d)),
+                vec_rank.get((q, d)),
+                rank,
+            )
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["rrf_score"],
+            r["lex_rank"],
+            r["vec_rank"],
+            r["rank"],
+        )
+        for r in all_queries()["sim_rrf_hybrid_fusion"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
