@@ -844,3 +844,30 @@ def test_funnel_ttc_reuses_user_exchange(spark, sf_dir):
     assert rep["cartesian"] == 0 and rep["bnl_joins"] == 0
     assert rep["partial_agg"], rep["plan"]
     assert rep["python_workers"] == 0, rep["plan"]
+
+
+def test_bm25_broadcasts_query_terms(spark, sf_dir):
+    """BM25's scale contract: the corpus-sized tf table is PROBED by a
+    broadcast of the tiny query-term table (never shuffled to meet it),
+    the 8-term and top-5 windows push group limits, and no Python
+    worker or cartesian appears."""
+    q = all_queries()["text_bm25_topk"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 2, rep["plan"]  # df-gate + qt probe
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0
+    assert rep["python_workers"] == 0
+    plan = rep["plan"]
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_rrf_fuses_pool_sized_tables(spark, sf_dir):
+    """RRF's scale contract: both modality pools are rank-truncated
+    (WindowGroupLimit at 50) BEFORE fusion, so the one sort-merge join
+    (Spark can't broadcast a FULL OUTER) runs on |Q|x50-row tables; no
+    Python workers."""
+    q = all_queries()["sim_rrf_hybrid_fusion"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["sortmerge_joins"] == 1, rep["plan"]  # the pool fusion only
+    assert rep["python_workers"] == 0
+    assert rep["plan"].count("WindowGroupLimit") >= 6, rep["plan"]
