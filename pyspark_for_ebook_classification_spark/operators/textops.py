@@ -1540,7 +1540,17 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions are identical doubles in both engines (identical
     literal constants and parenthesization), and the per-pair sum runs
     through DECIMAL(28,6) (functions/numeric.py discipline) so partial-
-    aggregation order can't move the result."""
+    aggregation order can't move the result.
+
+    Measured non-decision (r7, same-session A/B at sf0.1, min-of-4):
+    localCheckpoint'ing the per-doc token arrays (the corpus.py
+    discipline) is 3.21 s vs 3.00 s plain — the four corpus branches
+    (stats/tf/dl/probe) re-tokenize cheaply here, there is no explode of
+    a DERIVED array (the Generate-recompute hazard the checkpoint rule
+    exists for), and at 100 TB the checkpoint would trade 3 extra scan
+    passes for a corpus-sized local-disk write — not clearly favorable.
+    Left un-checkpointed deliberately; the wall is stage-count floor,
+    not tokenization (tokenize+explode alone: 0.28 s of the 3.0)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("tokens"))
     stats = toks.agg(
