@@ -87,9 +87,10 @@ def front_block(queries, verdicts: dict[str, int], slots: int = 50) -> list[str]
 
     Order: (1) never-verified oracle-backed, registry order; (2) never-
     verified rows-only, registry order; (3) freshness — HIGH_RISK names
-    in standing-cycle order, oldest verdict first among them, then
-    everything else oldest-verdict-first (ties: registry order). No git
-    state enters the computation, so tests can re-derive it exactly.
+    in standing-cycle order (the tuple order is authoritative; rank is
+    unique so the verdict-age key never fires for them), then everything
+    else oldest-verdict-first (ties: registry order). No git state
+    enters the computation, so tests can re-derive it exactly.
     """
     unverified_oracle = [
         n for n, q in queries.items() if q.oracle is not None and n not in verdicts
