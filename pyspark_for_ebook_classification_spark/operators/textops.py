@@ -1649,3 +1649,86 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOPK)
         .select("query_id", "neighbor_id", F.round("score", 4).alias("bm25"), "rank")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION BM25 entry point: rank ``docs`` against ad-hoc query
+    STRINGS (the declared ``text_bm25_topk`` query fixes its workload to
+    corpus-derived queries so a DuckDB oracle can replay it; a user
+    searching the corpus passes arbitrary text here). Returns
+    (query, <id_col>, bm25, rank) — top-``k`` docs per query string.
+
+    Same scale shape as the declared query: one tokenize+explode+combine
+    builds the (doc, token, tf) table; the query-term table — |queries| ×
+    their distinct whitespace tokens, built driver-side from plain
+    strings — BROADCASTS to it, so the corpus-sized side never shuffles
+    to be probed; per-(query,doc) partial-aggregated sum; top-k is a
+    WindowGroupLimit. Unmatched query terms contribute nothing (df from
+    the corpus; terms absent from the corpus have no tf rows); a query
+    with no matching term returns no rows."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("tokens"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
+    qterms = spark.createDataFrame(
+        [(q, t) for q in queries for t in dict.fromkeys(w for w in q.split(" ") if w)],
+        "query string, token string",
+    )
+    qt = (
+        qterms.join(dfr, "token")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "query",
+            "token",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    contrib = F.col("idf") * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query", "doc_id", contrib.alias("c"))
+        .groupBy("query", "doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(28,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query",
+            F.col("doc_id").alias(id_col),
+            F.round("score", 4).alias("bm25"),
+            "rank",
+        )
+    )

@@ -147,3 +147,57 @@ def test_rrf_fusion_matches_pure_python(spark, sf_dir):
         for r in all_queries()["sim_rrf_hybrid_fusion"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_bm25_search_matches_pure_python(spark, sf_dir):
+    """The parameterized production entry point (textops.bm25_search) on
+    ad-hoc query strings: pure-Python BM25 with the same decimal
+    accumulation must agree exactly, OOV terms must contribute nothing,
+    and an all-OOV query must return no rows."""
+    from pyspark_for_ebook_classification_spark.operators.textops import bm25_search
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    n_docs = len(docs)
+    avgdl = float(sum(len(t) for t in docs.values())) / n_docs
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    df = Counter()
+    for c in tf.values():
+        for tok in c:
+            df[tok] += 1
+
+    some_doc = docs[sorted(docs)[0]]
+    q1 = " ".join(some_doc[:3])  # in-corpus phrase
+    q2 = some_doc[0] + " zzz-never-a-token"  # one real + one OOV term
+    q3 = "zzz-never-a-token"  # all OOV
+    K = 4
+
+    def py_search(q):
+        acc = {}
+        for t in dict.fromkeys(w for w in q.split(" ") if w):
+            if t not in df:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            for d, c in tf.items():
+                if t not in c:
+                    continue
+                k = c[t]
+                contrib = idf * ((k * 2.2) / (k + 1.2 * (0.25 + 0.75 * (len(docs[d]) / avgdl))))
+                acc[d] = acc.get(d, Decimal(0)) + _d6(contrib)
+        ranked = sorted(((d, float(s)) for d, s in acc.items()), key=lambda x: (-x[1], x[0]))
+        return {(q, d): (round(s, 4), r) for r, (d, s) in enumerate(ranked[:K], 1)}
+
+    expected = {}
+    for q in (q1, q2, q3):
+        expected.update(py_search(q))
+
+    got = {
+        (r["query"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_search(
+            load(spark, sf_dir, "documents"), [q1, q2, q3], k=K
+        ).collect()
+    }
+    assert got == expected
+    assert not any(q == q3 for q, _ in got)  # all-OOV query yields nothing
