@@ -142,3 +142,72 @@ def test_mllib_idf_matches_relational_tfidf(spark, sf_dir):
         expect = math.log((n_docs + 1.0) / (df + 1.0))
         assert abs(got - expect) < 1e-9, term
         assert abs((native[term]["idf"] - 1.0) - got) < 1e-6, term
+
+
+def test_nb_relational_twin_matches_pure_python(spark, sf_dir):
+    """Third engine for ml_nb_relational_twin: pure-Python multinomial
+    NB over the same md5 split, whitespace tokens, add-one smoothing and
+    decimal-rounded log terms must reproduce every prediction AND score
+    exactly; sanity: accuracy beats the 1/n_langs prior and tracks the
+    MLlib classifier's ballpark on the same corpus."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark_for_ebook_classification_spark.ml.queries import _NB_CUT, _NB_SEED
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    def d6(x):
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    def r6(x):
+        return float(d6(x))
+
+    docs = {
+        r["doc_id"]: (r["lang"], [t for t in r["text"].split(" ") if t])
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    def bucket(doc_id):
+        h = hashlib.md5(f"{doc_id}#{_NB_SEED}".encode()).hexdigest()
+        return int(h[:15], 16) % 10000
+
+    train = {d: v for d, v in docs.items() if bucket(d) < _NB_CUT}
+    test = {d: v for d, v in docs.items() if bucket(d) >= _NB_CUT}
+
+    cnt, tot, ndocs = {}, Counter(), Counter()
+    vocab = set()
+    for lang, toks in train.values():
+        ndocs[lang] += 1
+        for t in toks:
+            cnt[(lang, t)] = cnt.get((lang, t), 0) + 1
+            tot[lang] += 1
+            vocab.add(t)
+    v = len(vocab)
+    n_train = len(train)
+    langs = sorted(ndocs)
+
+    expected = {}
+    for d, (true_lang, toks) in test.items():
+        tf = Counter(t for t in toks if t in vocab)
+        if not tf:
+            continue
+        best = None
+        for lang in langs:
+            s = d6(r6(math.log(ndocs[lang] / float(n_train))))
+            s += sum(
+                d6(k * r6(math.log((cnt.get((lang, t), 0) + 1.0) / (tot[lang] + v))))
+                for t, k in tf.items()
+            )
+            if best is None or s > best[1]:
+                best = (lang, s)
+        expected[d] = (true_lang, best[0], float(best[1]))
+
+    got = {
+        r["doc_id"]: (r["true_lang"], r["pred_lang"], r["nb_log_score"])
+        for r in all_queries()["ml_nb_relational_twin"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    acc = sum(1 for t, p, _ in got.values() if t == p) / len(got)
+    assert acc > 1.0 / len(langs)  # beats the uniform prior
