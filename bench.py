@@ -125,11 +125,12 @@ EXTRA = [
     "sketch_bloom_fpr_calibration",
     "window_funnel_time_to_convert",
     "dedup_banding_sweep",
-    # r7 additions: the retrieval stack's lexical + hybrid stages and
-    # the oracle-backed relational NB twin
+    # r7 additions: the retrieval stack's lexical + hybrid stages, the
+    # oracle-backed relational NB twin, temperature mixing
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_nb_relational_twin",
+    "data_temperature_mixing",
 ]
 
 

@@ -1742,3 +1742,119 @@ def data_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_comp"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# ----------------------------------- temperature-scaled language mixing
+
+#: temperature exponents — powers of 1/2 ONLY, so the weight is a chain
+#: of sqrt() calls (IEEE-exact, engine-identical) instead of pow(),
+#: whose libm implementations are not guaranteed to agree bitwise.
+_TEMP_ALPHAS = (1.0, 0.5, 0.25)
+
+_TEMP_SQL = f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+               CAST(SUM(lang_chars) AS BIGINT) AS total_chars
+        FROM per_lang
+    ),
+    grid AS (
+        SELECT l.lang, l.n_docs, l.lang_chars, t.total_docs,
+               CAST(a.alpha AS DOUBLE) AS alpha,
+               l.lang_chars / CAST(t.total_chars AS DOUBLE) AS p
+        FROM per_lang l
+        CROSS JOIN tot t
+        CROSS JOIN (VALUES (1.0), (0.5), (0.25)) a(alpha)
+    ),
+    weighted AS (
+        SELECT *, CAST(
+                   CASE WHEN alpha = 1.0 THEN p
+                        WHEN alpha = 0.5 THEN sqrt(p)
+                        ELSE sqrt(sqrt(p)) END
+               AS DECIMAL(28,6)) AS w6
+        FROM grid
+    )
+    SELECT lang, alpha, n_docs, lang_chars,
+           round(p, 6) AS p_chars,
+           round(CAST(w6 AS DOUBLE)
+                 / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE), 6) AS q_temp,
+           round(CAST(w6 AS DOUBLE)
+                 / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE) / p, 6) AS boost,
+           CAST(floor(round(CAST(w6 AS DOUBLE)
+                 / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE), 6)
+                 * total_docs) AS BIGINT) AS docs_per_epoch
+    FROM weighted
+"""
+
+
+@query(
+    "data_temperature_mixing",
+    survey_ref="L7,A1,W3,F3",
+    doc="Temperature-scaled multilingual sampling plan: q_l ∝ p_l^α for "
+    "α ∈ {1, ½, ¼} over the per-language char mass.",
+    oracle=_TEMP_SQL,
+)
+def data_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual mixing op (mC4 / XLM-R lineage): sampling
+    low-resource languages at their natural frequency starves them, so
+    draw language l with probability q_l ∝ p_l^α — α=1 is natural,
+    smaller α flattens toward uniform. Emits, per (lang, α): the natural
+    char share p, the tempered share q, the boost factor q/p (the number
+    a mixing review reads — how much each language is up/down-sampled),
+    and the expected docs per epoch. Complements the FIXED-budget
+    `data_mix_weighted_sources` (budgets in, membership out) and
+    `data_epoch_allocation` (repeats under a cap): this op DERIVES the
+    weights from the measured distribution.
+
+    Cross-engine exactness: α is restricted to powers of ½ so every
+    weight is a chain of sqrt() calls — IEEE-754 sqrt is
+    correctly-rounded and engine-identical, unlike pow(); weights round
+    to DECIMAL(28,6) before the per-α normalizing sum (order-free), and
+    every later step divides/floors the SAME doubles in both engines.
+
+    Scale shape: one partial-agg groupBy over the corpus; everything
+    after runs on the |langs|×|alphas| grid (a handful of rows — the
+    normalization window partitions by α over |langs| rows)."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("lang_chars"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("lang_chars").cast("bigint").alias("total_chars"),
+    )
+    grid = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_chars",
+            "total_docs",
+            F.explode(F.array(*[F.lit(a) for a in _TEMP_ALPHAS])).alias("alpha"),
+            (F.col("lang_chars") / F.col("total_chars").cast("double")).alias("p"),
+        )
+    )
+    w = (
+        F.when(F.col("alpha") == 1.0, F.col("p"))
+        .when(F.col("alpha") == 0.5, F.sqrt("p"))
+        .otherwise(F.sqrt(F.sqrt("p")))
+    )
+    weighted = grid.withColumn("w6", w.cast("decimal(28,6)"))
+    denom = F.sum("w6").over(Window.partitionBy("alpha"))
+    q = F.col("w6").cast("double") / denom.cast("double")
+    return weighted.select(
+        "lang",
+        "alpha",
+        "n_docs",
+        "lang_chars",
+        F.round("p", 6).alias("p_chars"),
+        F.round(q, 6).alias("q_temp"),
+        F.round(q / F.col("p"), 6).alias("boost"),
+        F.floor(F.round(q, 6) * F.col("total_docs")).cast("bigint").alias("docs_per_epoch"),
+    )

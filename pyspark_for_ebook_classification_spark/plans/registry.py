@@ -76,18 +76,19 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # ========== r7 front block (mechanical; scripts/rotate_priority.py
     # output against union(CORRECTNESS_r01..r06) — 249 of 293 verified,
-    # 0 FAILs; 296 registered after the three r7 additions).
-    # Positions 1-47: every never-driver-verified query (38 r6-carried
+    # 0 FAILs; 297 registered after the four r7 additions).
+    # Positions 1-48: every never-driver-verified query (38 r6-carried
     # oracle-backed first — hash-match is the stronger verdict — then
-    # the three r7 additions text_bm25_topk / sim_rrf_hybrid_fusion /
-    # ml_nb_relational_twin, then the 6 rows-only ml_*/HLL/approx-
-    # percentile entries queued most-informative-first per the r6
-    # bookkeeping note). After r7 this closes the book: all 296 declared
-    # queries will carry a driver verdict. Positions 48-50: the first
-    # post-closure freshness rotation — standing high-risk families
-    # (pair pipelines, decimal-heavy aggregates; policy below). All 50
-    # are locally parity-green every pytest run — evidence scheduling,
-    # not implementation debt. ==========
+    # the four r7 additions text_bm25_topk / sim_rrf_hybrid_fusion /
+    # ml_nb_relational_twin / data_temperature_mixing, then the 6
+    # rows-only ml_*/HLL/approx-percentile entries queued most-
+    # informative-first per the r6 bookkeeping note). After r7 this
+    # closes the book: all 297 declared queries will carry a driver
+    # verdict. Positions 49-50: the first post-closure freshness
+    # rotation — standing high-risk families (pair pipeline, decimal
+    # aggregate; policy below). All 50 are locally parity-green every
+    # pytest run — evidence scheduling, not implementation debt.
+    # ==========
     "graph_kcore_hindex",
     "sim_mmr_diversified_topk",
     "dedup_substring_spans",
@@ -127,21 +128,22 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_banding_sweep",
     "scan_schema_evolution_merge",
     # — r7 additions (never verified by construction): the retrieval
-    #   stack's lexical + hybrid-fusion stages —
+    #   stack's lexical + hybrid-fusion stages, the oracle-backed NB
+    #   twin, temperature-scaled language mixing —
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_nb_relational_twin",
+    "data_temperature_mixing",
     "ml_nb_text_predictions",  # rows-only
     "ml_lr_confusion_matrix",  # rows-only
     "ml_cv_grid_best",  # rows-only
     "ml_eval_metrics",  # rows-only
     "agg_hll_mergeable_sketch",  # rows-only
     "agg_approx_percentile",  # rows-only
-    # — post-closure freshness slots 48-50 (policy step 2: standing
+    # — post-closure freshness slots 49-50 (policy step 2: standing
     #   high-risk families; re-verification, last verdicts r1/r5) —
     "dedup_ngram_jaccard",
     "agg_weighted_median",
-    "agg_ols_two_features",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -175,15 +177,16 @@ _PRIORITY: tuple[str, ...] = (
 #       carry oracle hash-matched verdicts (sketch_hll_registers/estimate
 #       r5; percentiles r1, weighted-median/skew-kurtosis/rolling-median
 #       r5).
-#   r7 (this file's front block): the FINAL 47 never-verified names —
+#   r7 (this file's front block): the FINAL 48 never-verified names —
 #       38 oracle-backed (the r6-mid additions from graph_kcore_hindex
-#       through scan_schema_evolution_merge), the 3 r7 additions (BM25,
+#       through scan_schema_evolution_merge), the 4 r7 additions (BM25,
 #       RRF hybrid fusion, the oracle-backed relational NB twin that
-#       finally puts an M7/M10 query under the hash gate), and the 6
-#       rows-only spill (ml_nb/ml_lr/ml_cv/ml_eval, HLL-merge,
-#       approx-percentile) — plus the first 3 post-closure freshness
-#       slots (high-risk families: ngram-Jaccard pair pipeline,
-#       weighted-median/OLS decimal aggregates). Derived by
+#       finally puts an M7/M10 query under the hash gate, and
+#       temperature-scaled language mixing), and the 6 rows-only spill
+#       (ml_nb/ml_lr/ml_cv/ml_eval, HLL-merge, approx-percentile) —
+#       plus the first 2 post-closure freshness slots (high-risk
+#       families: ngram-Jaccard pair pipeline, weighted-median decimal
+#       aggregate). Derived by
 #       scripts/rotate_priority.py; pinned by
 #       tests/test_oracle_parity.py::test_priority_matches_rotation_script.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every

@@ -245,3 +245,71 @@ def test_epoch_allocation_invariants(spark, sf_dir):
             repeated += 1
             assert r["effective_chars"] < r["served_chars"]
     assert repeated > 0, "fixture never exercised the repetition path"
+
+
+def test_temperature_mixing_matches_pure_python(spark, sf_dir):
+    """Third engine for data_temperature_mixing: pure-Python recompute of
+    the tempered shares (same sqrt chain, same decimal rounding) must
+    agree exactly; structural invariants: each α's q_temp sums to ~1,
+    α=1 is the natural distribution (boost ≈ 1), smaller α compresses
+    boosts toward uniform (dominant language's boost decreases, rarest
+    language's increases as α falls)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _TEMP_ALPHAS,
+        data_temperature_mixing,
+    )
+
+    rows = {
+        r["lang"]: (r["n_docs"], r["n_chars"])
+        for r in load(spark, sf_dir, "documents")
+        .groupBy(F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .collect()
+    }
+    total_docs = sum(n for n, _ in rows.values())
+    total_chars = sum(c for _, c in rows.values())
+
+    def d6(x):
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    expected = {}
+    for alpha in _TEMP_ALPHAS:
+        w6 = {}
+        for lang, (_, chars) in rows.items():
+            p = chars / float(total_chars)
+            w = p if alpha == 1.0 else (math.sqrt(p) if alpha == 0.5 else math.sqrt(math.sqrt(p)))
+            w6[lang] = d6(w)
+        denom = float(sum(w6.values()))
+        for lang in rows:
+            q = float(w6[lang]) / denom
+            p = rows[lang][1] / float(total_chars)
+            expected[(lang, alpha)] = (
+                round(p, 6),
+                round(q, 6),
+                round(q / p, 6),
+                math.floor(round(q, 6) * total_docs),
+            )
+
+    got = {
+        (r["lang"], r["alpha"]): (
+            r["p_chars"],
+            r["q_temp"],
+            r["boost"],
+            r["docs_per_epoch"],
+        )
+        for r in data_temperature_mixing(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    langs = sorted(rows)
+    for alpha in _TEMP_ALPHAS:
+        assert abs(sum(got[(l, alpha)][1] for l in langs) - 1.0) < 1e-4
+    dominant = max(langs, key=lambda l: rows[l][1])
+    rarest = min(langs, key=lambda l: rows[l][1])
+    for l in langs:
+        assert abs(got[(l, 1.0)][2] - 1.0) < 1e-4  # natural: boost == 1
+    assert got[(dominant, 0.25)][2] < got[(dominant, 0.5)][2] < 1.0 + 1e-6
+    assert got[(rarest, 0.25)][2] > got[(rarest, 0.5)][2] > 1.0 - 1e-6
