@@ -2377,3 +2377,52 @@ def sim_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = RRF_K,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    top: int | None = None,
+) -> DataFrame:
+    """PRODUCTION reciprocal-rank fusion over ANY number of rankings
+    (the declared ``sim_rrf_hybrid_fusion`` fixes two modalities so a
+    DuckDB oracle can replay it; a real stack fuses N — lexical, dense,
+    sparse-learned, recency, ...). Each input frame carries
+    (query_col, item_col, rank_col) with rank 1 = best; an item absent
+    from a ranking simply contributes nothing for that modality.
+
+    Returns (query_col, item_col, rrf_score, rank) — rrf_score is the
+    integer Σ ⌊10¹²/(k+r)⌋ (bit-exact, reduction-order-free, the same
+    scaling as the declared query), rank the per-query fused order with
+    item-id tiebreak, truncated to ``top`` when given.
+
+    Scale shape: a union of the (already rank-truncated) input tables,
+    one (query, item)-keyed partial-aggregated sum, one per-query
+    window — fusion cost is the size of the rank lists, never the
+    corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            F.expr(f"{_RRF_SCALE} div ({k} + {rank_col})").alias("rrf_part"),
+        )
+        for r in rankings
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    scored = fused.groupBy(query_col, item_col).agg(
+        F.sum("rrf_part").cast("bigint").alias("rrf_score")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(item_col)
+    )
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out

@@ -201,3 +201,78 @@ def test_bm25_search_matches_pure_python(spark, sf_dir):
     }
     assert got == expected
     assert not any(q == q3 for q, _ in got)  # all-OOV query yields nothing
+
+
+def test_rrf_fuse_generalizes_the_declared_fusion(spark, sf_dir):
+    """The generic N-way rrf_fuse must (a) reproduce the declared
+    two-modality query's fused order when fed the same two rank lists,
+    and (b) handle a third ranking: fusing a modality with itself twice
+    doubles its contribution, so an item ranked 1 by the duplicated
+    modality must outscore an item ranked 1 by the single one."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import rrf_fuse
+
+    declared = {
+        (r["query_id"], r["neighbor_id"]): (r["rrf_score"], r["rank"])
+        for r in all_queries()["sim_rrf_hybrid_fusion"].fn(spark, sf_dir).collect()
+    }
+    # Rebuild the two pools exactly as the declared query does:
+    from pyspark.sql import functions as F, Window
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        RRF_POOL,
+        RRF_TOPK,
+        _normed,
+        spark_dot,
+    )
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        BM25_QUERY_MOD,
+        bm25_scored,
+    )
+
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w_lex))
+        .filter(F.col("rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    e = _normed(spark, sf_dir)
+    vq = e.filter(F.col("vec_id") % BM25_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    vec = (
+        e.crossJoin(F.broadcast(vq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_vec))
+        .filter(F.col("rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+    fused = {
+        (r["query_id"], r["neighbor_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([lex, vec], top=RRF_TOPK).collect()
+    }
+    assert fused == declared
+
+    # (b) third ranking: duplicate the vector modality
+    tri = {
+        (r["query_id"], r["neighbor_id"]): r["rrf_score"]
+        for r in rrf_fuse([lex, vec, vec], top=RRF_TOPK).collect()
+    }
+    two = {
+        (r["query_id"], r["neighbor_id"]): r["rrf_score"]
+        for r in rrf_fuse([lex, vec], top=None).collect()
+    }
+    vec_rank = {
+        (r["query_id"], r["neighbor_id"]): r["rank"] for r in vec.collect()
+    }
+    for key, score in tri.items():
+        extra = 1_000_000_000_000 // (60 + vec_rank[key]) if key in vec_rank else 0
+        assert score == two[key] + extra
