@@ -1514,6 +1514,7 @@ BM25_CTES = f"""
                    ) AS rn
             FROM btf t JOIN bdf d ON d.token = t.token, bstats s
             WHERE t.doc_id % {BM25_QUERY_MOD} = 0 AND d.df >= 2
+              AND d.df * 10 <= s.n_docs
         ) WHERE rn <= {BM25_TERMS}
     ),
     bscore AS (
@@ -1570,6 +1571,7 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "token")
         .join(dfr.filter(F.col("df") >= 2), "token")
         .crossJoin(F.broadcast(stats.select("n_docs")))
+        .filter(F.col("df") * 10 <= F.col("n_docs"))
         .withColumn(
             "idf",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
@@ -1621,8 +1623,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k1=1.2, b=0.75: score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+
     b·|d|/avgdl)), idf = ln(1+(N−df+½)/(df+½)). Query workload is
     self-contained and deterministic: every 97th document queries the
-    corpus with its 8 RAREST informative terms (df≥2; df-ascending —
-    rare terms carry the retrieval signal), top-5 results per query.
+    corpus with its 8 RAREST informative terms (2 ≤ df ≤ n_docs/10;
+    df-ascending — rare terms carry the retrieval signal, and the
+    stopword CEILING guarantees no term expands more than N/10
+    candidates: without it, a degenerate document whose every token is
+    corpus-universal would probe df≈N posting lists for ~zero idf
+    signal — the same bounded-expansion design as the containment
+    pass's SHINGLE_DF_MAX gate, integer math n_docs-relative so it
+    scales with the corpus; queries with no qualifying term drop out
+    instead of scanning the corpus), top-5 results per query.
 
     Scale shape: the query-term table is ~corpus/97 × 8 rows → BROADCAST
     to the token-keyed tf table (corpus-sized side never shuffles; one
@@ -1662,8 +1671,11 @@ def bm25_search(
 ) -> DataFrame:
     """PRODUCTION BM25 entry point: rank ``docs`` against ad-hoc query
     STRINGS (the declared ``text_bm25_topk`` query fixes its workload to
-    corpus-derived queries so a DuckDB oracle can replay it; a user
-    searching the corpus passes arbitrary text here). Returns
+    corpus-derived queries so a DuckDB oracle can replay it, and applies
+    a df ≤ n_docs/10 stopword ceiling to its auto-selected terms; ad-hoc
+    user terms here are kept regardless of df — silently dropping a
+    user's common term would be surprising, and a user query has ~few
+    terms, not a corpus of them). Returns
     (query, <id_col>, bm25, rank) — top-``k`` docs per query string.
 
     Same scale shape as the declared query: one tokenize+explode+combine

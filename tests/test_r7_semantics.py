@@ -54,7 +54,8 @@ def _py_bm25(spark, sf_dir):
         if q % BM25_QUERY_MOD != 0:
             continue
         terms = sorted(
-            (t for t in tf[q] if df[t] >= 2), key=lambda t: (df[t], t)
+            (t for t in tf[q] if 2 <= df[t] and df[t] * 10 <= n_docs),
+            key=lambda t: (df[t], t),
         )[:BM25_TERMS]
         acc: dict = {}
         for t in terms:
