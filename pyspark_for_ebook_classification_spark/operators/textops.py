@@ -1642,13 +1642,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized traffic is the tf build (one explode + one combine),
     shared with text_tfidf_vocab's statistics pass.
 
-    SCALING note: the measured sf0.01→sf0.1 ratio (~4× under 10× data)
-    is the WORKLOAD definition, not a plan defect — the query set is a
-    fixed 1/97 SAMPLE of the corpus, so 10× data means ~8.7× more
-    queries × denser per-term candidate lists; total retrieval work
-    grows ~querysize×density while wall stays well under it. A real
+    SCALING note: pre-ceiling this query ran ~4× under 10× data (the
+    1/97-sample workload means 10× data is also ~8.7× more queries, and
+    the ungated dense terms dominated); with the df ceiling the measured
+    ratio is ~0.6–1× — the dropped stopword terms WERE the cost. A real
     deployment's query set does not grow with the corpus: with |Q|
-    fixed, cost is one tf build + |Q|·8 bounded probes — linear."""
+    fixed, cost is one tf build + |Q|·8 df-bounded probes — linear."""
     scored = bm25_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
