@@ -112,6 +112,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
 
