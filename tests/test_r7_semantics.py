@@ -53,10 +53,16 @@ def _py_bm25(spark, sf_dir):
     for q in docs:
         if q % BM25_QUERY_MOD != 0:
             continue
-        terms = sorted(
-            (t for t in tf[q] if 2 <= df[t] and df[t] * 10 <= n_docs),
-            key=lambda t: (df[t], t),
-        )[:BM25_TERMS]
+        # Budget gate (r8): df-ascending terms admitted while running
+        # Σdf ≤ n_docs; the rarest term is always admitted; cap at 8.
+        ranked = sorted((t for t in tf[q] if df[t] >= 2), key=lambda t: (df[t], t))
+        terms, cum = [], 0
+        for i, t in enumerate(ranked[:BM25_TERMS]):
+            cum += df[t]
+            if i == 0 or cum <= n_docs:
+                terms.append(t)
+            else:
+                break
         acc: dict = {}
         for t in terms:
             idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
