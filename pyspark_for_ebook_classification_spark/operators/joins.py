@@ -116,6 +116,10 @@ def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFra
         FROM part
         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
     """,
+    empty_ok="every part at the driver's sf0.01/sf0.1 IS ordered at least "
+    "once (verified via DuckDB, r7 verdict) — 0 rows is the true answer; "
+    "tests/test_nonemptiness.py plants an unordered part and proves the "
+    "anti-join emits it",
 )
 def join_anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI = NOT EXISTS."""

@@ -205,6 +205,10 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_neardup_pairs",
     survey_ref="L2,L3",
     doc="Embedding-cosine near-duplicate pairs via LSH bucket blocking.",
+    empty_ok="the driver's near-random embeddings contain no pair above "
+    "the 0.5 cosine threshold at the gate scale — 0 rows is the true "
+    "answer; tests/test_nonemptiness.py plants an identical-vector pair "
+    "and proves it emerges with cosine 1.0",
     oracle=f"""
         WITH {_SQL_NORMED},
         b AS (
