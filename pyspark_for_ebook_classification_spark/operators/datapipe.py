@@ -1787,7 +1787,8 @@ _TEMP_SQL = f"""
            round(CAST(w6 AS DOUBLE)
                  / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE), 6) AS q_temp,
            round(CAST(w6 AS DOUBLE)
-                 / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE) / p, 6) AS boost,
+                 / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE)
+                 / nullif(p, 0), 6) AS boost,
            CAST(floor(round(CAST(w6 AS DOUBLE)
                  / CAST(SUM(w6) OVER (PARTITION BY alpha) AS DOUBLE), 6)
                  * total_docs) AS BIGINT) AS docs_per_epoch
@@ -1822,7 +1823,13 @@ def data_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-agg groupBy over the corpus; everything
     after runs on the |langs|×|alphas| grid (a handful of rows — the
-    normalization window partitions by α over |langs| rows)."""
+    normalization window partitions by α over |langs| rows).
+
+    Degenerate-language guard (r7 ADVICE): a language whose every doc
+    has n_chars = 0 has p = 0 — its boost is NULL via nullif (identical
+    in both engines) rather than an Infinity/NaN hash divergence; its
+    q and docs_per_epoch are legitimately 0 (a zero-mass language
+    cannot be temperature-boosted, only its presence reported)."""
     d = load(spark, sf_dir, "documents")
     per_lang = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1858,6 +1865,6 @@ def data_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_chars",
         F.round("p", 6).alias("p_chars"),
         F.round(q, 6).alias("q_temp"),
-        F.round(q / F.col("p"), 6).alias("boost"),
+        F.round(q / F.expr("nullif(p, 0.0)"), 6).alias("boost"),
         F.floor(F.round(q, 6) * F.col("total_docs")).cast("bigint").alias("docs_per_epoch"),
     )

@@ -492,7 +492,29 @@ def _hindex_round(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
     )
 
 
-def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
+def _hindex_round_windowed(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
+    """The hub-safe h-index update: identical value to _hindex_round (the
+    h-index depends only on the sorted neighbor-value multiset) but
+    computed as a row_number window + max(least(c, r)) aggregate, so a
+    node's neighbor values are SORTED AND STREAMED by the window operator
+    (which spills to disk) instead of materialized as one in-task array.
+    Costs a per-round per-partition sort the array fold avoids — the
+    price of unbounded degrees (r7 ADVICE on graphs._hindex_round)."""
+    nb = bidir.join(c.select(F.col("node").alias("other"), "c"), "other")
+    w = Window.partitionBy("node").orderBy(F.desc("c"))
+    h = (
+        nb.select("node", "c", F.row_number().over(w).alias("r"))
+        .groupBy("node")
+        .agg(F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h"))
+    )
+    return deg.join(h, "node", "left").select(
+        "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
+    )
+
+
+def kcore_converged(
+    bidir: DataFrame, max_rounds: int = 256, hub_safe: bool = False
+) -> DataFrame:
     """PRODUCTION k-core entry point: iterate the h-index update to the
     FIXPOINT instead of a fixed round count (r6 verdict item 5). The
     declared query ``graph_kcore_hindex`` runs exactly ``_KC_ITERS`` = 8
@@ -511,19 +533,31 @@ def kcore_converged(bidir: DataFrame, max_rounds: int = 256) -> DataFrame:
     ``bidir``: bidirectional edge list with columns (node, other), both
     directions present, no duplicate edges. Returns (node, coreness).
 
+    Degree precondition (r7 ADVICE — a contract, not a docstring
+    aside): the default ``hub_safe=False`` path uses _hindex_round's
+    array fold, which materializes each node's full neighbor-value
+    list inside one task — correct and fastest when max degree is
+    bounded (the declared query's edge builder caps it at 16; up to
+    ~1e6 neighbors per node is comfortable in executor memory). For
+    graphs with UNBOUNDED hub degrees (a social-graph celebrity, a
+    boilerplate-document node), pass ``hub_safe=True``: rounds switch
+    to _hindex_round_windowed, whose window sort streams and spills
+    instead of collecting — same values by definition (pinned by
+    tests/test_graphs.py), one extra per-round sort as the price.
+
     Scale shape per round: one hash join (neighbor values), one hash
-    aggregate (the array-fold h-index of _hindex_round; the collected
-    neighbor-value list is bounded by the degree cap the edge builder
-    enforces), one scalar count. State between rounds is one bigint per
-    node — at 100 TB the per-round shuffle is O(edges), the driver holds
-    one number."""
+    aggregate (array fold, or window+aggregate when hub_safe), one
+    scalar count. State between rounds is one bigint per node — at
+    100 TB the per-round shuffle is O(edges), the driver holds one
+    number."""
     bidir = bidir.select("node", "other").localCheckpoint(eager=True)
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
         eager=True
     )
+    step = _hindex_round_windowed if hub_safe else _hindex_round
     for _ in range(max_rounds):
-        new_c = _hindex_round(bidir, deg, c).localCheckpoint(eager=True)
+        new_c = step(bidir, deg, c).localCheckpoint(eager=True)
         changed = (
             new_c.alias("n")
             .join(c.alias("o"), "node")

@@ -2403,17 +2403,31 @@ def rrf_fuse(
     scaling as the declared query), rank the per-query fused order with
     item-id tiebreak, truncated to ``top`` when given.
 
-    Scale shape: a union of the (already rank-truncated) input tables,
-    one (query, item)-keyed partial-aggregated sum, one per-query
-    window — fusion cost is the size of the rank lists, never the
-    corpus."""
+    Input hygiene (r7 ADVICE): a (query, item) pair appearing TWICE
+    within one ranking frame is deduped to its BEST (minimum) rank
+    before contributing — without this, duplicate rows would silently
+    sum two reciprocal contributions for one modality. Ranks must be
+    ≥ 1 (rank 0/negative would divide by a zero/negative k+r): enforced
+    with a per-row assert_true so malformed input fails loudly at
+    execution instead of producing plausible-looking garbage.
+
+    Scale shape: per-ranking min-rank dedup then a union of the
+    (already rank-truncated) input tables, one (query, item)-keyed
+    partial-aggregated sum, one per-query window — fusion cost is the
+    size of the rank lists, never the corpus."""
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
+    guard = F.expr(
+        f"assert_true({rank_col} >= 1, 'rrf_fuse: rank_col must be >= 1')"
+    )
     parts = [
-        r.select(
+        r.filter(guard.isNull())
+        .groupBy(query_col, item_col)
+        .agg(F.min(rank_col).alias("_best_rank"))
+        .select(
             F.col(query_col),
             F.col(item_col),
-            F.expr(f"{_RRF_SCALE} div ({k} + {rank_col})").alias("rrf_part"),
+            F.expr(f"{_RRF_SCALE} div ({k} + _best_rank)").alias("rrf_part"),
         )
         for r in rankings
     ]

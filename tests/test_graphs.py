@@ -220,3 +220,12 @@ def test_kcore_converged_on_deep_graph(spark):
     )
     got = {r["node"]: r["coreness"] for r in kcore_converged(bidir).collect()}
     assert got == expected
+
+    # hub-safe variant (r7 ADVICE): the windowed h-index round must reach
+    # the identical fixpoint — same values by definition, different
+    # (spill-friendly) physical shape for unbounded-degree graphs.
+    safe = {
+        r["node"]: r["coreness"]
+        for r in kcore_converged(bidir, hub_safe=True).collect()
+    }
+    assert safe == expected

@@ -283,3 +283,30 @@ def test_rrf_fuse_generalizes_the_declared_fusion(spark, sf_dir):
     for key, score in tri.items():
         extra = 1_000_000_000_000 // (60 + vec_rank[key]) if key in vec_rank else 0
         assert score == two[key] + extra
+
+
+def test_rrf_fuse_input_hygiene(spark):
+    """r7 ADVICE: a (query, item) pair duplicated WITHIN one ranking
+    frame must contribute its best (minimum) rank once — not sum two
+    reciprocal contributions — and a rank < 1 must fail loudly (rank 0
+    would divide by k, negatives by a near-zero/negative k+r)."""
+    import pytest
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 10, 2), (1, 10, 5), (1, 11, 1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["rrf_score"]
+        for r in rrf_fuse([dup]).collect()
+    }
+    assert got[(1, 10)] == _RRF_SCALE // (RRF_K + 2)  # min rank, counted once
+    assert got[(1, 11)] == _RRF_SCALE // (RRF_K + 1)
+
+    bad = spark.createDataFrame(
+        [(1, 10, 0)], "query_id int, neighbor_id int, rank int"
+    )
+    with pytest.raises(Exception, match="rank_col must be >= 1"):
+        rrf_fuse([bad]).collect()
