@@ -287,3 +287,233 @@ def ml_nb_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("double").alias("nb_log_score"),
         )
     )
+
+
+# ------------------------------- relational LR scoring twin (oracle)
+
+#: fixed multiclass logistic weights (lang, bias, len/1000, distinct
+#: ratio, mean token length): the DEPLOYMENT artifact of a trained LR is
+#: a coefficient table, and applying it at corpus scale is a broadcast
+#: join + projection — training stays in MLlib (ml_lr_confusion_matrix,
+#: rows-only by design); this pins the SCORING math under the hash gate
+#: (r7 verdict item 6 — the NB-twin pattern generalized, the
+#: data_quality_model_score sigmoid discipline reused).
+_LR_WEIGHTS = (
+    ("de", -0.2, 0.30, 0.80, 0.35),
+    ("en", 0.1, 0.25, 1.00, 0.20),
+    ("es", 0.0, 0.20, 0.90, 0.25),
+    ("fr", -0.1, 0.22, 0.95, 0.22),
+    ("zh", 0.3, 0.15, 0.60, -0.10),
+)
+
+_LR_W_SQL = ", ".join(
+    f"('{l}', {w0}, {wl}, {wd}, {wt})" for l, w0, wl, wd, wt in _LR_WEIGHTS
+)
+
+#: shared CTE chain: per-doc features -> all-candidate linear scores ->
+#: argmax row. Reused verbatim by the confusion twin's oracle.
+_LR_CTES = f"""
+    feats AS (
+        SELECT doc_id, lang AS true_lang,
+               CAST(n_chars AS DOUBLE) / 1000 AS x_len,
+               CAST(length(list_distinct(list_filter(
+                    string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+               / length(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS x_dr,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / length(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS x_tl
+        FROM documents
+        WHERE length(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    ),
+    w(cand_lang, w0, w_len, w_dr, w_tl) AS (VALUES {_LR_W_SQL}),
+    lr_scored AS (
+        SELECT f.doc_id, f.true_lang, w.cand_lang,
+               w.w0 + w.w_len * f.x_len + w.w_dr * f.x_dr
+                    + w.w_tl * f.x_tl AS z
+        FROM feats f CROSS JOIN w
+    ),
+    lr_best AS (
+        SELECT doc_id, true_lang, cand_lang, z,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY z DESC, cand_lang ASC
+               ) AS rn
+        FROM lr_scored
+    ),
+    lr_preds AS (
+        SELECT doc_id, true_lang, cand_lang AS pred_lang, z
+        FROM lr_best WHERE rn = 1
+    )
+"""
+
+
+def _p6(col):
+    """Portable 6-decimal rounding: floor(x·10⁶ + 0.5)/10⁶ with the SAME
+    double ops in both engines — bit-identical by construction. The usual
+    round(x, 6) discipline is UNSAFE here: the 2-decimal weights ×
+    3-decimal features put z exactly on 1e-7 lattice boundaries, where
+    the engines' round() implementations disagree (Spark HALF_UPs the
+    shortest-repr decimal via BigDecimal.valueOf; DuckDB's float-scaled
+    floor picks whichever way the x·10⁶ multiply erred — measured
+    disagreeing in BOTH directions on the sf0.01 corpus: z=2.0761125 →
+    Spark 2.076113/DuckDB 2.076112, z=1.8274124999999999 → Spark
+    1.827412/DuckDB 1.827413). floor-form half-up is toward +∞ for
+    negative values — fine, determinism is the contract, not ties-away.
+    Spark's floor returns LONG (DuckDB's DOUBLE): cast before the
+    divide; both sides are integral < 2⁵³ so the division is the same
+    IEEE op."""
+    return F.floor(col * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0
+
+
+def _lr_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_lang, pred_lang, z) — argmax of the fixed-weight
+    linear scores. The weight table is 5 rows → broadcast; scoring is a
+    map-side projection over one corpus scan; argmax is a per-doc
+    window over exactly |langs| candidate rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    feats = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        (F.col("n_chars").cast("double") / 1000).alias("x_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("x_dr"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("x_tl"),
+    ).filter(F.size(toks) > 0)
+    w = spark.createDataFrame(
+        list(_LR_WEIGHTS),
+        "cand_lang string, w0 double, w_len double, w_dr double, w_tl double",
+    )
+    z = (
+        F.col("w0")
+        + F.col("w_len") * F.col("x_len")
+        + F.col("w_dr") * F.col("x_dr")
+        + F.col("w_tl") * F.col("x_tl")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("z"), F.asc("cand_lang"))
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select("doc_id", "true_lang", "cand_lang", z.alias("z"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "z")
+    )
+
+
+@query(
+    "ml_lr_scoring_twin",
+    survey_ref="M7,M6,P1",
+    doc="Oracle-checked LR deployment shape: fixed coefficient table, "
+    "broadcast-join linear scoring, per-doc argmax + sigmoid confidence.",
+    oracle=f"""
+        WITH {_LR_CTES}
+        SELECT doc_id, true_lang, pred_lang,
+               floor(z * 1000000.0 + 0.5) / 1000000.0 AS lr_score,
+               floor((1.0 / (1.0 + exp(-z))) * 1000000.0 + 0.5)
+                   / 1000000.0 AS lr_prob
+        FROM lr_preds
+    """,
+)
+def ml_lr_scoring_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7's LOGISTIC-REGRESSION scoring half under the exact-value hash
+    gate (the ml_nb_relational_twin pattern): a trained LR ships as a
+    coefficient table, and corpus-scale inference is a broadcast join +
+    whole-stage-codegen projection — no model server, no UDF. The MLlib
+    LR (ml_lr_confusion_matrix) remains the production training surface
+    and is rows-only by design; the fixed weights here stand in for its
+    exported coefficients (the data_quality_model_score deployment
+    story, multiclass). z is plain double mul/add with identical
+    parenthesization in both engines (bit-exact — no decimal bridge
+    needed); the sigmoid confidence uses libm exp() and is therefore
+    rounded to 6, with argmax taken on the UNrounded z, ties to the
+    alphabetically first language.
+
+    Scale shape: the weight table is |langs| rows → broadcast; features
+    are one projection over the corpus scan; the per-doc argmax window
+    runs over exactly |langs| candidate rows per doc — scoring never
+    shuffles the corpus by anything but doc_id."""
+    return _lr_scored(spark, sf_dir).select(
+        "doc_id",
+        "true_lang",
+        "pred_lang",
+        _p6(F.col("z")).alias("lr_score"),
+        _p6(1.0 / (1.0 + F.exp(-F.col("z")))).alias("lr_prob"),
+    )
+
+
+@query(
+    "ml_lr_confusion_twin",
+    survey_ref="M10,M7,A5",
+    doc="Oracle-checked per-class confusion metrics (tp/fp/fn, precision/"
+    "recall/F1) over the LR scoring twin's predictions.",
+    oracle=f"""
+        WITH {_LR_CTES}
+        SELECT w.cand_lang AS lang,
+               CAST(COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang
+                    AND p.pred_lang = w.cand_lang) AS BIGINT) AS tp,
+               CAST(COUNT(*) FILTER (WHERE p.true_lang <> w.cand_lang
+                    AND p.pred_lang = w.cand_lang) AS BIGINT) AS fp,
+               CAST(COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang
+                    AND p.pred_lang <> w.cand_lang) AS BIGINT) AS fn,
+               floor(CAST(COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang
+                         AND p.pred_lang = w.cand_lang) AS DOUBLE)
+                     / nullif(COUNT(*) FILTER (WHERE p.pred_lang = w.cand_lang), 0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS precision_,
+               floor(CAST(COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang
+                         AND p.pred_lang = w.cand_lang) AS DOUBLE)
+                     / nullif(COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang), 0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS recall_,
+               floor(2.0 * COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang
+                         AND p.pred_lang = w.cand_lang)
+                     / nullif(COUNT(*) FILTER (WHERE p.pred_lang = w.cand_lang)
+                         + COUNT(*) FILTER (WHERE p.true_lang = w.cand_lang), 0)
+                     * 1000000.0 + 0.5) / 1000000.0 AS f1
+        FROM w CROSS JOIN lr_preds p
+        GROUP BY w.cand_lang
+    """,
+)
+def ml_lr_confusion_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 under the hash gate: per-class confusion counts and derived
+    precision/recall/F1 on a real classifier's predictions (the LR
+    scoring twin's argmax). F1 is computed as 2·tp/(pred_pos + true_pos)
+    — the algebraic form that avoids chaining two rounded divisions —
+    and each metric null-guards its empty denominator (a never-predicted
+    class reports NULL precision, not a division error). The MLlib
+    confusion pivot (ml_lr_confusion_matrix) stays rows-only; this twin
+    pins the evaluation MATH the way the NB twin pins training math.
+
+    Scale shape: predictions aggregate per class over a broadcast
+    |langs|-row spine — one conditional-count pass (A5), output bounded
+    by |langs|."""
+    preds = _lr_scored(spark, sf_dir)
+    w = spark.createDataFrame(
+        [(l,) for l, *_ in _LR_WEIGHTS], "lang string"
+    )
+    tp = F.count_if(
+        (F.col("true_lang") == F.col("lang")) & (F.col("pred_lang") == F.col("lang"))
+    )
+    fp = F.count_if(
+        (F.col("true_lang") != F.col("lang")) & (F.col("pred_lang") == F.col("lang"))
+    )
+    fn = F.count_if(
+        (F.col("true_lang") == F.col("lang")) & (F.col("pred_lang") != F.col("lang"))
+    )
+    pred_pos = F.count_if(F.col("pred_lang") == F.col("lang"))
+    true_pos = F.count_if(F.col("true_lang") == F.col("lang"))
+    return (
+        F.broadcast(w)
+        .crossJoin(preds)
+        .groupBy("lang")
+        .agg(
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+            _p6(tp.cast("double") / F.nullif(pred_pos, F.lit(0))).alias(
+                "precision_"
+            ),
+            _p6(tp.cast("double") / F.nullif(true_pos, F.lit(0))).alias("recall_"),
+            _p6(2.0 * tp / F.nullif(pred_pos + true_pos, F.lit(0))).alias("f1"),
+        )
+    )

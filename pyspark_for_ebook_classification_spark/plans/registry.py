@@ -93,6 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     # parity-green every pytest run — evidence freshness scheduling,
     # not implementation debt.
     # ==========
+    # — r8 mid-round additions (never verified by construction): the
+    #   LR scoring + confusion oracle twins (verdict item 6) —
+    "ml_lr_scoring_twin",
+    "ml_lr_confusion_twin",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -141,8 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_percent_rank_cume",
     "window_first_last_value",
     "sort_multi_nulls",
-    "limit_offset_page",
-    "topk_global_lineitems",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -189,11 +191,14 @@ _PRIORITY: tuple[str, ...] = (
 #       scripts/rotate_priority.py; pinned by
 #       tests/test_oracle_parity.py::test_priority_matches_rotation_script.
 #   r8 (this file's front block): the book closed in r7 (297/297 names
-#       carry a driver verdict, 0 FAILs). First full freshness rotation:
-#       the 12 standing high-risk families, then oldest-verdict-first
-#       (the r1 relational core — scan/filter/join/agg/window — whose
-#       verdicts are 7 rounds old). Derived by scripts/rotate_priority.py
-#       against union(r01..r07); pinned by the rotation-equality test.
+#       carry a driver verdict, 0 FAILs). Slots 1-2: the two r8 query
+#       additions (LR scoring/confusion oracle twins — never verified by
+#       construction, oracle debt drains first). Then the first full
+#       freshness rotation: the 12 standing high-risk families, then
+#       oldest-verdict-first (the r1 relational core — scan/filter/join/
+#       agg/window — whose verdicts are 7 rounds old). Derived by
+#       scripts/rotate_priority.py against union(r01..r07); pinned by
+#       the rotation-equality test.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation

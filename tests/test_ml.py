@@ -211,3 +211,62 @@ def test_nb_relational_twin_matches_pure_python(spark, sf_dir):
     assert got == expected
     acc = sum(1 for t, p, _ in got.values() if t == p) / len(got)
     assert acc > 1.0 / len(langs)  # beats the uniform prior
+
+
+def test_lr_twin_matches_pure_python(spark, sf_dir):
+    """Third engine for the LR scoring twin (parity says Spark == DuckDB;
+    this says both == the intended math): pure-Python feature extraction
+    + fixed-weight argmax must reproduce every prediction, and the
+    confusion twin's counts must be consistent with them (tp+fn = class
+    size, Σ(tp+fp) = n scored docs, F1 = 2tp/(pred+true))."""
+    import math
+
+    from pyspark_for_ebook_classification_spark.ml.queries import _LR_WEIGHTS
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    def r6(x: float) -> float:
+        # the twins' portable rounding (ml/queries._p6): floor(x·10⁶+0.5)
+        # with the same IEEE ops — engine round() disagrees on the z
+        # lattice (see _p6's docstring)
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    ).collect()
+    expected = {}
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t]
+        if not toks:
+            continue
+        x_len = float(r["n_chars"]) / 1000
+        x_dr = len(set(toks)) / len(toks)
+        x_tl = len(r["text"].replace(" ", "")) / len(toks)
+        best = None
+        # _LR_WEIGHTS is lang-ascending, so first strict max == the
+        # twin's (z DESC, cand_lang ASC) tie rule
+        for lang, w0, wl, wd, wt in _LR_WEIGHTS:
+            z = w0 + wl * x_len + wd * x_dr + wt * x_tl
+            if best is None or z > best[1]:
+                best = (lang, z)
+        expected[r["doc_id"]] = (r["lang"], best[0], r6(best[1]))
+
+    got = {
+        r["doc_id"]: (r["true_lang"], r["pred_lang"], r["lr_score"])
+        for r in all_queries()["ml_lr_scoring_twin"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    conf = {
+        r["lang"]: r
+        for r in all_queries()["ml_lr_confusion_twin"].fn(spark, sf_dir).collect()
+    }
+    n = len(got)
+    assert sum(r["tp"] + r["fp"] for r in conf.values()) == n
+    for lang, r in conf.items():
+        true_pos = sum(1 for t, _, _ in got.values() if t == lang)
+        pred_pos = sum(1 for _, p, _ in got.values() if p == lang)
+        assert r["tp"] + r["fn"] == true_pos
+        assert r["tp"] + r["fp"] == pred_pos
+        if pred_pos + true_pos:
+            assert r["f1"] == r6(2.0 * r["tp"] / (pred_pos + true_pos))
