@@ -131,9 +131,10 @@ EXTRA = [
     "sim_rrf_hybrid_fusion",
     "ml_nb_relational_twin",
     "data_temperature_mixing",
-    # r8 additions: the LR scoring/confusion oracle twins
+    # r8 additions: the LR scoring/confusion + NB-eval oracle twins
     "ml_lr_scoring_twin",
     "ml_lr_confusion_twin",
+    "ml_eval_relational_twin",
 ]
 
 

@@ -122,8 +122,10 @@ def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_CUT = 8000  # md5 bucket < 8000 -> train (the split_train_test 0.8 band)
 _NB_SEED = 42
 
-_NB_SQL = f"""
-    WITH docs AS (
+#: the NB train+score CTE chain up to the per-doc argmax; shared by
+#: ml_nb_relational_twin and the ml_eval_relational_twin built on it.
+_NB_CTES = f"""
+    docs AS (
         SELECT doc_id, lang,
                list_filter(string_split(text, ' '), t -> t <> '') AS tokens,
                CAST(('0x' || substring(
@@ -164,16 +166,23 @@ _NB_SQL = f"""
         CROSS JOIN vsize s
         LEFT JOIN cnt_lt c ON c.lang = p.lang AND c.token = e.token
         GROUP BY e.doc_id, e.true_lang, p.lang, p.n_docs, p.n_train
+    ),
+    nb_preds AS (
+        SELECT doc_id, true_lang, cand_lang AS pred_lang,
+               CAST(score AS DOUBLE) AS nb_log_score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
     )
-    SELECT doc_id, true_lang, cand_lang AS pred_lang,
-           CAST(score AS DOUBLE) AS nb_log_score
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC
-        ) AS rn
-        FROM scored
-    )
-    WHERE rn = 1
+"""
+
+_NB_SQL = f"""
+    WITH {_NB_CTES}
+    SELECT doc_id, true_lang, pred_lang, nb_log_score FROM nb_preds
 """
 
 
@@ -515,5 +524,101 @@ def ml_lr_confusion_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             _p6(tp.cast("double") / F.nullif(true_pos, F.lit(0))).alias("recall_"),
             _p6(2.0 * tp / F.nullif(pred_pos + true_pos, F.lit(0))).alias("f1"),
+        )
+    )
+
+
+@query(
+    "ml_eval_relational_twin",
+    survey_ref="M10,M11,A1,A5",
+    doc="Oracle-checked evaluation aggregates over the NB twin's "
+    "predictions: accuracy, macro-F1, support-weighted F1 (one row).",
+    oracle=f"""
+        WITH {_NB_CTES},
+        spine AS (SELECT DISTINCT true_lang AS lang FROM nb_preds),
+        cls AS (
+            SELECT s.lang,
+                   COUNT(*) FILTER (WHERE p.true_lang = s.lang
+                        AND p.pred_lang = s.lang) AS tp,
+                   COUNT(*) FILTER (WHERE p.pred_lang = s.lang) AS pp,
+                   COUNT(*) FILTER (WHERE p.true_lang = s.lang) AS tpos
+            FROM spine s CROSS JOIN nb_preds p
+            GROUP BY s.lang
+        ),
+        f AS (
+            SELECT lang, tpos,
+                   CASE WHEN pp + tpos > 0
+                        THEN 2.0 * tp / (pp + tpos) ELSE 0.0 END AS f1
+            FROM cls
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM nb_preds) AS n_test,
+            (SELECT CAST(COUNT(*) FILTER (WHERE true_lang = pred_lang)
+                 AS BIGINT) FROM nb_preds) AS n_correct,
+            floor((SELECT CAST(COUNT(*) FILTER (WHERE true_lang = pred_lang)
+                       AS DOUBLE) / COUNT(*) FROM nb_preds)
+                  * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+            floor((SELECT SUM(f1) / COUNT(*) FROM f)
+                  * 1000000.0 + 0.5) / 1000000.0 AS macro_f1,
+            floor((SELECT SUM(f1 * tpos) / SUM(tpos) FROM f)
+                  * 1000000.0 + 0.5) / 1000000.0 AS weighted_f1
+    """,
+)
+def ml_eval_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10/M11's metric AGGREGATION math under the hash gate, on a real
+    classifier's held-out predictions (the oracle-checked NB twin):
+    accuracy, macro-F1 (unweighted class mean) and support-weighted F1
+    — the three numbers a model-selection loop compares. Per-class F1
+    uses the 2·tp/(pred_pos + true_pos) algebraic form (one division);
+    a class never predicted scores F1 0 with its true support still
+    weighing the average down (scikit-learn's zero_division=0
+    convention). Divisions of small-integer counts can land on 1e-7
+    rounding boundaries, so all three metrics round via the
+    engine-portable _p6 floor form.
+
+    Scale shape: the class spine is |langs| rows; per-class counts are
+    one conditional-count pass over the predictions (themselves the NB
+    twin's broadcast-scored output); the three metrics reduce the
+    |langs|-row table to one row. The MLlib evaluator
+    (ml_eval_metrics) stays rows-only — this pins the same math
+    relationally."""
+    preds = ml_nb_relational_twin(spark, sf_dir)
+    spine = preds.select(F.col("true_lang").alias("lang")).distinct()
+    tp = F.count_if(
+        (F.col("true_lang") == F.col("lang")) & (F.col("pred_lang") == F.col("lang"))
+    )
+    pp = F.count_if(F.col("pred_lang") == F.col("lang"))
+    tpos = F.count_if(F.col("true_lang") == F.col("lang"))
+    cls = (
+        F.broadcast(spine)
+        .crossJoin(preds)
+        .groupBy("lang")
+        .agg(tp.alias("tp"), pp.alias("pp"), tpos.alias("tpos"))
+    )
+    f1 = F.when(
+        F.col("pp") + F.col("tpos") > 0,
+        2.0 * F.col("tp") / (F.col("pp") + F.col("tpos")),
+    ).otherwise(F.lit(0.0))
+    per_class = cls.select("tpos", f1.alias("f1"))
+    totals = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.count_if(F.col("true_lang") == F.col("pred_lang"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    fagg = per_class.agg(
+        (F.sum("f1") / F.count(F.lit(1))).alias("macro_raw"),
+        (F.sum(F.col("f1") * F.col("tpos")) / F.sum("tpos")).alias("weighted_raw"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(fagg))
+        .select(
+            "n_test",
+            "n_correct",
+            _p6(F.col("n_correct").cast("double") / F.col("n_test")).alias(
+                "accuracy"
+            ),
+            _p6(F.col("macro_raw")).alias("macro_f1"),
+            _p6(F.col("weighted_raw")).alias("weighted_f1"),
         )
     )

@@ -270,3 +270,42 @@ def test_lr_twin_matches_pure_python(spark, sf_dir):
         assert r["tp"] + r["fp"] == pred_pos
         if pred_pos + true_pos:
             assert r["f1"] == r6(2.0 * r["tp"] / (pred_pos + true_pos))
+
+
+def test_eval_twin_matches_pure_python(spark, sf_dir):
+    """The eval twin's accuracy/macro-F1/weighted-F1 must equal a pure-
+    Python recount over the (already oracle-checked) NB twin
+    predictions, through the same _p6 floor rounding."""
+    import math
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    def r6(x):
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    preds = [
+        (r["true_lang"], r["pred_lang"])
+        for r in all_queries()["ml_nb_relational_twin"].fn(spark, sf_dir).collect()
+    ]
+    langs = sorted({t for t, _ in preds})
+    f1 = {}
+    for l in langs:
+        tp = sum(1 for t, p in preds if t == l and p == l)
+        pp = sum(1 for _, p in preds if p == l)
+        tpos = sum(1 for t, _ in preds if t == l)
+        f1[l] = 2.0 * tp / (pp + tpos) if pp + tpos else 0.0
+    n = len(preds)
+    correct = sum(1 for t, p in preds if t == p)
+    expected = {
+        "n_test": n,
+        "n_correct": correct,
+        "accuracy": r6(correct / n),
+        "macro_f1": r6(sum(f1.values()) / len(langs)),
+        "weighted_f1": r6(
+            sum(f1[l] * sum(1 for t, _ in preds if t == l) for l in langs) / n
+        ),
+    }
+    row = all_queries()["ml_eval_relational_twin"].fn(spark, sf_dir).collect()[0]
+    got = {k: row[k] for k in expected}
+    assert got == expected
+    assert 0.0 <= row["accuracy"] <= 1.0 and 0.0 <= row["weighted_f1"] <= 1.0
