@@ -135,6 +135,7 @@ EXTRA = [
     "ml_lr_scoring_twin",
     "ml_lr_confusion_twin",
     "ml_eval_relational_twin",
+    "text_bpe_merge_train",
 ]
 
 

@@ -1772,3 +1772,197 @@ def bm25_search(
             "rank",
         )
     )
+
+
+# --------------------------------------------- BPE merge-loop trainer (L6)
+
+#: fixed merge rounds so a DuckDB oracle can unroll the loop (the
+#: PageRank/k-core parity strategy applied to tokenizer training).
+BPE_ROUNDS = 6
+#: end-of-word marker appended to every word's character stream — the
+#: classic Sennrich et al. 2016 formulation, so merges can distinguish
+#: word-final from word-internal contexts.
+BPE_EOW = "</w>"
+
+
+def _bpe_round_sql(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f""",
+    pr{k} AS (
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT word, cnt, s AS l,
+                   lead(s) OVER (PARTITION BY word ORDER BY p) AS r
+            FROM {prev}
+        ) WHERE r IS NOT NULL GROUP BY l, r
+    ),
+    b{k} AS (SELECT l, r, c FROM pr{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    m{k} AS (
+        SELECT word, cnt, p, s, b.l AS bl, b.r AS br,
+               (s = b.l AND lead(s) OVER (PARTITION BY word ORDER BY p) = b.r) AS m
+        FROM {prev} CROSS JOIN b{k} b
+    ),
+    g{k} AS (
+        SELECT *, CASE WHEN m THEN p - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+            OVER (PARTITION BY word ORDER BY p ROWS UNBOUNDED PRECEDING) END AS grp
+        FROM m{k}
+    ),
+    sel{k} AS (
+        SELECT *, (m AND (p - MIN(CASE WHEN m THEN p END)
+            OVER (PARTITION BY word, grp)) % 2 = 0) AS sel
+        FROM g{k}
+    ),
+    sk{k} AS (
+        SELECT *, COALESCE(LAG(sel) OVER (PARTITION BY word ORDER BY p), false) AS skip
+        FROM sel{k}
+    ),
+    s{k} AS (
+        SELECT word, cnt,
+               row_number() OVER (PARTITION BY word ORDER BY p) AS p,
+               CASE WHEN sel THEN bl || br ELSE s END AS s
+        FROM sk{k} WHERE NOT skip
+    )"""
+
+
+def _bpe_oracle() -> str:
+    ctes = f"""
+    wt AS (
+        SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+        GROUP BY t
+    ),
+    s0 AS (
+        SELECT word, cnt, i AS p, chars[i] AS s
+        FROM (SELECT word, cnt,
+                     list_concat(string_split(word, ''), ['{BPE_EOW}']) AS chars
+              FROM wt),
+             unnest(range(1, length(chars) + 1)) AS u(i)
+    )""" + "".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+    final = " UNION ALL ".join(
+        f"""SELECT {k} AS round, l AS left_sym, r AS right_sym, c AS pair_count,
+            (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM s{k}) AS n_symbols_after,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s{k}) AS n_positions_after
+            FROM b{k}"""
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return f"WITH {ctes}\n    SELECT * FROM ({final}) ORDER BY round"
+
+
+def _bpe_merge_round(s_prev: DataFrame):
+    """One BPE training round on the positional symbol stream
+    (word, cnt, p, s) → (best-merge 1-row frame, merged stream).
+
+    The greedy left-to-right non-overlapping merge is expressed
+    RELATIONALLY instead of as a per-word fold: match flags via lead(),
+    consecutive match runs identified by p − running-match-count (the
+    gaps-and-islands idiom), alternate members of each run selected
+    (`(p − run_start) % 2 = 0` — exactly the positions a sequential
+    scanner would consume), consumed successors dropped via lag(). No
+    lambda fold, no UDF — both engines run the identical window
+    algebra, which is what makes a DuckDB oracle possible at all
+    (DuckDB's list_reduce cannot accumulate an array)."""
+    w = Window.partitionBy("word").orderBy("p")
+    pairs = s_prev.select(
+        "word", "cnt", F.col("s").alias("l"), F.lead("s").over(w).alias("r")
+    )
+    best = (
+        pairs.filter(F.col("r").isNotNull())
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+    m = s_prev.crossJoin(
+        F.broadcast(
+            best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+        )
+    ).withColumn(
+        "m", (F.col("s") == F.col("bl")) & (F.lead("s").over(w) == F.col("br"))
+    )
+    idx = F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = m.withColumn("grp", F.when(F.col("m"), F.col("p") - idx))
+    min_p = F.min(F.when(F.col("m"), F.col("p"))).over(
+        Window.partitionBy("word", "grp")
+    )
+    sel = g.withColumn(
+        "sel", F.col("m") & (((F.col("p") - min_p) % 2) == 0)
+    ).withColumn("skip", F.coalesce(F.lag("sel").over(w), F.lit(False)))
+    merged = (
+        sel.filter(~F.col("skip"))
+        .select(
+            "word",
+            "cnt",
+            F.row_number().over(w).alias("p"),
+            F.when(F.col("sel"), F.concat("bl", "br")).otherwise(F.col("s")).alias("s"),
+        )
+    )
+    return best, merged
+
+
+@query(
+    "text_bpe_merge_train",
+    survey_ref="L6,W2,A1,F1",
+    doc="BPE tokenizer TRAINING: 6 greedy merge rounds over the "
+    "frequency-weighted word-type table — merge table + vocab "
+    "trajectory, oracle-unrolled.",
+    oracle=_bpe_oracle(),
+)
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative half of BPE tokenizer training that
+    text_bpe_pair_stats only counts one round of: Sennrich et al. 2016
+    byte-pair encoding run for a fixed {BPE_ROUNDS} merges, emitting
+    the merge table — (round, merged pair, frequency) plus the
+    vocabulary-size and stream-length trajectory after each merge. The
+    argmax pair is deterministic (count DESC, pair ASC) and the
+    greedy non-overlapping merge is the textbook scanner, re-expressed
+    as window algebra (see _bpe_merge_round) so an unrolled DuckDB
+    oracle replays the whole loop bit-for-bit — the PageRank/k-core
+    parity strategy applied to tokenizer training. A pure-Python
+    sequential-scanner third engine re-derives every round in
+    tests/test_r8_semantics.py.
+
+    Scale shape — the fastBPE observation: training never touches the
+    corpus after ONE tokenize+count pass, because merges act on the
+    frequency-weighted word-TYPE table (Zipf: types ≪ tokens; the
+    corpus-sized work is the same one-shot aggregate text_tfidf_vocab
+    makes). Each round is two window passes + one pair aggregate over
+    the positional symbol stream (≤ word-length rows per type), with
+    the 1-row argmax broadcast back — no corpus rescan, no driver-side
+    state beyond the loop counter, type-table-sized localCheckpoints
+    keeping round lineage flat. At 100 TB: ~10⁸ word types × ~10
+    positions ≈ 10⁹-row stream per round, shuffled once per round on
+    word — the standard distributed-BPE layout."""
+    d = load(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW)))
+    stream = wt.select(
+        "word",
+        "cnt",
+        F.posexplode(chars).alias("p0", "s"),
+    ).select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+    stream = stream.localCheckpoint(eager=True)
+
+    out = None
+    for k in range(1, BPE_ROUNDS + 1):
+        best, merged = _bpe_merge_round(stream)
+        stream = merged.localCheckpoint(eager=True)
+        stats = stream.agg(
+            F.count_distinct("s").cast("bigint").alias("n_symbols_after"),
+            F.count(F.lit(1)).cast("bigint").alias("n_positions_after"),
+        )
+        row = (
+            best.select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").alias("pair_count"),
+            )
+            .crossJoin(F.broadcast(stats))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

@@ -1,0 +1,91 @@
+"""Semantic third-engine checks for the round-8 additions. Parity says
+Spark == DuckDB; these say both == the intended algorithm, via a pure-
+Python reimplementation (the sequential scanner the window algebra
+re-expresses).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark_for_ebook_classification_spark.operators.textops import (
+    BPE_EOW,
+    BPE_ROUNDS,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def _py_bpe(docs: dict[int, list[str]]):
+    """Textbook BPE trainer: greedy left-to-right scanner over the
+    frequency-weighted word-type table. Returns one tuple per round:
+    (round, left, right, pair_count, n_symbols_after, n_positions_after)."""
+    wt = Counter(t for toks in docs.values() for t in toks)
+    words = {w: (list(w) + [BPE_EOW], c) for w, c in wt.items()}
+    out = []
+    for k in range(1, BPE_ROUNDS + 1):
+        pc = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        new = {}
+        for w, (syms, cnt) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new[w] = (merged, cnt)
+        words = new
+        n_sym = len({s for syms, _ in words.values() for s in syms})
+        n_pos = sum(len(syms) for syms, _ in words.values())
+        out.append((k, l, r, c, n_sym, n_pos))
+    return out
+
+
+def test_bpe_merge_train_matches_pure_python(spark, sf_dir):
+    """The window-algebra merge (gaps-and-islands run selection) must
+    reproduce the sequential scanner's merge table and vocabulary
+    trajectory exactly, round for round."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    expected = _py_bpe(docs)
+    got = [
+        (
+            r["round"],
+            r["left_sym"],
+            r["right_sym"],
+            r["pair_count"],
+            r["n_symbols_after"],
+            r["n_positions_after"],
+        )
+        for r in all_queries()["text_bpe_merge_train"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_train_trajectory_invariants(spark, sf_dir):
+    """Structural BPE invariants, data-independent: each merge shrinks
+    the positional stream by exactly pair_count-merged occurrences'
+    consumed successors (positions strictly decrease), the vocabulary
+    never shrinks (a merge ADDS one symbol and removes none until a
+    constituent disappears), merge frequencies are non-increasing in a
+    greedy trainer ONLY per identical stream — so we assert the weaker
+    monotone-positions + bounded-vocab-growth pair that holds always."""
+    rows = sorted(
+        (
+            (r["round"], r["pair_count"], r["n_symbols_after"], r["n_positions_after"])
+            for r in all_queries()["text_bpe_merge_train"].fn(spark, sf_dir).collect()
+        )
+    )
+    assert [k for k, *_ in rows] == list(range(1, BPE_ROUNDS + 1))
+    for (_, c0, v0, p0), (_, c1, v1, p1) in zip(rows, rows[1:]):
+        assert p1 < p0  # every merge consumes at least one position
+        assert v0 <= v1 + 1 and v1 <= v0 + 1  # vocab moves by at most 1
+        assert c1 > 0
