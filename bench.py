@@ -136,6 +136,7 @@ EXTRA = [
     "ml_lr_confusion_twin",
     "ml_eval_relational_twin",
     "text_bpe_merge_train",
+    "text_ccnet_perplexity_buckets",
 ]
 
 

@@ -1966,3 +1966,132 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+# ------------------------------- CCNet reference-perplexity buckets (L4/L6)
+
+#: the curated reference source the quality LM trains on (the same
+#: "target domain" convention as datapipe's DSIR pass).
+CCNET_REF_SOURCE = "src0"
+
+
+@query(
+    "text_ccnet_perplexity_buckets",
+    survey_ref="L4,L6,W1,A1",
+    doc="CCNet-style quality split: bigram LM trained on the curated "
+    "reference source scores every other doc; per-language perplexity "
+    "terciles label head/middle/tail.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, source, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE length({_SQL_TOKENS}) >= 2
+        ),
+        ref AS (SELECT * FROM tok WHERE source = '{CCNET_REF_SOURCE}'),
+        tgt AS (SELECT * FROM tok WHERE source <> '{CCNET_REF_SOURCE}'),
+        rbig AS (
+            SELECT tokens[i] AS w1, tokens[i + 1] AS w2
+            FROM ref, LATERAL unnest(range(1, length(tokens))) AS r(i)
+        ),
+        big_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM rbig GROUP BY w1, w2),
+        left_cnt AS (SELECT w1, COUNT(*) AS c1 FROM rbig GROUP BY w1),
+        vocab AS (
+            SELECT COUNT(DISTINCT t) AS v
+            FROM (SELECT unnest(tokens) AS t FROM ref)
+        ),
+        tbig AS (
+            SELECT doc_id, lang, tokens[i] AS w1, tokens[i + 1] AS w2
+            FROM tgt, LATERAL unnest(range(1, length(tokens))) AS r(i)
+        ),
+        ccnet_scored AS (
+            SELECT doc_id, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CAST(-ln((COALESCE(c12, 0) + 1.0)
+                                     / (COALESCE(c1, 0) + v))
+                        AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+            FROM tbig
+            LEFT JOIN big_cnt USING (w1, w2)
+            LEFT JOIN left_cnt USING (w1)
+            CROSS JOIN vocab
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_bigrams, avg_nll,
+               CASE ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY avg_nll ASC, doc_id ASC)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM ccnet_scored
+    """,
+)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet quality split (Wenzek et al. 2020): a language model
+    trained on a CURATED reference corpus scores every candidate doc;
+    per language, candidates are cut into perplexity terciles — head
+    (closest to the reference distribution, kept), middle, tail
+    (usually dropped or down-sampled). Differs from
+    text_bigram_lm_score in the one way that matters for data curation:
+    the model is trained on the REFERENCE source only and applied
+    OUT-OF-DOMAIN, so out-of-vocabulary bigrams back off to the add-one
+    floor −ln(1/(c1+V)) via null-coalesced left joins rather than
+    always finding themselves in the counts.
+
+    Determinism: each −ln term rounds to decimal(28,6) pre-sum; the
+    per-doc average is one exact-decimal-sum / count division (the davg
+    discipline); tercile assignment orders by (avg_nll, doc_id) so
+    ntile is total-order deterministic in both engines.
+
+    Scale shape: the LM is two reference-sized count tables + one
+    scalar — on a real corpus the reference (wiki-sized) is ≪ the
+    candidate crawl, so both tables broadcast (hint-free here: AQE
+    promotes them when they measure small, shuffle-joins when the
+    reference is genuinely large); scoring is one pass over the
+    candidate bigram stream with a doc-keyed partial agg; the tercile
+    window partitions by language over doc-level rows (count-bounded,
+    never token-bounded)."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "lang", "source", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= 2)
+    )
+    ref = toks.filter(F.col("source") == CCNET_REF_SOURCE)
+    tgt = toks.filter(F.col("source") != CCNET_REF_SOURCE)
+    bigrams = F.expr(
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> struct(element_at(tokens, i) AS w1, "
+        "element_at(tokens, i + 1) AS w2))"
+    )
+    rbig = ref.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    big_cnt = rbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_cnt = rbig.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = ref.select(F.explode("tokens").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    tbig = tgt.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
+        "doc_id", "lang", "b.w1", "b.w2"
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+    )
+    scored = (
+        tbig.join(big_cnt, ["w1", "w2"], "left")
+        .join(left_cnt, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(nll.cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_nll"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    bucket = (
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "avg_nll", bucket.alias("bucket")
+    )

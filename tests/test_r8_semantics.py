@@ -89,3 +89,83 @@ def test_bpe_merge_train_trajectory_invariants(spark, sf_dir):
         assert p1 < p0  # every merge consumes at least one position
         assert v0 <= v1 + 1 and v1 <= v0 + 1  # vocab moves by at most 1
         assert c1 > 0
+
+
+def test_ccnet_buckets_match_pure_python(spark, sf_dir):
+    """Third engine for the CCNet split: a pure-Python add-one bigram LM
+    trained on the reference source must reproduce every candidate
+    doc's average NLL (through the same decimal accumulation) and the
+    per-language tercile labels."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        CCNET_REF_SOURCE,
+    )
+
+    def d6(x):
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    rows = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    ).collect()
+    docs = {
+        r["doc_id"]: (r["lang"], r["source"], [t for t in r["text"].split(" ") if t])
+        for r in rows
+    }
+    big_cnt, left_cnt, vocab = Counter(), Counter(), set()
+    for lang, src, toks in docs.values():
+        if src != CCNET_REF_SOURCE or len(toks) < 2:
+            continue
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big_cnt[(a, b)] += 1
+            left_cnt[a] += 1
+    v = len(vocab)
+
+    scored = {}
+    for doc_id, (lang, src, toks) in docs.items():
+        if src == CCNET_REF_SOURCE or len(toks) < 2:
+            continue
+        acc, n = Decimal(0), 0
+        for a, b in zip(toks, toks[1:]):
+            nll = -math.log(
+                (big_cnt.get((a, b), 0) + 1.0) / (left_cnt.get(a, 0) + v)
+            )
+            acc += d6(nll)
+            n += 1
+        scored[doc_id] = (lang, n, float(acc) / n)
+
+    # per-lang terciles, (avg_nll, doc_id) order — SQL ntile semantics:
+    # first (n mod 3) buckets get the extra rows
+    expected_bucket = {}
+    by_lang: dict = {}
+    for doc_id, (lang, _, nll) in scored.items():
+        by_lang.setdefault(lang, []).append((nll, doc_id))
+    for lang, lst in by_lang.items():
+        lst.sort()
+        n = len(lst)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        labels = ["head", "middle", "tail"]
+        i = 0
+        for b, size in enumerate(sizes):
+            for _ in range(size):
+                expected_bucket[lst[i][1]] = labels[b]
+                i += 1
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_bigrams"], r["avg_nll"], r["bucket"])
+        for r in all_queries()["text_ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(scored)
+    for doc_id, (lang, n, nll) in scored.items():
+        glang, gn, gnll, gbucket = got[doc_id]
+        assert (glang, gn) == (lang, n)
+        assert abs(gnll - nll) < 1e-12
+        assert gbucket == expected_bucket[doc_id]
+    # every language splits into all three buckets when it has >= 3 docs
+    for lang, lst in by_lang.items():
+        if len(lst) >= 3:
+            assert {got[d][3] for _, d in lst} == {"head", "middle", "tail"}
