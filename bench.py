@@ -137,6 +137,7 @@ EXTRA = [
     "ml_eval_relational_twin",
     "text_bpe_merge_train",
     "text_ccnet_perplexity_buckets",
+    "text_winnowing_fingerprints",
 ]
 
 

@@ -2095,3 +2095,113 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.select(
         "doc_id", "lang", "n_bigrams", "avg_nll", bucket.alias("bucket")
     )
+
+
+# --------------------------------------------- winnowing fingerprints (L1/L4)
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per w grams
+
+
+@query(
+    "text_winnowing_fingerprints",
+    survey_ref="L1,L4,F7,A1",
+    doc="Winnowing document fingerprints (Schleimer et al. 2003): "
+    "rightmost-minimum k-gram hash per sliding window, deduplicated "
+    "per doc — the MOSS overlap-detection scheme.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE doc_id % 10 = 0
+              AND length({_SQL_TOKENS}) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        grams AS (
+            SELECT doc_id,
+                   length(tokens) - {WINNOW_K - 1} AS m,
+                   i AS p,
+                   md5(array_to_string(tokens[i:i + {WINNOW_K - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(range(1, length(tokens) - {WINNOW_K - 2})) AS u(i)
+        ),
+        wins AS (
+            SELECT doc_id, t,
+                   h || lpad(CAST(999999999 - p AS VARCHAR), 9, '0') AS key
+            FROM grams,
+                 unnest(range(greatest(p, {WINNOW_W}),
+                              least(p + {WINNOW_W - 1}, m) + 1)) AS u(t)
+        ),
+        sel AS (
+            SELECT doc_id, MIN(key) AS key
+            FROM wins GROUP BY doc_id, t
+        )
+        SELECT DISTINCT doc_id,
+               CAST(999999999 - CAST(substring(key, 33, 9) AS INT) AS INT) AS pos,
+               substring(key, 1, 32) AS fp
+        FROM sel
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING (Schleimer, Wilkerson & Aiken 2003) — the fingerprint
+    SELECTION step the MOSS plagiarism detector made standard, and the
+    missing middle between text_fingerprint_shingle (one global min per
+    doc — too coarse to localize overlap) and dedup_substring_spans
+    (every duplicated gram — exhaustive): from each sliding window of
+    {WINNOW_W} consecutive k-gram hashes keep the MINIMUM, ties to the
+    RIGHTMOST, then deduplicate selections. Guarantees: any shared
+    substring of {WINNOW_K + WINNOW_W - 1}+ tokens yields a shared
+    fingerprint (detection floor), and density is bounded at ~2/(w+1) —
+    a tunable index-size/recall dial no other pass here offers.
+
+    Cross-engine shape: the rightmost-tie window argmin is ONE string-
+    packed MIN per (doc, window) — key = md5hex ∥ zero-padded(10⁹−p),
+    the dedup pass's _FIRST_KEY arbitration idiom, so h orders
+    ascending and position descending inside a single comparison; both
+    engines decode (pos, fp) back from the winning key. No per-window
+    sort, no lambda fold.
+
+    Scale shape: grams explode ×1 and windows ×{WINNOW_W} (a constant)
+    — linear in corpus tokens; the (doc, window) argmin partial-
+    aggregates map-side; DISTINCT is (doc, pos, fp)-keyed. At 100 TB
+    the fingerprint index this emits is the ~2/(w+1)-density posting
+    table overlap search joins on, built in two shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", _tokens().alias("tokens"))
+        .filter(F.size("tokens") >= WINNOW_K + WINNOW_W - 1)
+    )
+    gram_struct = F.expr(
+        f"transform(sequence(1, size(tokens) - {WINNOW_K - 1}), "
+        f"p -> struct(p AS p, md5(concat_ws(' ', slice(tokens, p, {WINNOW_K}))) AS h))"
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            (F.size("tokens") - (WINNOW_K - 1)).alias("m"),
+            F.explode(gram_struct).alias("g"),
+        )
+        .select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    key = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(999999999) - F.col("p")).cast("string"), 9, "0"),
+    )
+    wins = grams.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(p, {WINNOW_W}), "
+                f"least(p + {WINNOW_W - 1}, m))"
+            )
+        ).alias("t"),
+        key.alias("key"),
+    )
+    sel = wins.groupBy("doc_id", "t").agg(F.min("key").alias("key"))
+    return sel.select(
+        "doc_id",
+        (F.lit(999999999) - F.substring("key", 33, 9).cast("int"))
+        .cast("int")
+        .alias("pos"),
+        F.substring("key", 1, 32).alias("fp"),
+    ).distinct()

@@ -95,13 +95,14 @@ _PRIORITY: tuple[str, ...] = (
     # ==========
     # — r8 mid-round additions (never verified by construction): the
     #   LR scoring/confusion + NB-eval oracle twins (verdict item 6)
-    #   the unrolled BPE merge-loop trainer, and the CCNet
-    #   reference-perplexity tercile split —
+    #   the unrolled BPE merge-loop trainer, the CCNet
+    #   reference-perplexity tercile split, and winnowing fingerprints —
     "ml_lr_scoring_twin",
     "ml_lr_confusion_twin",
     "ml_eval_relational_twin",
     "text_bpe_merge_train",
     "text_ccnet_perplexity_buckets",
+    "text_winnowing_fingerprints",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -146,7 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead_events",
     "window_running_sum",
     "window_moving_avg_range",
-    "window_topn_revenue_per_segment",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -193,9 +193,10 @@ _PRIORITY: tuple[str, ...] = (
 #       scripts/rotate_priority.py; pinned by
 #       tests/test_oracle_parity.py::test_priority_matches_rotation_script.
 #   r8 (this file's front block): the book closed in r7 (297/297 names
-#       carry a driver verdict, 0 FAILs). Slots 1-5: the five r8 query
+#       carry a driver verdict, 0 FAILs). Slots 1-6: the six r8 query
 #       additions (LR scoring/confusion + NB-eval oracle twins, the
-#       BPE merge-loop trainer, the CCNet perplexity split — never verified by
+#       BPE merge-loop trainer, the CCNet perplexity split, winnowing
+#       fingerprints — never verified by
 #       construction, oracle debt drains first). Then the first full
 #       freshness rotation: the 12 standing high-risk families, then
 #       oldest-verdict-first (the r1 relational core — scan/filter/join/

@@ -169,3 +169,91 @@ def test_ccnet_buckets_match_pure_python(spark, sf_dir):
     for lang, lst in by_lang.items():
         if len(lst) >= 3:
             assert {got[d][3] for _, d in lst} == {"head", "middle", "tail"}
+
+
+def _py_winnow(tokens: list[str]):
+    """Textbook winnowing scanner: k-gram md5 hashes, sliding window of
+    w, min selected with rightmost tie, selections deduplicated."""
+    import hashlib
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    m = len(tokens) - WINNOW_K + 1
+    hs = [
+        hashlib.md5(" ".join(tokens[p : p + WINNOW_K]).encode()).hexdigest()
+        for p in range(m)
+    ]
+    out = set()
+    for t in range(WINNOW_W - 1, m):
+        window = hs[t - WINNOW_W + 1 : t + 1]
+        mn = min(window)
+        # rightmost occurrence of the min inside this window
+        off = max(i for i, h in enumerate(window) if h == mn)
+        out.add((t - WINNOW_W + 1 + off + 1, mn))  # 1-based position
+    return out
+
+
+def test_winnowing_matches_pure_python(spark, sf_dir):
+    """The string-packed window argmin must reproduce the sequential
+    winnowing scanner's fingerprint set exactly, per document."""
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+        if r["doc_id"] % 10 == 0
+    }
+    expected = {
+        d: _py_winnow(toks)
+        for d, toks in docs.items()
+        if len(toks) >= WINNOW_K + WINNOW_W - 1
+    }
+    got: dict = {}
+    for r in all_queries()["text_winnowing_fingerprints"].fn(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert got == expected
+    # density guarantee: at least one fingerprint per w-window, at most
+    # one per window => count in [ceil(n_windows/w)... n_windows]
+    for d, fps in expected.items():
+        n_windows = len(docs[d]) - WINNOW_K + 1 - (WINNOW_W - 1)
+        assert 1 <= len(fps) <= n_windows
+
+
+def test_winnowing_shared_substring_guarantee(spark, tmp_path, sf_dir):
+    """The detection-floor guarantee: two documents sharing a run of
+    k+w-1 (= 6) tokens MUST share at least one fingerprint — planted
+    fixture, end-to-end through the Spark query."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        "one two three " + shared + " four five six",
+        "seven eight nine ten " + shared + " eleven",
+    ]
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1000000, 1000010], type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en", "en"], type=pa.string()),
+            "source": pa.array(["srcX", "srcX"], type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    ).cast(src.schema.remove_metadata())
+    pq.write_table(rows, os.path.join(tmp_path, "documents.parquet"))
+    out: dict = {}
+    for r in (
+        all_queries()["text_winnowing_fingerprints"].fn(spark, str(tmp_path)).collect()
+    ):
+        out.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert set(out) == {1000000, 1000010}
+    assert out[1000000] & out[1000010], "shared 6-token run produced no shared fingerprint"
