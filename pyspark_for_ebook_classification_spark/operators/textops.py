@@ -2205,3 +2205,105 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
         F.substring("key", 1, 32).alias("fp"),
     ).distinct()
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    eow: str = BPE_EOW,
+) -> DataFrame:
+    """PRODUCTION BPE trainer: run ``rounds`` greedy merges over the
+    frequency-weighted word-type table of ``docs`` (the declared
+    ``text_bpe_merge_train`` fixes the corpus and {BPE_ROUNDS} rounds so
+    a DuckDB oracle can unroll it). Returns the merge table —
+    (round, left_sym, right_sym, pair_count, n_symbols_after,
+    n_positions_after) — which IS the tokenizer artifact: applying a
+    trained BPE is replaying this table's merges in order.
+
+    Same shape per round as the declared query: the corpus is tokenized
+    and counted exactly once (fastBPE's observation — merges act on
+    word TYPES, Zipf makes types ≪ tokens), then each round is two
+    window passes + one pair aggregate over the positional symbol
+    stream with the 1-row argmax broadcast back, type-table-sized
+    localCheckpoints keeping lineage flat."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    wt = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.concat(F.split("word", ""), F.array(F.lit(eow)))
+    stream = (
+        wt.select("word", "cnt", F.posexplode(chars).alias("p0", "s"))
+        .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in range(1, rounds + 1):
+        best, merged = _bpe_merge_round(stream)
+        stream = merged.localCheckpoint(eager=True)
+        stats = stream.agg(
+            F.count_distinct("s").cast("bigint").alias("n_symbols_after"),
+            F.count(F.lit(1)).cast("bigint").alias("n_positions_after"),
+        )
+        row = best.select(
+            F.lit(k).alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("c").alias("pair_count"),
+        ).crossJoin(F.broadcast(stats))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION winnowing: fingerprint ANY (id, text) frame with
+    caller-chosen k-gram size and window (the declared
+    ``text_winnowing_fingerprints`` fixes k={WINNOW_K}, w={WINNOW_W} and
+    a 1/10 doc sample for the oracle). Returns (id_col, pos, fp) — the
+    posting table an overlap search self-joins on fp. Guarantees per
+    Schleimer et al.: any shared run of k+w−1 tokens shares a
+    fingerprint; density ≤ 1 per window, ~2/(w+1) expected."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+        .filter(F.size("tokens") >= k + w - 1)
+    )
+    gram_struct = F.expr(
+        f"transform(sequence(1, size(tokens) - {k - 1}), "
+        f"p -> struct(p AS p, md5(concat_ws(' ', slice(tokens, p, {k}))) AS h))"
+    )
+    grams = base.select(
+        "doc_id",
+        (F.size("tokens") - (k - 1)).alias("m"),
+        F.explode(gram_struct).alias("g"),
+    ).select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    key = F.concat(
+        F.col("h"), F.lpad((F.lit(999999999) - F.col("p")).cast("string"), 9, "0")
+    )
+    wins = grams.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(greatest(p, {w}), least(p + {w - 1}, m))")).alias(
+            "t"
+        ),
+        key.alias("key"),
+    )
+    return (
+        wins.groupBy("doc_id", "t")
+        .agg(F.min("key").alias("key"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            (F.lit(999999999) - F.substring("key", 33, 9).cast("int"))
+            .cast("int")
+            .alias("pos"),
+            F.substring("key", 1, 32).alias("fp"),
+        )
+        .distinct()
+    )

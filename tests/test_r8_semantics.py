@@ -257,3 +257,42 @@ def test_winnowing_shared_substring_guarantee(spark, tmp_path, sf_dir):
         out.setdefault(r["doc_id"], set()).add(r["fp"])
     assert set(out) == {1000000, 1000010}
     assert out[1000000] & out[1000010], "shared 6-token run produced no shared fingerprint"
+
+
+def test_bpe_train_and_winnow_parameterized_forms(spark):
+    """The production entry points on ad-hoc frames: bpe_train must
+    agree with the pure scanner on a tiny corpus at a NON-declared round
+    count, and winnow_fingerprints must honor caller k/w (a window of 2
+    selects every local min — denser than the declared w=4)."""
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        bpe_train,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "low new low new low"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(docs, rounds=3).collect()
+    ]
+    expected = [
+        (k, l, r, c) for k, l, r, c, _, _ in _py_bpe({d: t.split() for d, t in rows})
+    ][:3]
+    assert got == expected
+
+    fp2 = winnow_fingerprints(docs, k=2, w=2)
+    fp4 = winnow_fingerprints(docs, k=2, w=4)
+    n2 = {r["doc_id"]: 0 for r in fp2.collect()}
+    for r in fp2.collect():
+        n2[r["doc_id"]] += 1
+    n4 = {d: 0 for d in n2}
+    for r in fp4.collect():
+        n4[r["doc_id"]] += 1
+    # smaller window => denser (or equal) fingerprint index
+    assert all(n2[d] >= n4.get(d, 0) for d in n2)
+    assert all(v >= 1 for v in n2.values())
