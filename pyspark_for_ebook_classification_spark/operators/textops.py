@@ -2175,12 +2175,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(tokens) - {WINNOW_K - 1}), "
         f"p -> struct(p AS p, md5(concat_ws(' ', slice(tokens, p, {WINNOW_K}))) AS h))"
     )
+    # m is computed BEFORE the Generate (the lint rule): projected beside
+    # the explode it would re-evaluate per OUTPUT row
     grams = (
         toks.select(
-            "doc_id",
-            (F.size("tokens") - (WINNOW_K - 1)).alias("m"),
-            F.explode(gram_struct).alias("g"),
+            "doc_id", "tokens", (F.size("tokens") - (WINNOW_K - 1)).alias("m")
         )
+        .select("doc_id", "m", F.explode(gram_struct).alias("g"))
         .select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )
     key = F.concat(
@@ -2280,11 +2281,11 @@ def winnow_fingerprints(
         f"transform(sequence(1, size(tokens) - {k - 1}), "
         f"p -> struct(p AS p, md5(concat_ws(' ', slice(tokens, p, {k}))) AS h))"
     )
-    grams = base.select(
-        "doc_id",
-        (F.size("tokens") - (k - 1)).alias("m"),
-        F.explode(gram_struct).alias("g"),
-    ).select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    grams = (
+        base.select("doc_id", "tokens", (F.size("tokens") - (k - 1)).alias("m"))
+        .select("doc_id", "m", F.explode(gram_struct).alias("g"))
+        .select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
     key = F.concat(
         F.col("h"), F.lpad((F.lit(999999999) - F.col("p")).cast("string"), 9, "0")
     )
