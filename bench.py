@@ -138,6 +138,7 @@ EXTRA = [
     "text_bpe_merge_train",
     "text_ccnet_perplexity_buckets",
     "text_winnowing_fingerprints",
+    "text_winnowing_overlap_pairs",
 ]
 
 

@@ -2308,3 +2308,115 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+#: a fingerprint shared by more docs than this is boilerplate, not
+#: overlap signal — the SHINGLE_DF_MAX bounded-expansion discipline
+#: applied to the winnowing index (pair slots ≤ OCC·(cap−1)/2).
+WINNOW_FP_DF_MAX = 16
+
+
+@query(
+    "text_winnowing_overlap_pairs",
+    survey_ref="L1,L2,J8,A1",
+    doc="MOSS-style overlap candidates: doc pairs sharing df-capped "
+    "winnowing fingerprints, scored by shared count and containment "
+    "ratio vs the smaller doc's fingerprint total.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE doc_id % 10 = 0
+              AND length({_SQL_TOKENS}) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        grams AS (
+            SELECT doc_id,
+                   length(tokens) - {WINNOW_K - 1} AS m,
+                   i AS p,
+                   md5(array_to_string(tokens[i:i + {WINNOW_K - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(range(1, length(tokens) - {WINNOW_K - 2})) AS u(i)
+        ),
+        wins AS (
+            SELECT doc_id, t,
+                   h || lpad(CAST(999999999 - p AS VARCHAR), 9, '0') AS key
+            FROM grams,
+                 unnest(range(greatest(p, {WINNOW_W}),
+                              least(p + {WINNOW_W - 1}, m) + 1)) AS u(t)
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, substring(key, 1, 32) AS fp
+            FROM (SELECT doc_id, MIN(key) AS key FROM wins GROUP BY doc_id, t)
+        ),
+        fdf AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+        tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+        kept AS (
+            SELECT f.doc_id, f.fp FROM fps f JOIN fdf USING (fp)
+            WHERE df BETWEEN 2 AND {WINNOW_FP_DF_MAX}
+        ),
+        wpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared,
+               floor(n_shared / CAST(least(ta.n_fp, tb.n_fp) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS overlap
+        FROM wpairs
+        JOIN tot ta ON ta.doc_id = doc_a
+        JOIN tot tb ON tb.doc_id = doc_b
+    """,
+)
+def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEARCH half of the MOSS pipeline (the fingerprint index's
+    whole purpose): candidate overlap pairs = docs sharing at least one
+    df-capped winnowing fingerprint, scored by the shared count and a
+    containment-style ratio against the SMALLER doc's fingerprint total
+    (a small doc quoted inside a big one scores high — the
+    text_minhash_containment asymmetry argument, at fingerprint
+    granularity). The df cap is the bounded-expansion gate: a
+    boilerplate fingerprint in every doc would otherwise pair
+    quadratically; capped, pair slots ≤ OCC·({WINNOW_FP_DF_MAX}−1)/2 —
+    linear in kept fingerprint occurrences (the containment budget
+    proof, applied to this index). The overlap ratio rounds via the
+    portable floor form (small-integer ratios land on 1e-7 lattice
+    boundaries where engine round() disagrees — the ml/_p6 finding).
+
+    Scale shape: reuses the fingerprint build (two shuffles, ~2/(w+1)
+    density), one fp-keyed self-join bounded by the df cap, one
+    pair-keyed partial agg, two broadcast-size joins for the per-doc
+    totals. No corpus-squared anything."""
+    fps = (
+        text_winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fdf = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    tot = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    kept = fps.join(
+        fdf.filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_FP_DF_MAX)), "fp"
+    ).select("doc_id", "fp")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    overlap_raw = F.col("n_shared") / F.least("ta.n_fp", "tb.n_fp").cast("double")
+    return (
+        pairs.join(tot.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tot.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.floor(overlap_raw * 1000000.0 + F.lit(0.5)).cast("double")
+                / 1000000.0
+            ).alias("overlap"),
+        )
+    )

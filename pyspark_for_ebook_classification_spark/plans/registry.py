@@ -96,13 +96,15 @@ _PRIORITY: tuple[str, ...] = (
     # — r8 mid-round additions (never verified by construction): the
     #   LR scoring/confusion + NB-eval oracle twins (verdict item 6)
     #   the unrolled BPE merge-loop trainer, the CCNet
-    #   reference-perplexity tercile split, and winnowing fingerprints —
+    #   reference-perplexity tercile split, and the winnowing
+    #   fingerprint index + its overlap search —
     "ml_lr_scoring_twin",
     "ml_lr_confusion_twin",
     "ml_eval_relational_twin",
     "text_bpe_merge_train",
     "text_ccnet_perplexity_buckets",
     "text_winnowing_fingerprints",
+    "text_winnowing_overlap_pairs",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -146,7 +148,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     "window_lag_lead_events",
     "window_running_sum",
-    "window_moving_avg_range",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -193,10 +194,10 @@ _PRIORITY: tuple[str, ...] = (
 #       scripts/rotate_priority.py; pinned by
 #       tests/test_oracle_parity.py::test_priority_matches_rotation_script.
 #   r8 (this file's front block): the book closed in r7 (297/297 names
-#       carry a driver verdict, 0 FAILs). Slots 1-6: the six r8 query
+#       carry a driver verdict, 0 FAILs). Slots 1-7: the seven r8 query
 #       additions (LR scoring/confusion + NB-eval oracle twins, the
 #       BPE merge-loop trainer, the CCNet perplexity split, winnowing
-#       fingerprints — never verified by
+#       fingerprints + overlap search — never verified by
 #       construction, oracle debt drains first). Then the first full
 #       freshness rotation: the 12 standing high-risk families, then
 #       oldest-verdict-first (the r1 relational core — scan/filter/join/

@@ -296,3 +296,56 @@ def test_bpe_train_and_winnow_parameterized_forms(spark):
     # smaller window => denser (or equal) fingerprint index
     assert all(n2[d] >= n4.get(d, 0) for d in n2)
     assert all(v >= 1 for v in n2.values())
+
+
+def test_winnowing_overlap_pairs_match_pure_python(spark, sf_dir):
+    """Third engine for the overlap search: pure-Python fingerprints →
+    df-capped pair counts → containment ratio (floor-form rounding) must
+    match exactly, and the pair budget holds: pairs ≤ Σ C(df,2) over
+    kept fingerprints ≤ OCC·(cap−1)/2."""
+    import math
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        WINNOW_FP_DF_MAX,
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+        if r["doc_id"] % 10 == 0
+    }
+    fps = {
+        d: {fp for _, fp in _py_winnow(toks)}
+        for d, toks in docs.items()
+        if len(toks) >= WINNOW_K + WINNOW_W - 1
+    }
+    df = Counter(fp for s in fps.values() for fp in s)
+    kept = {
+        d: {fp for fp in s if 2 <= df[fp] <= WINNOW_FP_DF_MAX}
+        for d, s in fps.items()
+    }
+    expected = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = len(kept[a] & kept[b])
+            if shared:
+                ratio = shared / min(len(fps[a]), len(fps[b]))
+                expected[(a, b)] = (
+                    shared,
+                    math.floor(ratio * 1000000.0 + 0.5) / 1000000.0,
+                )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["overlap"])
+        for r in all_queries()["text_winnowing_overlap_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    kept_df = [c for c in df.values() if 2 <= c <= WINNOW_FP_DF_MAX]
+    occ = sum(kept_df)
+    assert sum(v[0] for v in got.values()) == sum(c * (c - 1) // 2 for c in kept_df)
+    assert sum(v[0] for v in got.values()) <= occ * (WINNOW_FP_DF_MAX - 1) // 2
