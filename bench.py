@@ -139,7 +139,66 @@ EXTRA = [
     "text_ccnet_perplexity_buckets",
     "text_winnowing_fingerprints",
     "text_winnowing_overlap_pairs",
+    # r9 additions: the M1->M5 fit-statistics twin
+    "ml_tfidf_pipeline_twin",
 ]
+
+
+#: Canary-drift auto-remeasure trigger (r8 verdict item 3): r8 shipped
+#: +16% host-contaminated numbers because the old 20% trigger never fired.
+#: 10% is above the canary's quiet-host jitter (measured ±6% min-of-3 on
+#: repeated idle runs) but below every observed contamination episode
+#: (r6: +21%, r8: +16%).
+CANARY_DRIFT_TRIGGER = 0.10
+#: Second tripwire (r8 verdict item 3): the same-round SCALING table
+#: re-measures most headline queries minutes apart from BENCH; in r8 the
+#: two disagreed query-by-query (join_inner 1.447 s SCALING vs 1.570 s
+#: BENCH) which is exactly the host-load signature. If any headline
+#: query's BENCH time exceeds its recorded SCALING sf0.1 time by >25%,
+#: the pass re-runs. A stale-high SCALING reference can only SUPPRESS the
+#: trigger (safe direction); a quiet-host reference catches a noisy BENCH.
+SCALING_DISAGREE_TRIGGER = 0.25
+
+
+def parse_scaling_reference(path: str) -> dict[str, float]:
+    """Per-query sf0.1 wall seconds from SCALING.md's table (col 3).
+    Missing file or unparseable rows → empty/partial dict (guard skips)."""
+    ref: dict[str, float] = {}
+    if not os.path.exists(path):
+        return ref
+    row = re.compile(r"^\|\s*(\w+)\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|")
+    with open(path) as fh:
+        for line in fh:
+            m = row.match(line)
+            if m:
+                try:
+                    ref[m.group(1)] = float(m.group(2))
+                except ValueError:
+                    pass
+    return ref
+
+
+def second_pass_reasons(
+    drift: float,
+    timings: dict[str, float],
+    scaling_ref: dict[str, float],
+    sf: float,
+) -> list[str]:
+    """Pure guard decision (tested over recorded fixtures in
+    tests/test_bench_guards.py). Non-empty → the measured pass is
+    suspect and must be merged with a re-run."""
+    reasons: list[str] = []
+    if drift > CANARY_DRIFT_TRIGGER:
+        reasons.append(f"canary degraded {drift:.0%} (> {CANARY_DRIFT_TRIGGER:.0%})")
+    if abs(sf - 0.1) < 1e-9:  # SCALING's reference column is sf0.1
+        for name, t in timings.items():
+            ref = scaling_ref.get(name)
+            if ref and ref > 0 and t > ref * (1 + SCALING_DISAGREE_TRIGGER):
+                reasons.append(
+                    f"{name} {t:.3f}s exceeds SCALING reference {ref:.3f}s "
+                    f"by {t / ref - 1:.0%} (> {SCALING_DISAGREE_TRIGGER:.0%})"
+                )
+    return reasons
 
 
 def main() -> None:
@@ -206,9 +265,13 @@ def main() -> None:
     timings = measure(names)
     canary_post = min(run_once(CANARY) for _ in range(3))
     drift = (canary_post - canary_pre) / max(canary_pre, 1e-9)
-    if drift > 0.20:
-        print(f"# canary degraded {drift:.0%} — host noisy, merging second pass",
-              file=sys.stderr)
+    scaling_ref = parse_scaling_reference(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md")
+    )
+    reasons = second_pass_reasons(drift, timings, scaling_ref, sf)
+    if reasons:
+        for r in reasons:
+            print(f"# guard tripped: {r} — merging second pass", file=sys.stderr)
         second = measure(names)
         timings = {n: min(timings[n], second[n]) for n in names}
         canary_post = min(run_once(CANARY) for _ in range(3))
@@ -233,6 +296,13 @@ def main() -> None:
                     "pre_sec": round(canary_pre, 3),
                     "post_sec": round(canary_post, 3),
                     "drift_pct": round(100 * drift, 1),
+                },
+                "guards": {
+                    "canary_trigger_pct": round(100 * CANARY_DRIFT_TRIGGER, 1),
+                    "scaling_disagree_trigger_pct": round(
+                        100 * SCALING_DISAGREE_TRIGGER, 1
+                    ),
+                    "second_pass_reasons": reasons,
                 },
             }
         )

@@ -622,3 +622,137 @@ def ml_eval_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             _p6(F.col("weighted_raw")).alias("weighted_f1"),
         )
     )
+
+
+# ------------------------- relational TF-IDF pipeline fit-stats twin
+
+#: MLlib's default English stop-word list (StopWordsRemover resource
+#: ``org/apache/spark/ml/feature/stopwords/english.txt``), frozen here so
+#: the oracle SQL can apply the IDENTICAL M2 filter; pinned verbatim
+#: against StopWordsRemover.loadDefaultStopWords("english") by
+#: tests/test_ml.py::test_stopword_constant_matches_mllib.
+_EN_STOPWORDS = (
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you',
+    'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his',
+    'himself', 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself',
+    'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which',
+    'who', 'whom', 'this', 'that', 'these', 'those', 'am', 'is', 'are',
+    'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had', 'having',
+    'do', 'does', 'did', 'doing', 'a', 'an', 'the', 'and', 'but', 'if',
+    'or', 'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for',
+    'with', 'about', 'against', 'between', 'into', 'through', 'during',
+    'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down', 'in',
+    'out', 'on', 'off', 'over', 'under', 'again', 'further', 'then',
+    'once', 'here', 'there', 'when', 'where', 'why', 'how', 'all', 'any',
+    'both', 'each', 'few', 'more', 'most', 'other', 'some', 'such', 'no',
+    'nor', 'not', 'only', 'own', 'same', 'so', 'than', 'too', 'very', 's',
+    't', 'can', 'will', 'just', 'don', 'should', 'now', "i'll", "you'll",
+    "he'll", "she'll", "we'll", "they'll", "i'd", "you'd", "he'd",
+    "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's", "it's",
+    "we're", "they're", "i've", "we've", "you've", "they've", "isn't",
+    "aren't", "wasn't", "weren't", "haven't", "hasn't", "hadn't", "don't",
+    "doesn't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "mustn't", "can't", "couldn't", 'cannot', 'could', "here's", "how's",
+    "let's", 'ought', "that's", "there's", "what's", "when's", "where's",
+    "who's", "why's", 'would',
+)
+
+_SW_IN = ", ".join("'" + w.replace("'", "''") + "'" for w in _EN_STOPWORDS)
+
+_TFIDF_TWIN_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x <> ''
+                   )) AS term
+            FROM documents
+        )
+        WHERE term NOT IN ({_SW_IN})
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df,
+               round(ln((n.n_docs + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)), 6)
+                   AS idf
+        FROM tok, n
+        GROUP BY term, n.n_docs
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    )
+    SELECT doc_id, feat_rank, term, tf, df, idf, tf * idf AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, i.df, i.idf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * i.idf DESC, tf.term ASC
+               ) AS feat_rank
+        FROM tf JOIN idf i ON i.term = tf.term
+    )
+    WHERE feat_rank <= 3
+"""
+
+
+@query(
+    "ml_tfidf_pipeline_twin",
+    survey_ref="M1,M2,M4,M5,M8,L6",
+    doc="Oracle-checked M1->M5 fit-statistics twin: regex tokenize, "
+    "stop-word removal, per-term df/idf, per-doc top-3 TF-IDF features.",
+    oracle=_TFIDF_TWIN_SQL,
+)
+def ml_tfidf_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature half of the M1->M8 pipeline under the exact-value hash
+    gate (r8 verdict task 4 - the NB/LR twin pattern applied to the
+    FEATURIZER): RegexTokenizer(pattern=\\W+, lowercase) -> StopWordsRemover
+    (MLlib's default English list, frozen above) -> CountVectorizer-style
+    vocabulary under the same minDF=2 cut the M4/M5 bridge test uses ->
+    MLlib's IDF formula ln((N+1)/(df+1)) -> per-doc top-3 features by
+    tf*idf (ties to the alphabetically first term). Bridge test
+    tests/test_ml.py::test_tfidf_pipeline_twin_matches_mllib re-derives
+    every value from the actual MLlib stages, so the declared query, the
+    DuckDB oracle, and pyspark.ml form a three-engine agreement on the
+    pipeline's own outputs. idf is rounded to 6dp pre-product (libm
+    independence); tfidf = bigint tf x the SAME rounded double in both
+    engines, so products and the rank order are bit-identical.
+
+    Scale shape: one explode -> token-keyed partial agg builds the
+    vocabulary (df >= 2 keeps it domain-bounded); the idf table BROADCASTS
+    to the (doc,term) tf stream - the corpus-sized side never reshuffles -
+    and top-3 is a doc-keyed WindowGroupLimit, rank pushed before any
+    sort materializes. No collect, no driver-side vocabulary.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != ""
+    )
+    tok = (
+        d.select("doc_id", F.explode(terms).alias("term"))
+        .filter(~F.col("term").isin(*_EN_STOPWORDS))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    feat = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        feat.withColumn("feat_rank", F.row_number().over(w))
+        .filter(F.col("feat_rank") <= 3)
+        .select("doc_id", "feat_rank", "term", "tf", "df", "idf", "tfidf")
+    )

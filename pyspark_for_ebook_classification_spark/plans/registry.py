@@ -83,21 +83,20 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r8 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r07) — 297 of 297 verified,
-    # the book is closed; 0 FAILs ever outstanding). First full
-    # POST-CLOSURE freshness rotation: the 12 standing high-risk
-    # families (pair pipelines, decimal-heavy aggregates, global-rank
-    # consumers) in standing-cycle order, then oldest-verdict-first
-    # round-robin over the r1 relational core. All 50 are locally
-    # parity-green every pytest run — evidence freshness scheduling,
-    # not implementation debt.
-    # ==========
-    # — r8 mid-round additions (never verified by construction): the
-    #   LR scoring/confusion + NB-eval oracle twins (verdict item 6)
-    #   the unrolled BPE merge-loop trainer, the CCNet
-    #   reference-perplexity tercile split, and the winnowing
-    #   fingerprint index + its overlap search —
+    # ========== r9 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r08) — 304/304 verified,
+    # 0 FAILs ever outstanding). Tier PINNED leads (r8 verdict task 1):
+    # text_bm25_topk + sim_rrf_hybrid_fusion were REPAIRED in r8 but
+    # missed the r8 front block, so their standing driver verdicts are
+    # r7's vacuous 0-row greens — the one place the hard signal
+    # contradicts the repo; then the seven r8 first-greens for a second
+    # attestation. Tier freshness follows: the 12 standing high-risk
+    # families, then oldest-verdict-first round-robin (the r2
+    # window/set/function block, whose verdicts are 7 rounds old).
+    # ========== (r9 additions — never verified — lead per tier 1)
+    "ml_tfidf_pipeline_twin",
+    "text_bm25_topk",
+    "sim_rrf_hybrid_fusion",
     "ml_lr_scoring_twin",
     "ml_lr_confusion_twin",
     "ml_eval_relational_twin",
@@ -117,37 +116,34 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    "scan_parquet_checksum",
-    "scan_inline_values",
-    "project_compute",
-    "filter_complex",
-    "filter_date_range",
-    "filter_like_regexp",
-    "distinct_segments",
-    "dedup_by_key_keep_first",
-    "join_inner_revenue_by_customer",
-    "join_left_outer_order_counts",
-    "join_semi_customers_with_urgent",
-    "join_anti_parts_never_ordered",
-    "join_broadcast_star_revenue",
-    "join_range_price_bands",
-    "join_cross_region_status",
-    "join_self_supplier_pairs",
-    "join_salted_skew",
-    "join_asof_purchase_last_click",
-    "agg_count_distinct",
-    "agg_approx_count_distinct",  # rows-only
-    "agg_conditional",
-    "agg_rollup_region_nation",
-    "agg_cube_flags",
-    "agg_grouping_sets",
-    "agg_collect_sorted",
-    "agg_stats_manual",
-    "agg_percentile_median",
-    "agg_pivot_status_priority",
-    "window_rank_orders",
-    "window_lag_lead_events",
-    "window_running_sum",
+    "window_moving_avg_range",
+    "window_topn_revenue_per_segment",
+    "window_percent_rank_cume",
+    "window_first_last_value",
+    "sort_multi_nulls",
+    "limit_offset_page",
+    "topk_global_lineitems",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except_all",
+    "set_intersect_all",
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_math_suite",
+    "fn_array_suite",
+    "fn_explode_tokens",
+    "fn_json_map_suite",
+    "agg_pricing_summary",
+    "window_ntile_quartiles",
+    "window_funnel_conversion",
+    "fn_hash_suite",
+    "sql_shipping_priority_q3",
+    "agg_revenue_delta_q6",
+    "subquery_priority_counts_q4",
+    "subquery_above_avg_balance",
+    "join_full_outer_nation_presence",
+    "unpivot_lineitem_measures",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -204,6 +200,13 @@ _PRIORITY: tuple[str, ...] = (
 #       agg/window — whose verdicts are 7 rounds old). Derived by
 #       scripts/rotate_priority.py against union(r01..r07); pinned by
 #       the rotation-equality test.
+#   r9 (this file's front block): PINNED tier debuts in
+#       scripts/rotate_priority.py (policy tier (1) below made mechanical):
+#       the two r8 repairs whose standing driver verdicts are known-stale
+#       vacuous greens lead, then the seven r8 first-greens re-attest, then
+#       the standing high-risk 12, then oldest-first (the r2 block).
+#       Derived against union(r01..r08); pinned by the rotation-equality
+#       test.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation

@@ -38,6 +38,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Post-closure policy tier (1) — "any query whose implementation changed
+#: since its last verdict" (plans/registry.py bookkeeping note) — plus
+#: verdict-ordered re-attestations. These jump the whole freshness queue:
+#: the driver's standing verdict for them is KNOWN-STALE, the one place the
+#: hard signal contradicts the repo. r9 pins (VERDICT r8 task 1):
+#:   * text_bm25_topk / sim_rrf_hybrid_fusion — repaired in r8 (corpus-
+#:     adaptive posting budget; genuine two-modality fusion) but absent
+#:     from CORRECTNESS_r08, so their standing driver verdicts are r7's
+#:     vacuous 0-row greens. MUST lead the r9 block.
+#:   * the seven r8 first-greens (LR twins, eval twin, BPE trainer, CCNet
+#:     split, winnowing pair) — verdict-ordered second attestation.
+#: Prune entries once the pinned name's fresh verdict lands (they would
+#: otherwise burn freshness slots forever).
+PINNED = (
+    "text_bm25_topk",
+    "sim_rrf_hybrid_fusion",
+    "ml_lr_scoring_twin",
+    "ml_lr_confusion_twin",
+    "ml_eval_relational_twin",
+    "text_bpe_merge_train",
+    "text_ccnet_perplexity_buckets",
+    "text_winnowing_fingerprints",
+    "text_winnowing_overlap_pairs",
+)
+
 #: standing high-risk families for post-closure freshness rotation
 #: (registry bookkeeping note, r7+ policy): pair pipelines, global-rank
 #: consumers, decimal-heavy aggregates. Order within the tuple is the
@@ -86,11 +111,14 @@ def front_block(queries, verdicts: dict[str, int], slots: int = 50) -> list[str]
     last driver-verdict round (absent = never verified).
 
     Order: (1) never-verified oracle-backed, registry order; (2) never-
-    verified rows-only, registry order; (3) freshness — HIGH_RISK names
-    in standing-cycle order (the tuple order is authoritative; rank is
-    unique so the verdict-age key never fires for them), then everything
-    else oldest-verdict-first (ties: registry order). No git state
-    enters the computation, so tests can re-derive it exactly.
+    verified rows-only, registry order; (3) PINNED names in tuple order —
+    repaired-since-verdict / verdict-ordered re-attestations, the one
+    tier where the standing driver verdict is known-stale; (4) freshness
+    — HIGH_RISK names in standing-cycle order (the tuple order is
+    authoritative; rank is unique so the verdict-age key never fires for
+    them), then everything else oldest-verdict-first (ties: registry
+    order). No git state enters the computation, so tests can re-derive
+    it exactly.
     """
     unverified_oracle = [
         n for n, q in queries.items() if q.oracle is not None and n not in verdicts
@@ -101,6 +129,10 @@ def front_block(queries, verdicts: dict[str, int], slots: int = 50) -> list[str]
     front: list[str] = unverified_oracle[:slots]
     if len(front) < slots:
         front += unverified_rows[: slots - len(front)]
+    if len(front) < slots:
+        front += [n for n in PINNED if n in queries and n not in front][
+            : slots - len(front)
+        ]
     if len(front) < slots:
         risk_rank = {n: i for i, n in enumerate(HIGH_RISK)}
 

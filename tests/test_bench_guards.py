@@ -1,0 +1,99 @@
+"""bench.py auto-remeasure guards (r8 verdict item 3).
+
+r8 shipped +16% host-contaminated headline numbers because the only guard
+was a 20% canary-drift trigger. These tests pin the hardened double guard
+over RECORDED fixtures — the actual r8 episode (canary +16%, per-query
+BENCH-vs-SCALING disagreements of 8-41%) must now trip BOTH tripwires,
+while the r7 quiet-host pass must trip neither.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location("bench", os.path.join(ROOT, "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+# Recorded r8 episode: BENCH_r08 per-query times (host-contaminated pass)
+# vs the same-round SCALING.md sf0.1 column (quiet re-measure minutes
+# apart). Subset of the queries the verdict called out.
+R8_BENCH = {
+    "join_inner_revenue_by_customer": 1.570,
+    "sim_topk_bruteforce": 0.679,   # +41% vs its r7 number
+    "text_tfidf_vocab": 0.699,      # +40%
+    "sim_ann_lsh_bucketed": 1.167,  # +39%
+    "graph_kcore_hindex": 2.905,
+}
+R8_SCALING = {
+    "join_inner_revenue_by_customer": 1.447,
+    "sim_topk_bruteforce": 0.481,
+    "text_tfidf_vocab": 0.500,
+    "sim_ann_lsh_bucketed": 0.839,
+    "graph_kcore_hindex": 2.605,
+}
+R8_CANARY_DRIFT = 0.16
+
+# Recorded r7 quiet-host pass: BENCH_r07 ≈ SCALING within jitter.
+R7_BENCH = {
+    "join_inner_revenue_by_customer": 1.386,
+    "sim_topk_bruteforce": 0.482,
+    "text_tfidf_vocab": 0.498,
+}
+R7_SCALING = {
+    "join_inner_revenue_by_customer": 1.447,
+    "sim_topk_bruteforce": 0.481,
+    "text_tfidf_vocab": 0.500,
+}
+R7_CANARY_DRIFT = -0.13
+
+
+def test_r8_episode_trips_both_guards():
+    reasons = bench.second_pass_reasons(R8_CANARY_DRIFT, R8_BENCH, R8_SCALING, 0.1)
+    assert any("canary" in r for r in reasons), "canary 16% must now trip (>10%)"
+    flagged = [r for r in reasons if "SCALING reference" in r]
+    # sim_topk +41%, tfidf +40%, lsh +39% all exceed the 25% disagreement bar
+    assert len(flagged) >= 3, f"expected >=3 SCALING disagreements, got {reasons}"
+    assert any("sim_topk_bruteforce" in r for r in flagged)
+
+
+def test_r7_quiet_pass_trips_nothing():
+    reasons = bench.second_pass_reasons(R7_CANARY_DRIFT, R7_BENCH, R7_SCALING, 0.1)
+    assert reasons == [], f"quiet-host pass must not re-measure: {reasons}"
+
+
+def test_scaling_guard_only_applies_at_sf01():
+    # SCALING.md's reference column is sf0.1; at any other SF the
+    # disagreement guard must stay silent (the canary one still works).
+    reasons = bench.second_pass_reasons(0.0, R8_BENCH, R8_SCALING, 0.01)
+    assert reasons == []
+
+
+def test_missing_or_partial_reference_is_safe():
+    # Queries absent from SCALING.md (new this round) never trigger.
+    reasons = bench.second_pass_reasons(0.0, {"brand_new_query": 9.9}, {}, 0.1)
+    assert reasons == []
+    # parse on a missing path → empty dict, not an exception
+    assert bench.parse_scaling_reference("/nonexistent/SCALING.md") == {}
+
+
+def test_parse_scaling_reference_reads_real_file():
+    ref = bench.parse_scaling_reference(os.path.join(ROOT, "SCALING.md"))
+    assert len(ref) > 50, "SCALING.md table should parse to per-query times"
+    assert all(v > 0 for v in ref.values())
+    assert "join_inner_revenue_by_customer" in ref
+
+
+def test_boundary_just_under_triggers_nothing():
+    # 9.9% drift and +24.9% disagreement sit just under both bars.
+    reasons = bench.second_pass_reasons(
+        0.099, {"q": 1.249}, {"q": 1.0}, 0.1
+    )
+    assert reasons == []
+    # and just over both bars trips both
+    reasons = bench.second_pass_reasons(0.101, {"q": 1.251}, {"q": 1.0}, 0.1)
+    assert len(reasons) == 2

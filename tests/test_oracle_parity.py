@@ -113,6 +113,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 
