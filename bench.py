@@ -139,8 +139,10 @@ EXTRA = [
     "text_ccnet_perplexity_buckets",
     "text_winnowing_fingerprints",
     "text_winnowing_overlap_pairs",
-    # r9 additions: the M1->M5 fit-statistics twin
+    # r9 additions: the M1->M5 fit-statistics twin and the composed
+    # BM25->RRF->MMR serving stack
     "ml_tfidf_pipeline_twin",
+    "sim_retrieval_stack_topk",
 ]
 
 

@@ -2255,13 +2255,11 @@ from pyspark_for_ebook_classification_spark.operators.textops import (  # noqa: 
 )
 
 
-@query(
-    "sim_rrf_hybrid_fusion",
-    survey_ref="L3,L4,J2,W4",
-    doc="Hybrid retrieval: reciprocal-rank fusion of BM25 lexical ranks "
-    "and exact-cosine vector ranks for the shared query set.",
-    oracle=f"""
-        WITH {BM25_CTES},
+#: the lexical-pool → vector-pool → RRF-fusion CTE chain, shared verbatim
+#: by sim_rrf_hybrid_fusion's oracle and the full serving-stack
+#: composition's (sim_retrieval_stack_topk) — one source of truth for the
+#: fusion SQL, same reuse discipline as BM25_CTES itself.
+_RRF_FUSED_CTES = f"""
         lex AS (
             SELECT query_id, neighbor_id, rn AS r_lex
             FROM (
@@ -2298,6 +2296,17 @@ from pyspark_for_ebook_classification_spark.operators.textops import (  # noqa: 
             FULL JOIN vec v
               ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
         )
+"""
+
+
+@query(
+    "sim_rrf_hybrid_fusion",
+    survey_ref="L3,L4,J2,W4",
+    doc="Hybrid retrieval: reciprocal-rank fusion of BM25 lexical ranks "
+    "and exact-cosine vector ranks for the shared query set.",
+    oracle=f"""
+        WITH {BM25_CTES},
+        {_RRF_FUSED_CTES}
         SELECT query_id, neighbor_id,
                CAST(rrf AS BIGINT) AS rrf_score,
                CAST(r_lex AS BIGINT) AS lex_rank,
@@ -2333,6 +2342,28 @@ def sim_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size; the corpus-sized work is exactly the two upstream
     retrieval passes (BM25's broadcast probe, brute-force cosine's
     broadcast scan), each already scale-audited on its own."""
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        _rrf_fused(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rrf").cast("bigint").alias("rrf_score"),
+            F.col("r_lex").cast("bigint").alias("lex_rank"),
+            F.col("r_vec").cast("bigint").alias("vec_rank"),
+            "rank",
+        )
+    )
+
+
+def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, r_lex, r_vec, rrf) — the UNTRUNCATED
+    RRF-fused candidate table for the declared BM25×cosine workload;
+    the Spark twin of _RRF_FUSED_CTES, shared by sim_rrf_hybrid_fusion
+    (top-5 window over it) and sim_retrieval_stack_topk (top-10 pool →
+    MMR diversification)."""
     w_lex = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -2366,21 +2397,7 @@ def sim_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = F.coalesce(
         F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_lex)"), F.lit(0)
     ) + F.coalesce(F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_vec)"), F.lit(0))
-    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
-    return (
-        lex.join(vec, ["query_id", "neighbor_id"], "full")
-        .withColumn("rrf", rrf)
-        .withColumn("rank", F.row_number().over(w_f))
-        .filter(F.col("rank") <= RRF_TOPK)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rrf").cast("bigint").alias("rrf_score"),
-            F.col("r_lex").cast("bigint").alias("lex_rank"),
-            F.col("r_vec").cast("bigint").alias("vec_rank"),
-            "rank",
-        )
-    )
+    return lex.join(vec, ["query_id", "neighbor_id"], "full").withColumn("rrf", rrf)
 
 
 def rrf_fuse(
@@ -2417,8 +2434,11 @@ def rrf_fuse(
     size of the rank lists, never the corpus."""
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
-    guard = F.expr(
-        f"assert_true({rank_col} >= 1, 'rrf_fuse: rank_col must be >= 1')"
+    # column-API guard (r8 ADVICE): interpolating rank_col into an expr
+    # string broke for names needing backticks (dots, spaces); F.col is
+    # the same resolution the rest of the function uses
+    guard = F.assert_true(
+        F.col(rank_col) >= 1, F.lit("rrf_fuse: rank_col must be >= 1")
     )
     parts = [
         r.filter(guard.isNull())
@@ -2444,3 +2464,236 @@ def rrf_fuse(
     if top is not None:
         out = out.filter(F.col("rank") <= top)
     return out
+
+
+# ------------------------- full serving stack: BM25 → RRF → MMR (composed)
+
+_STACK_POOL = 10  # fused candidates entering diversification, per query
+
+
+def _retrieval_stack_oracle() -> str:
+    """DuckDB unroll of the full serving pipeline: the shared BM25 CTEs,
+    the shared fusion CTEs, fused-pool truncation + per-query rrf
+    normalization, pairwise candidate cosines, then the same 5-step
+    greedy-MMR CTE chain _mmr_oracle() uses (relevance = normalized rrf
+    instead of raw cosine)."""
+    head = f"""WITH {BM25_CTES},
+        {_RRF_FUSED_CTES},
+        fpool AS MATERIALIZED (
+            SELECT query_id, neighbor_id AS cand_id, rrf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+                ) AS rn FROM fused
+            ) WHERE rn <= {_STACK_POOL}
+        ),
+        fmax AS (SELECT query_id, MAX(rrf) AS mx FROM fpool GROUP BY query_id),
+        pool AS MATERIALIZED (
+            SELECT f.query_id, f.cand_id, f.rrf,
+                   f.rrf / CAST(m.mx AS DOUBLE) AS rel,
+                   n.embedding, n.nrm
+            FROM fpool f
+            JOIN fmax m ON m.query_id = f.query_id
+            JOIN normed n ON n.vec_id = f.cand_id
+        ),
+        psim AS MATERIALIZED (
+            SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+                   {sql_dot('p1.embedding', 'p2.embedding')}
+                       / (p1.nrm * p2.nrm) AS sim
+            FROM pool p1
+            JOIN pool p2 ON p1.query_id = p2.query_id
+                        AND p1.cand_id <> p2.cand_id
+        ),
+        pick1 AS (
+            SELECT query_id, cand_id, rrf, rel, 0.5 * rel AS mmr, 1 AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, cand_id
+                ) AS rn FROM pool
+            ) WHERE rn = 1
+        ),
+        sel1 AS (SELECT query_id, cand_id FROM pick1)"""
+    steps = [head]
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+        score{k} AS (
+            SELECT p.query_id, p.cand_id, p.rrf, p.rel,
+                   0.5 * p.rel - 0.5 * MAX(ps.sim) AS mmr
+            FROM pool p
+            JOIN sel{k - 1} s
+              ON s.query_id = p.query_id
+            JOIN psim ps
+              ON ps.query_id = p.query_id AND ps.a = p.cand_id
+             AND ps.b = s.cand_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{k - 1} x
+                WHERE x.query_id = p.query_id AND x.cand_id = p.cand_id
+            )
+            GROUP BY p.query_id, p.cand_id, p.rrf, p.rel
+        ),
+        pick{k} AS (
+            SELECT query_id, cand_id, rrf, rel, mmr, {k} AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY mmr DESC, cand_id
+                ) AS rn FROM score{k}
+            ) WHERE rn = 1
+        ),
+        sel{k} AS (
+            SELECT query_id, cand_id FROM sel{k - 1}
+            UNION ALL
+            SELECT query_id, cand_id FROM pick{k}
+        )""")
+    picks = "\n            UNION ALL\n            ".join(
+        f"SELECT * FROM pick{k}" for k in range(1, _MMR_K + 1)
+    )
+    return (
+        ",".join(steps)
+        + f"""
+        SELECT query_id, cand_id,
+               CAST(rrf AS BIGINT) AS rrf_score,
+               floor(rel * 1000000.0 + 0.5) / 1000000.0 AS relevance,
+               floor(mmr * 1000000.0 + 0.5) / 1000000.0 AS mmr_score,
+               rank
+        FROM (
+            {picks}
+        )"""
+    )
+
+
+@query(
+    "sim_retrieval_stack_topk",
+    survey_ref="L3,L4,L6,W4,J2",
+    doc="Full serving stack composed end-to-end: BM25 lexical pool + "
+    "cosine vector pool -> RRF hybrid fusion -> MMR-diversified top-5 "
+    "per query.",
+    oracle=_retrieval_stack_oracle(),
+)
+def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED retrieval pipeline a real serving deployment runs
+    (r8 verdict task 6 — the sim_ivfpq_adc_topk composition discipline
+    applied to the retrieval stack): the three individually-green stages
+    chained as ONE declared query. Stage 1: the shared BM25 scorer
+    (operators/textops.py bm25_scored) ranks lexical candidates and the
+    exact-cosine pass ranks vector candidates, both pooled at
+    {RRF_POOL}/query. Stage 2: reciprocal-rank fusion (the
+    sim_rrf_hybrid_fusion integer-scaled form, via the shared _rrf_fused
+    helper) and truncation to a {_STACK_POOL}-deep fused pool. Stage 3:
+    greedy MMR (the sim_mmr_diversified_topk unroll, λ=0.5) diversifies
+    the pool to 5 results, with RELEVANCE = the query-normalized fusion
+    score rrf/max(rrf) — rank-derived and scale-free, so the λ balance
+    against the [−1,1] candidate cosines is meaningful — and the
+    diversity term the pairwise candidate cosine.
+
+    Composition is proven against the registered constituents by
+    tests/test_r9_semantics2.py: the fused pool's top-5 reproduces
+    sim_rrf_hybrid_fusion's exact output rows, and a pure-Python greedy
+    MMR over the collected pool + pairwise cosines reproduces every
+    pick. Cross-engine: rrf/max are identical BIGINTs so rel is the
+    identical double; cosines are the registry's deterministic folds;
+    argmaxes tie-break on cand_id; output rounds via the portable floor
+    form (mmr can be negative: floor(x·1e6+0.5) is half-up toward +∞ in
+    both engines at any sign).
+
+    Scale shape: corpus-sized work is exactly the two upstream retrieval
+    passes (BM25's broadcast probe, cosine's broadcast scan) — already
+    scale-audited on their own; fusion runs on |Q|×{RRF_POOL} rank rows,
+    MMR on a |Q|×{_STACK_POOL} pool with |Q|×{_STACK_POOL}² pairwise
+    sims, both localCheckpoint'd (bounded) so the five greedy steps never
+    replan the retrieval stages. End-to-end, corpus traffic is ONE tf
+    build + ONE embedding scan regardless of K, pool, or step count."""
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    fpool = (
+        _rrf_fused(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= _STACK_POOL)
+        .select("query_id", F.col("neighbor_id").alias("cand_id"), "rrf")
+    )
+    fmax = fpool.groupBy("query_id").agg(F.max("rrf").alias("mx"))
+    e = _normed(spark, sf_dir)
+    pool = (
+        fpool.join(fmax, "query_id")
+        .withColumn("rel", F.col("rrf") / F.col("mx").cast("double"))
+        .join(
+            e.select(F.col("vec_id").alias("cand_id"), "embedding", "nrm"),
+            "cand_id",
+        )
+        .select("query_id", "cand_id", "rrf", "rel", "embedding", "nrm")
+        .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
+    )
+    pa = pool.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    picks = (
+        pool.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rrf",
+            "rel",
+            (F.lit(0.5) * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    sel = picks.select("query_id", "cand_id")
+    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+    for k in range(2, _MMR_K + 1):
+        mxs = (
+            psim.join(
+                sel.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("mxs"))
+        )
+        step = (
+            pool.join(sel, ["query_id", "cand_id"], "left_anti")
+            .join(mxs, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                "rrf",
+                "rel",
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("mxs")).alias("mmr"),
+            )
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "rrf", "rel", "mmr", F.lit(k).alias("rank"))
+        )
+        # accumulate picks materialized per step (|Q|·k rows — tiny; the
+        # sim_mmr_diversified_topk stage-explosion fix)
+        picks = picks.unionByName(step).localCheckpoint(eager=True)
+        sel = picks.select("query_id", "cand_id")
+    return picks.select(
+        "query_id",
+        "cand_id",
+        F.col("rrf").cast("bigint").alias("rrf_score"),
+        (F.floor(F.col("rel") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
+        .alias("relevance"),
+        (F.floor(F.col("mmr") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
+        .alias("mmr_score"),
+        "rank",
+    )

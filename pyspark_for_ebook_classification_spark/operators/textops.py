@@ -2271,7 +2271,18 @@ def winnow_fingerprints(
     a 1/10 doc sample for the oracle). Returns (id_col, pos, fp) — the
     posting table an overlap search self-joins on fp. Guarantees per
     Schleimer et al.: any shared run of k+w−1 tokens shares a
-    fingerprint; density ≤ 1 per window, ~2/(w+1) expected."""
+    fingerprint; density ≤ 1 per window, ~2/(w+1) expected.
+
+    Bounds (r8 ADVICE): k, w ≥ 1 validated at entry — Spark's
+    sequence(a, b) with a > b yields a DESCENDING sequence rather than
+    empty, so a silent w=0 would emit spurious windows instead of
+    failing. The packed MIN key encodes position as 9 digits
+    (999999999 − p), so a document may hold at most 10⁹−1 grams; the
+    per-doc guard below raises at execution rather than corrupting the
+    rightmost-tie ordering silently (at ~5 bytes/token that is a ≥5 GB
+    single document — corrupt input, not corpus scale)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: need k >= 1 and w >= 1, got k={k} w={w}")
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     base = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
@@ -2281,8 +2292,18 @@ def winnow_fingerprints(
         f"transform(sequence(1, size(tokens) - {k - 1}), "
         f"p -> struct(p AS p, md5(concat_ws(' ', slice(tokens, p, {k}))) AS h))"
     )
+    # m must stay < 1e9 for the 9-digit pad; when() keeps the guard on the
+    # projection path (a bare assert_true column would be pruned unused)
+    m_guarded = F.when(
+        F.size("tokens") - (k - 1) <= 999999999, F.size("tokens") - (k - 1)
+    ).otherwise(
+        F.raise_error(
+            F.lit("winnow_fingerprints: >1e9 grams in one document "
+                  "overflows the 9-digit position pad")
+        ).cast("int")
+    )
     grams = (
-        base.select("doc_id", "tokens", (F.size("tokens") - (k - 1)).alias("m"))
+        base.select("doc_id", "tokens", m_guarded.alias("m"))
         .select("doc_id", "m", F.explode(gram_struct).alias("g"))
         .select("doc_id", "m", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )
@@ -2413,6 +2434,83 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            "n_shared",
+            (
+                F.floor(overlap_raw * 1000000.0 + F.lit(0.5)).cast("double")
+                / 1000000.0
+            ).alias("overlap"),
+        )
+    )
+
+
+def winnow_overlap_search(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 1,
+    fp_df_max: int = WINNOW_FP_DF_MAX,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION MOSS overlap search (the ``bm25_search`` pattern —
+    r8 verdict task 5): run the full fingerprint-index → df-capped
+    fp self-join → pair scoring pipeline of the declared
+    ``text_winnowing_overlap_pairs`` over ANY (id, text) frame with
+    caller-chosen k-gram size, window, and a ``min_shared`` suppression
+    floor. Production MOSS applies exactly this floor to kill single-
+    fingerprint coincidences; the declared query deliberately keeps
+    min_shared=1 so its gate-scale answer stays non-vacuous.
+
+    Guarantee (pinned by tests/test_r9_semantics.py with a planted-quote
+    fixture + pure-Python recount): any verbatim shared run of
+    ≥ k + w − 1 tokens shares ≥ 1 winnowing fingerprint (Schleimer et
+    al. 2003), so with min_shared=1 the quoting pair is ALWAYS a
+    candidate — provided the shared fingerprint's corpus df stays within
+    ``fp_df_max`` (the boilerplate cut is the one deliberate recall
+    trade; raise the cap to trade pair budget for boilerplate recall).
+    A longer quote of L tokens yields ≥ ⌊(L − k + 1) / w⌋ shared
+    fingerprints, so min_shared=s is a ~(s·w + k − 1)-token run floor.
+
+    Returns (id_a, id_b, n_shared, overlap) with id_a < id_b; overlap is
+    the containment-style ratio vs the smaller doc's fingerprint total,
+    rounded via the portable floor form.
+
+    Scale shape: identical to the declared query — two shuffles build
+    the ~2/(w+1)-density index, the self-join is df-capped (pair slots
+    ≤ OCC·(fp_df_max−1)/2, linear in kept occurrences), per-doc totals
+    broadcast back. min_shared prunes AFTER the pair agg (it cannot
+    reduce the join's candidate budget — the cap already did)."""
+    if min_shared < 1:
+        raise ValueError(f"winnow_overlap_search: need min_shared >= 1, got {min_shared}")
+    if fp_df_max < 2:
+        raise ValueError(f"winnow_overlap_search: need fp_df_max >= 2, got {fp_df_max}")
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col).alias("doc_id"), "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fdf = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    tot = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    kept = fps.join(
+        fdf.filter((F.col("df") >= 2) & (F.col("df") <= fp_df_max)), "fp"
+    ).select("doc_id", "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    overlap_raw = F.col("n_shared") / F.least("ta.n_fp", "tb.n_fp").cast("double")
+    return (
+        pairs.join(tot.alias("ta"), F.col("id_a") == F.col("ta.doc_id"))
+        .join(tot.alias("tb"), F.col("id_b") == F.col("tb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
             "n_shared",
             (
                 F.floor(overlap_raw * 1000000.0 + F.lit(0.5)).cast("double")

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     # window/set/function block, whose verdicts are 7 rounds old).
     # ========== (r9 additions — never verified — lead per tier 1)
     "ml_tfidf_pipeline_twin",
+    "sim_retrieval_stack_topk",
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_lr_scoring_twin",
@@ -143,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_priority_counts_q4",
     "subquery_above_avg_balance",
     "join_full_outer_nation_presence",
-    "unpivot_lineitem_measures",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -1,0 +1,150 @@
+"""Round-9 composition proof: sim_retrieval_stack_topk (BM25 → RRF → MMR)
+against its REGISTERED constituents (r8 verdict task 6) — the fused pool
+agrees with sim_rrf_hybrid_fusion row-for-row, and a pure-Python greedy
+MMR over the collected pool reproduces every pick exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.01"  # the driver's gate scale: 6 BM25 queries
+
+
+@pytest.fixture(scope="module")
+def stack_rows(spark):
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    return all_queries()["sim_retrieval_stack_topk"].fn(spark, SF).collect()
+
+
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)  # spark_dot's sequential left fold
+    return acc
+
+
+def test_stack_stage2_pool_matches_registered_rrf_query(spark, stack_rows):
+    """Constituent pin #1: the composition's fused pool, truncated to the
+    registered RRF query's top-5, must equal sim_rrf_hybrid_fusion's
+    output (query_id, neighbor_id, rrf_score, rank) row-for-row — the
+    composed stage-2 IS the registered stage, not a lookalike."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _rrf_fused,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    fused = {
+        (r["query_id"], r["neighbor_id"]): r["rrf"]
+        for r in _rrf_fused(spark, SF).collect()
+    }
+    rrf_q = all_queries()["sim_rrf_hybrid_fusion"].fn(spark, SF).collect()
+    assert rrf_q, "registered RRF query is empty at the gate scale"
+    # re-rank the raw fused table in Python and compare to the query
+    by_query: dict = {}
+    for (q, n), s in fused.items():
+        by_query.setdefault(q, []).append((n, s))
+    expect = {}
+    for q, cands in by_query.items():
+        ranked = sorted(cands, key=lambda ns: (-ns[1], ns[0]))[:5]
+        for i, (n, s) in enumerate(ranked, 1):
+            expect[(q, n)] = (s, i)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rrf_score"], r["rank"])
+        for r in rrf_q
+    }
+    assert got == expect
+    # and every composition pick carries the fused table's own rrf score
+    for r in stack_rows:
+        assert fused[(r["query_id"], r["cand_id"])] == r["rrf_score"]
+
+
+def test_stack_rank1_is_rrf_rank1(spark, stack_rows):
+    """Constituent pin #2: MMR step 1 takes the relevance argmax, and
+    relevance is the normalized fusion score — so each query's rank-1
+    pick must be the registered RRF query's rank-1 neighbor."""
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+
+    rrf1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in all_queries()["sim_rrf_hybrid_fusion"].fn(spark, SF).collect()
+        if r["rank"] == 1
+    }
+    stack1 = {r["query_id"]: r["cand_id"] for r in stack_rows if r["rank"] == 1}
+    assert stack1 == rrf1
+    assert len(stack1) >= 5, "gate scale should carry >=5 queries"
+
+
+def test_stack_mmr_matches_pure_python_greedy(spark, stack_rows):
+    """Constituent pin #3 (third engine): greedy MMR in pure Python —
+    normalized-rrf relevance, sequential-fold cosines, λ=0.5, cand_id
+    tie-breaks, portable floor rounding — over the collected stage-2 pool
+    must reproduce EVERY pick (query, cand, relevance, mmr_score, rank)."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        _STACK_POOL,
+        _MMR_K,
+        _rrf_fused,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    fused = _rrf_fused(spark, SF).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF, "embeddings").collect()
+    }
+    by_query: dict = {}
+    for r in fused:
+        by_query.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rrf"]))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = []
+    for q, cands in by_query.items():
+        pool = sorted(cands, key=lambda ns: (-ns[1], ns[0]))[:_STACK_POOL]
+        mx = max(s for _, s in pool)
+        rel = {n: s / float(mx) for n, s in pool}
+        nrm = {n: math.sqrt(_dot(emb[n], emb[n])) for n, _ in pool}
+        sim = {
+            (a, b): _dot(emb[a], emb[b]) / (nrm[a] * nrm[b])
+            for a, _ in pool
+            for b, _ in pool
+            if a != b
+        }
+        sel: list = []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for n, _ in pool:
+                if n in sel:
+                    continue
+                mmr = (
+                    0.5 * rel[n]
+                    if not sel
+                    else 0.5 * rel[n] - 0.5 * max(sim[(n, s)] for s in sel)
+                )
+                if best is None or mmr > best[1] or (mmr == best[1] and n < best[0]):
+                    best = (n, mmr)
+            if best is None:
+                break
+            sel.append(best[0])
+            expect.append((q, best[0], r6(rel[best[0]]), r6(best[1]), rank))
+    got = [
+        (r["query_id"], r["cand_id"], r["relevance"], r["mmr_score"], r["rank"])
+        for r in stack_rows
+    ]
+    assert sorted(got) == sorted(expect)
+    # diversification is real on this corpus: at least one query's picks
+    # deviate from pure relevance order (else the MMR stage is vacuous)
+    rel_order = {}
+    for q, cands in by_query.items():
+        pool = sorted(cands, key=lambda ns: (-ns[1], ns[0]))[:_MMR_K]
+        rel_order[q] = [n for n, _ in pool]
+    mmr_order: dict = {}
+    for q, n, _, _, rank in sorted(expect, key=lambda t: (t[0], t[4])):
+        mmr_order.setdefault(q, []).append(n)
+    assert any(mmr_order[q] != rel_order[q] for q in mmr_order), (
+        "MMR never reordered any query's pool — diversification vacuous"
+    )
