@@ -139,10 +139,12 @@ EXTRA = [
     "text_ccnet_perplexity_buckets",
     "text_winnowing_fingerprints",
     "text_winnowing_overlap_pairs",
-    # r9 additions: the M1->M5 fit-statistics twin and the composed
-    # BM25->RRF->MMR serving stack
+    # r9 additions: the M1->M5 fit-statistics twin, the composed
+    # BM25->RRF->MMR serving stack, and the M6/M3 stage twins
     "ml_tfidf_pipeline_twin",
     "sim_retrieval_stack_topk",
+    "ml_label_index_twin",
+    "ml_ngram_stage_twin",
 ]
 
 

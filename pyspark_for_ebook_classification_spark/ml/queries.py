@@ -756,3 +756,124 @@ def ml_tfidf_pipeline_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("feat_rank") <= 3)
         .select("doc_id", "feat_rank", "term", "tf", "df", "idf", "tfidf")
     )
+
+
+# --------------------- label-indexing + n-gram stage twins (M6, M3)
+
+_LABEL_IDX_SQL = """
+    SELECT lang,
+           CAST(dense_rank() OVER (ORDER BY lang ASC) - 1 AS BIGINT)
+               AS label_idx,
+           n_docs
+    FROM (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    )
+"""
+
+
+@query(
+    "ml_label_index_twin",
+    survey_ref="M6,A1,W1",
+    doc="Oracle-checked StringIndexer twin: alphabetAsc label -> index "
+    "mapping with per-label doc counts.",
+    oracle=_LABEL_IDX_SQL,
+)
+def ml_label_index_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 under the exact-value hash gate: the pipeline's
+    StringIndexer(stringOrderType='alphabetAsc') is, relationally, a
+    dense_rank over the distinct label domain — this twin emits the
+    EXACT (label, index) mapping the fitted indexer produces, plus the
+    per-label doc counts the fit pass aggregates. Bridge test
+    tests/test_ml.py::test_label_index_twin_matches_mllib pins the
+    mapping verbatim against StringIndexerModel.labels, so the declared
+    query, the DuckDB oracle, and pyspark.ml agree on M6's one artifact.
+
+    Scale shape: one label-keyed partial agg (domain-bounded output) and
+    a window over that domain-bounded table — no corpus-sized shuffle;
+    at 100 TB the mapping is a broadcast-sized dimension, which is
+    exactly how the scoring twins consume label indices."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.orderBy(F.asc("lang"))
+    return counts.select(
+        "lang",
+        (F.dense_rank().over(w) - 1).cast("bigint").alias("label_idx"),
+        "n_docs",
+    )
+
+
+_NGRAM_TWIN_SQL = f"""
+    WITH filt AS (
+        SELECT doc_id, list_filter(
+                   list_filter(
+                       regexp_split_to_array(lower(text), '\\W+'),
+                       x -> x <> ''
+                   ),
+                   x -> x NOT IN ({_SW_IN})
+               ) AS f
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, unnest(
+                   list_transform(range(1, length(f)), i -> f[i] || ' ' || f[i + 1])
+               ) AS bigram
+        FROM filt
+        WHERE length(f) >= 2
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM big
+    GROUP BY bigram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query(
+    "ml_ngram_stage_twin",
+    survey_ref="M3,M1,M2,F4,A1",
+    doc="Oracle-checked NGram stage twin: corpus bigram counts and "
+    "document frequencies over the tokenize->stopword-filter stream.",
+    oracle=_NGRAM_TWIN_SQL,
+)
+def ml_ngram_stage_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 under the exact-value hash gate: the pipeline's
+    NGram(n=2, inputCol='filtered') joins CONSECUTIVE post-stopword
+    tokens with a single space — this twin re-derives the stage
+    relationally (the same RegexTokenizer lowercase/\\\\W+ + frozen
+    English stop-word semantics as ml_tfidf_pipeline_twin) and
+    aggregates the corpus bigram table: total count and document
+    frequency under a df >= 2 cut. Bridge test
+    tests/test_ml.py::test_ngram_twin_matches_mllib recomputes the same
+    aggregate from the ACTUAL MLlib NGram stage output, so the declared
+    query, the DuckDB oracle, and pyspark.ml agree bigram-for-bigram.
+
+    Engine subtlety the oracle encodes: consecutive-pair generation is
+    0-based in Spark (f[i-1] || ' ' || f[i], i in 1..size-1) and 1-based
+    in DuckDB (f[i] || ' ' || f[i+1], i in range(1, length)) — same
+    pairs, different index algebra.
+
+    Scale shape: one explode (×(len−1), same order as tokenization) into
+    a bigram-keyed partial agg; the df >= 2 cut bounds the output by the
+    repeated-bigram domain. No joins, no window — the cheapest possible
+    twin of a stage that is itself map-side."""
+    d = load(spark, sf_dir, "documents")
+    filt = F.filter(
+        F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda t: t != ""),
+        lambda t: ~t.isin(*_EN_STOPWORDS),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(f) - 1), i -> concat(f[i-1], ' ', f[i]))"
+    )
+    return (
+        d.select("doc_id", filt.alias("f"))
+        .filter(F.size("f") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .filter(F.col("df") >= 2)
+    )

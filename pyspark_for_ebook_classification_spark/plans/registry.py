@@ -96,6 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     # ========== (r9 additions — never verified — lead per tier 1)
     "ml_tfidf_pipeline_twin",
     "sim_retrieval_stack_topk",
+    "ml_label_index_twin",
+    "ml_ngram_stage_twin",
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_lr_scoring_twin",
@@ -143,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_revenue_delta_q6",
     "subquery_priority_counts_q4",
     "subquery_above_avg_balance",
-    "join_full_outer_nation_presence",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -378,3 +378,55 @@ def test_tfidf_pipeline_twin_matches_mllib(spark, sf_dir):
         )[:3]
         expect = [(k + 1, t, c) for k, (t, c) in enumerate(ranked)]
         assert sorted(got[row["doc_id"]]) == expect, row["doc_id"]
+
+
+def test_label_index_twin_matches_mllib(spark, sf_dir):
+    """Third engine for ml_label_index_twin: the fitted
+    StringIndexer(stringOrderType='alphabetAsc') must produce the twin's
+    exact label -> index mapping — M6's one artifact under the hash
+    gate."""
+    from pyspark.ml.feature import StringIndexer
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    model = StringIndexer(
+        inputCol="lang", outputCol="label", stringOrderType="alphabetAsc"
+    ).fit(docs)
+    mllib = {lab: i for i, lab in enumerate(model.labels)}
+    twin = all_queries()["ml_label_index_twin"].fn(spark, sf_dir).collect()
+    assert {r["lang"]: r["label_idx"] for r in twin} == mllib
+    # counts agree with a direct group-by
+    direct = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert {r["lang"]: r["n_docs"] for r in twin} == direct
+
+
+def test_ngram_twin_matches_mllib(spark, sf_dir):
+    """Third engine for ml_ngram_stage_twin: aggregate the ACTUAL MLlib
+    RegexTokenizer -> StopWordsRemover -> NGram(n=2) stage output and
+    compare bigram-for-bigram (count, df, the df>=2 cut)."""
+    from collections import Counter
+
+    from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
+
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"\W+", minTokenLength=1
+    ).transform(docs)
+    filt = StopWordsRemover(inputCol="tokens", outputCol="filtered").transform(tok)
+    ng = NGram(n=2, inputCol="filtered", outputCol="bigrams").transform(filt)
+    cnt: Counter = Counter()
+    dfc: Counter = Counter()
+    for row in ng.select("doc_id", "bigrams").collect():
+        bs = row["bigrams"]
+        cnt.update(bs)
+        dfc.update(set(bs))
+    expect = {b: (cnt[b], dfc[b]) for b in cnt if dfc[b] >= 2}
+    twin = all_queries()["ml_ngram_stage_twin"].fn(spark, sf_dir).collect()
+    got = {r["bigram"]: (r["cnt"], r["df"]) for r in twin}
+    assert got == expect
+    assert got, "bigram table empty — stage twin vacuous"
