@@ -145,6 +145,7 @@ EXTRA = [
     "sim_retrieval_stack_topk",
     "ml_label_index_twin",
     "ml_ngram_stage_twin",
+    "text_bpe_encode_vocab",
 ]
 
 

@@ -1815,7 +1815,7 @@ def _bpe_round_sql(k: int) -> str:
         SELECT *, COALESCE(LAG(sel) OVER (PARTITION BY word ORDER BY p), false) AS skip
         FROM sel{k}
     ),
-    s{k} AS (
+    s{k} AS MATERIALIZED (
         SELECT word, cnt,
                row_number() OVER (PARTITION BY word ORDER BY p) AS p,
                CASE WHEN sel THEN bl || br ELSE s END AS s
@@ -1823,20 +1823,27 @@ def _bpe_round_sql(k: int) -> str:
     )"""
 
 
-def _bpe_oracle() -> str:
-    ctes = f"""
+def _bpe_ctes() -> str:
+    """The word-type stream + unrolled merge rounds, shared by the
+    trainer oracle and the encode oracle (s{BPE_ROUNDS} IS the encoded
+    corpus — applying a trained BPE is replaying its merges)."""
+    return f"""
     wt AS (
         SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
         FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
         GROUP BY t
     ),
-    s0 AS (
+    s0 AS MATERIALIZED (
         SELECT word, cnt, i AS p, chars[i] AS s
         FROM (SELECT word, cnt,
                      list_concat(string_split(word, ''), ['{BPE_EOW}']) AS chars
               FROM wt),
              unnest(range(1, length(chars) + 1)) AS u(i)
     )""" + "".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+
+
+def _bpe_oracle() -> str:
+    ctes = _bpe_ctes()
     final = " UNION ALL ".join(
         f"""SELECT {k} AS round, l AS left_sym, r AS right_sym, c AS pair_count,
             (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM s{k}) AS n_symbols_after,
@@ -2517,4 +2524,61 @@ def winnow_overlap_search(
                 / 1000000.0
             ).alias("overlap"),
         )
+    )
+
+
+@query(
+    "text_bpe_encode_vocab",
+    survey_ref="L6,L7,W2,A1",
+    doc="BPE tokenizer APPLICATION: the corpus token table after the 6 "
+    "trained merges — per-symbol occurrences and word-type spread, the "
+    "token-budget artifact.",
+    oracle=f"""
+        WITH {_bpe_ctes()}
+        SELECT s AS symbol,
+               CAST(SUM(cnt) AS BIGINT) AS occurrences,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS word_types
+        FROM s{BPE_ROUNDS}
+        GROUP BY s
+    """,
+)
+def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE loop (r9 — text_bpe_merge_train emits
+    the merge TABLE; this emits what a pipeline actually budgets with:
+    the corpus token distribution under the trained tokenizer). Applying
+    a trained BPE is replaying its merges in order, and the trainer's
+    final positional stream IS the encoded corpus over word types — so
+    the query runs the same 6 merge rounds and aggregates the final
+    stream: per-symbol corpus occurrences (Σ word-count over positions)
+    and word-type spread. This is the table vocab-truncation and
+    token-count planning read (occurrences = exactly the corpus token
+    count each symbol contributes post-tokenization), and together with
+    the trainer it closes L6's train → apply loop under the hash gate.
+    All-integer output — no rounding hazards.
+
+    Scale shape: identical to the trainer (corpus tokenized and counted
+    ONCE into the Zipf-bounded word-type table; each round is two window
+    passes + one broadcast-argmax over type-sized data), plus one final
+    symbol-keyed partial agg whose output is vocabulary-bounded. The
+    third engine (tests/test_r8_semantics.py's pure-Python BPE scanner,
+    extended in test_bpe_encode_matches_scanner) re-derives every count.
+    """
+    d = load(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW)))
+    stream = (
+        wt.select("word", "cnt", F.posexplode(chars).alias("p0", "s"))
+        .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BPE_ROUNDS):
+        _, merged = _bpe_merge_round(stream)
+        stream = merged.localCheckpoint(eager=True)
+    return stream.groupBy(F.col("s").alias("symbol")).agg(
+        F.sum("cnt").cast("bigint").alias("occurrences"),
+        F.countDistinct("word").cast("bigint").alias("word_types"),
     )

@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_retrieval_stack_topk",
     "ml_label_index_twin",
     "ml_ngram_stage_twin",
+    "text_bpe_encode_vocab",
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_lr_scoring_twin",
@@ -144,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority_q3",
     "agg_revenue_delta_q6",
     "subquery_priority_counts_q4",
-    "subquery_above_avg_balance",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -188,3 +188,58 @@ def test_winnow_fingerprints_match_python_at_custom_kw(spark):
     for r in winnow_fingerprints(_mkdocs(spark, docs), k=k, w=w).collect():
         got[r["doc_id"]].add((r["pos"], r["fp"]))
     assert got == expect
+
+
+def test_bpe_encode_matches_scanner(spark, sf_dir):
+    """Third engine for text_bpe_encode_vocab (the ENCODE half of L6's
+    loop): run the sequential Python scanner's 6 merges, then aggregate
+    its final symbol stream per symbol — corpus occurrences (Σ word
+    count) and word-type spread must match the query exactly, and total
+    occurrences must conserve the corpus token-position count."""
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        BPE_EOW,
+        BPE_ROUNDS,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    wt = Counter(t for toks in docs.values() for t in toks)
+    words = {w: (list(w) + [BPE_EOW], c) for w, c in wt.items()}
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        new = {}
+        for w, (syms, cnt) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new[w] = (merged, cnt)
+        words = new
+    occ: Counter = Counter()
+    types: Counter = Counter()
+    for _w, (syms, cnt) in words.items():
+        for s in syms:
+            occ[s] += cnt
+        for s in set(syms):
+            types[s] += 1
+    got = {
+        r["symbol"]: (r["occurrences"], r["word_types"])
+        for r in all_queries()["text_bpe_encode_vocab"].fn(spark, sf_dir).collect()
+    }
+    assert got == {s: (occ[s], types[s]) for s in occ}
+    # conservation: encoded positions = Σ over word types of len(syms)·cnt
+    assert sum(occ.values()) == sum(len(s) * c for s, c in words.values())
