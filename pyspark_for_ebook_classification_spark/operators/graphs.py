@@ -47,11 +47,11 @@ def _pr_oracle() -> str:
                    ) AS dst
             FROM lineitem
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM seq
             WHERE dst IS NOT NULL AND src <> dst
         ),
-        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
         n AS (SELECT s_suppkey AS node FROM supplier),
         r0 AS (SELECT node, CAST({_PR_BASE} AS BIGINT) AS r FROM n)"""
     ]
@@ -212,7 +212,7 @@ _TRI_CTES = """
                    ) AS dst
             FROM lineitem
         ),
-        wp AS (
+        wp AS MATERIALIZED (
             SELECT least(src, dst) AS a, greatest(src, dst) AS b,
                    COUNT(*) AS w
             FROM seq WHERE dst IS NOT NULL AND src <> dst
@@ -231,16 +231,16 @@ _TRI_CTES = """
                 )
             ) WHERE rn <= 8
         ),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT least(node, other) AS a, greatest(node, other) AS b
             FROM picks
         ),
-        deg AS (
+        deg AS MATERIALIZED (
             SELECT node, COUNT(*) AS d FROM (
                 SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
             ) GROUP BY node
         ),
-        oriented AS (
+        oriented AS MATERIALIZED (
             SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
                    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
                    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dv
@@ -350,7 +350,7 @@ _KC_ITERS = 8
 def _kcore_oracle() -> str:
     ctes = [
         f"""{_TRI_CTES},
-        bidir AS (
+        bidir AS MATERIALIZED (
             SELECT a AS node, b AS other FROM und
             UNION ALL
             SELECT b AS node, a AS other FROM und

@@ -1510,14 +1510,14 @@ def _mmr_oracle() -> str:
                    {sql_dot('qe', 'e.embedding')} / (qn * e.nrm) AS rel
             FROM q JOIN normed e ON e.vec_id <> q.query_id
         ),
-        pool AS (
+        pool AS MATERIALIZED (
             SELECT query_id, cand_id, embedding, nrm, rel FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY rel DESC, cand_id
                 ) AS rn FROM scored
             ) WHERE rn <= {_MMR_POOL}
         ),
-        psim AS (
+        psim AS MATERIALIZED (
             SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
                    {sql_dot('p1.embedding', 'p2.embedding')}
                        / (p1.nrm * p2.nrm) AS sim
