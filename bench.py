@@ -59,6 +59,11 @@ HEADLINE = [
     # minus later additions; per-query timings compare directly.
     "graph_kcore_hindex",         # iterated h-index k-core
     "sim_mmr_diversified_topk",   # MMR re-rank over candidate pool
+    # r9 addition: the composed BM25->RRF->MMR serving pipeline — the
+    # heaviest r9 query and the end-to-end retrieval flagship. Earlier
+    # totals stay comparable via sum(queries) minus later additions;
+    # per-query timings compare directly.
+    "sim_retrieval_stack_topk",
 ]
 
 #: round-3 additions measured by scripts/scaling_check.py and plan-dumped
@@ -142,10 +147,10 @@ EXTRA = [
     # r9 additions: the M1->M5 fit-statistics twin, the composed
     # BM25->RRF->MMR serving stack, and the M6/M3 stage twins
     "ml_tfidf_pipeline_twin",
-    "sim_retrieval_stack_topk",
     "ml_label_index_twin",
     "ml_ngram_stage_twin",
     "text_bpe_encode_vocab",
+    # (sim_retrieval_stack_topk graduated to HEADLINE in r9)
 ]
 
 
