@@ -150,6 +150,7 @@ EXTRA = [
     "ml_label_index_twin",
     "ml_ngram_stage_twin",
     "text_bpe_encode_vocab",
+    "ml_cv_grid_relational_twin",
     # (sim_retrieval_stack_topk graduated to HEADLINE in r9)
 ]
 

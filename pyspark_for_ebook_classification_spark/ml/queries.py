@@ -877,3 +877,238 @@ def ml_ngram_stage_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 2)
     )
+
+
+# --------------------- relational k-fold CV / grid-search twin (M11)
+
+_CV_FOLDS = 3
+_CV_ALPHAS = (0.5, 1.0, 2.0)  # Lidstone smoothing grid; all exactly representable
+
+_CV_TWIN_SQL = f"""
+    WITH cvdocs AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tokens,
+               CAST(('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || '#{_NB_SEED}'), 1, 15)
+               ) AS BIGINT) % {_CV_FOLDS} AS fold
+        FROM documents
+    ),
+    folds AS (SELECT unnest([{", ".join(str(f) for f in range(_CV_FOLDS))}]) AS f),
+    alphas AS (SELECT unnest([{", ".join(str(a) for a in _CV_ALPHAS)}]) AS alpha),
+    tr_tok AS MATERIALIZED (
+        SELECT f.f, d.lang, unnest(d.tokens) AS token
+        FROM cvdocs d, folds f WHERE d.fold <> f.f
+    ),
+    cnt_lt AS MATERIALIZED (
+        SELECT f, lang, token, COUNT(*) AS c FROM tr_tok GROUP BY f, lang, token
+    ),
+    tot_l AS MATERIALIZED (
+        SELECT f, lang, COUNT(*) AS tot FROM tr_tok GROUP BY f, lang
+    ),
+    cvvocab AS MATERIALIZED (SELECT DISTINCT f, token FROM tr_tok),
+    vsize AS MATERIALIZED (SELECT f, COUNT(*) AS v FROM cvvocab GROUP BY f),
+    prior AS MATERIALIZED (
+        SELECT f.f, d.lang, COUNT(*) AS n_docs,
+               SUM(COUNT(*)) OVER (PARTITION BY f.f) AS n_train
+        FROM cvdocs d, folds f WHERE d.fold <> f.f
+        GROUP BY f.f, d.lang
+    ),
+    te_tok AS MATERIALIZED (
+        SELECT d.fold AS f, d.doc_id, d.lang AS true_lang, x.token,
+               COUNT(*) AS tf
+        FROM cvdocs d, LATERAL unnest(d.tokens) AS x(token)
+        JOIN cvvocab v ON v.f = d.fold AND v.token = x.token
+        GROUP BY d.fold, d.doc_id, d.lang, x.token
+    ),
+    scored AS (
+        SELECT e.f, a.alpha, e.doc_id, e.true_lang, p.lang AS cand_lang,
+               CAST(round(ln(p.n_docs / CAST(p.n_train AS DOUBLE)), 6)
+                    AS DECIMAL(28,6))
+               + SUM(CAST(
+                     e.tf * round(ln((COALESCE(c.c, 0) + a.alpha)
+                                     / (t.tot + a.alpha * s.v)), 6)
+                 AS DECIMAL(28,6))) AS score
+        FROM te_tok e
+        CROSS JOIN alphas a
+        JOIN prior p ON p.f = e.f
+        JOIN tot_l t ON t.f = e.f AND t.lang = p.lang
+        JOIN vsize s ON s.f = e.f
+        LEFT JOIN cnt_lt c ON c.f = e.f AND c.lang = p.lang AND c.token = e.token
+        GROUP BY e.f, a.alpha, e.doc_id, e.true_lang, p.lang, p.n_docs, p.n_train
+    ),
+    pred AS (
+        SELECT f, alpha, doc_id, true_lang, cand_lang AS pred_lang
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY f, alpha, doc_id ORDER BY score DESC, cand_lang ASC
+            ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    acc AS (
+        SELECT alpha,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred GROUP BY alpha
+    )
+    SELECT alpha, n_test, n_correct,
+           floor(n_correct / CAST(n_test AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS accuracy,
+           (row_number() OVER (ORDER BY n_correct DESC, alpha ASC) = 1)
+               AS is_best
+    FROM acc
+"""
+
+
+@query(
+    "ml_cv_grid_relational_twin",
+    survey_ref="M11,M9,M7,M10",
+    doc="Oracle-checked k-fold CV grid search: 3-fold md5 split x 3 "
+    "Lidstone-smoothing alphas over the relational NB, pooled accuracy "
+    "per alpha, winner flagged.",
+    oracle=_CV_TWIN_SQL,
+)
+def ml_cv_grid_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 under the exact-value hash gate (the NB-twin pattern applied
+    to MODEL SELECTION): 3-fold cross-validation over a Lidstone
+    smoothing grid alpha in {0.5, 1.0, 2.0}, computed WITHOUT loops or
+    unrolling — folds and alphas are DATA (two tiny literal tables
+    cross-joined into the model/score keys), so one declarative plan
+    trains 3 fold-models and scores all 3x3
+    (fold, alpha) cells at once. Per cell: the textbook multinomial NB of
+    ml_nb_relational_twin generalized to Lidstone — likelihood
+    log((c + alpha)/(tot + alpha*V)) over the fold's train vocab, argmax
+    with cand-lang tie-break. Pooled CV accuracy per alpha (each doc is
+    tested exactly once, in its own fold) as INTEGER n_test/n_correct
+    plus the portable floor-rounded ratio; the winning alpha flagged by
+    (n_correct DESC, alpha ASC). The MLlib CrossValidator queries
+    (ml_cv_grid_best) remain the production training surface, rows-only
+    by design; this twin pins the CV math itself — fold assignment,
+    per-fold fitting statistics, grid scoring, metric pooling, winner
+    selection — and a pure-Python recount is the third engine
+    (tests/test_ml.py::test_cv_grid_twin_matches_pure_python).
+
+    Determinism: the same md5(doc_id#seed) fold hash as split_train_test
+    (layout/retry-invariant at any scale); alphas 0.5/1.0/2.0 exactly
+    representable; each log factor rounds to 6dp pre-sum and the per-cell
+    sum accumulates in DECIMAL(28,6) — the NB twin's discipline, so
+    scores are bit-identical cross-engine.
+
+    Scale shape: model tables are (fold x lang x vocab)-sized — 3x
+    the NB twin's, still vocabulary-bounded -> BROADCAST; the corpus-sized
+    work is one tokenize+explode into fold-keyed partial aggs (each token
+    contributes to k-1 train folds — a constant-factor expansion,
+    not a shuffle multiplier), and scoring is the same broadcast probe as
+    the NB twin with (fold, alpha) widening only the bounded side. At
+    100 TB, grid size multiplies broadcast bytes, never corpus traffic."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), F.lit(str(_NB_SEED))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CV_FOLDS
+    )
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("tokens"),
+        bucket.alias("fold"),
+    )
+    folds = spark.createDataFrame([(f,) for f in range(_CV_FOLDS)], "f bigint")
+    alphas = spark.createDataFrame([(a,) for a in _CV_ALPHAS], "alpha double")
+    tr = docs.crossJoin(F.broadcast(folds)).filter(F.col("fold") != F.col("f"))
+    tr_tok = tr.select("f", "lang", F.explode("tokens").alias("token"))
+    cnt_lt = tr_tok.groupBy("f", "lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot_l = tr_tok.groupBy("f", "lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = tr_tok.select("f", "token").distinct()
+    vsize = vocab.groupBy("f").agg(F.count(F.lit(1)).alias("v"))
+    w_f = Window.partitionBy("f")
+    prior = (
+        tr.groupBy("f", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_train", F.sum("n_docs").over(w_f))
+    )
+    te_tok = (
+        docs.select(
+            F.col("fold").alias("f"),
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode("tokens").alias("token"),
+        )
+        .join(vocab, ["f", "token"])
+        .groupBy("f", "doc_id", "true_lang", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    log_lik = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.col("alpha"))
+            / (F.col("tot") + F.col("alpha") * F.col("v"))
+        ),
+        6,
+    )
+    log_prior = F.round(F.log(F.col("n_docs") / F.col("n_train").cast("double")), 6)
+    scored = (
+        te_tok.crossJoin(F.broadcast(alphas))
+        .join(
+            F.broadcast(prior.select("f", F.col("lang").alias("cand_lang"), "n_docs", "n_train")),
+            "f",
+        )
+        .join(
+            F.broadcast(tot_l.select("f", F.col("lang").alias("cand_lang"), "tot")),
+            ["f", "cand_lang"],
+        )
+        .join(F.broadcast(vsize), "f")
+        .join(
+            cnt_lt.select("f", F.col("lang").alias("cand_lang"), "token", "c"),
+            ["f", "cand_lang", "token"],
+            "left",
+        )
+        .groupBy("f", "alpha", "doc_id", "true_lang", "cand_lang")
+        .agg(
+            (
+                F.first(log_prior).cast("decimal(28,6)")
+                + F.sum((F.col("tf") * log_lik).cast("decimal(28,6)"))
+            ).alias("score")
+        )
+    )
+    w_p = Window.partitionBy("f", "alpha", "doc_id").orderBy(
+        F.desc("score"), F.asc("cand_lang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") == 1)
+        .select("alpha", "true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    acc = pred.groupBy("alpha").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    w_best = Window.orderBy(F.desc("n_correct"), F.asc("alpha"))
+    return acc.select(
+        "alpha",
+        "n_test",
+        "n_correct",
+        (
+            F.floor(
+                F.col("n_correct") / F.col("n_test").cast("double") * 1000000.0
+                + F.lit(0.5)
+            ).cast("double")
+            / 1000000.0
+        ).alias("accuracy"),
+        (F.row_number().over(w_best) == 1).alias("is_best"),
+    )

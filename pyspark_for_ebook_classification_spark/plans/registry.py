@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_label_index_twin",
     "ml_ngram_stage_twin",
     "text_bpe_encode_vocab",
+    "ml_cv_grid_relational_twin",
     "text_bm25_topk",
     "sim_rrf_hybrid_fusion",
     "ml_lr_scoring_twin",
@@ -144,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_hash_suite",
     "sql_shipping_priority_q3",
     "agg_revenue_delta_q6",
-    "subquery_priority_counts_q4",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

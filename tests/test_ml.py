@@ -430,3 +430,87 @@ def test_ngram_twin_matches_mllib(spark, sf_dir):
     got = {r["bigram"]: (r["cnt"], r["df"]) for r in twin}
     assert got == expect
     assert got, "bigram table empty — stage twin vacuous"
+
+
+def test_cv_grid_twin_matches_pure_python(spark, sf_dir):
+    """Third engine for ml_cv_grid_relational_twin: pure-Python 3-fold
+    Lidstone-NB cross-validation over the same md5 folds and alpha grid
+    must reproduce n_test, n_correct, the floor-rounded pooled accuracy,
+    and the winning alpha exactly."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.ml.queries import (
+        _CV_ALPHAS,
+        _CV_FOLDS,
+        _NB_SEED,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    def r6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    docs = {
+        r["doc_id"]: (r["lang"], [t for t in r["text"].split(" ") if t])
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+
+    def fold_of(doc_id):
+        h = hashlib.md5(f"{doc_id}#{_NB_SEED}".encode()).hexdigest()
+        return int(h[:15], 16) % _CV_FOLDS
+
+    stats = {a: [0, 0] for a in _CV_ALPHAS}  # alpha -> [n_test, n_correct]
+    for f in range(_CV_FOLDS):
+        train = {d: v for d, v in docs.items() if fold_of(d) != f}
+        test = {d: v for d, v in docs.items() if fold_of(d) == f}
+        cnt: dict = {}
+        tot: Counter = Counter()
+        ndocs: Counter = Counter()
+        vocab: set = set()
+        for _d, (lang, toks) in train.items():
+            ndocs[lang] += 1
+            for t in toks:
+                cnt.setdefault(lang, Counter())[t] += 1
+                tot[lang] += 1
+                vocab.add(t)
+        n_train = sum(ndocs.values())
+        v = len(vocab)
+        for _d, (true_lang, toks) in test.items():
+            tf = Counter(t for t in toks if t in vocab)
+            if not tf:
+                continue
+            for a in _CV_ALPHAS:
+                best = None
+                for lang in sorted(ndocs):
+                    s = r6(math.log(ndocs[lang] / n_train))
+                    for t, c in tf.items():
+                        s += c * r6(
+                            math.log(
+                                (cnt[lang].get(t, 0) + a) / (tot[lang] + a * v)
+                            )
+                        )
+                    s = round(s, 6)  # decimal(28,6) sum is exact at 6dp
+                    if best is None or s > best[1] or (s == best[1] and lang < best[0]):
+                        best = (lang, s)
+                stats[a][0] += 1
+                if best[0] == true_lang:
+                    stats[a][1] += 1
+
+    expect = {}
+    order = sorted(_CV_ALPHAS, key=lambda a: (-stats[a][1], a))
+    for a in _CV_ALPHAS:
+        n, c = stats[a]
+        expect[a] = (n, c, math.floor(c / n * 1e6 + 0.5) / 1e6, a == order[0])
+
+    got = {
+        r["alpha"]: (r["n_test"], r["n_correct"], r["accuracy"], r["is_best"])
+        for r in all_queries()["ml_cv_grid_relational_twin"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(1 for v in got.values() if v[3]) == 1, "exactly one winner"
