@@ -1112,3 +1112,69 @@ def ml_cv_grid_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("accuracy"),
         (F.row_number().over(w_best) == 1).alias("is_best"),
     )
+
+
+def tfidf_pipeline_features(
+    docs: DataFrame,
+    min_df: int = 2,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = _EN_STOPWORDS,
+) -> DataFrame:
+    """PRODUCTION M1->M5 featurizer (the ``bm25_search`` pattern — the
+    declared ``ml_tfidf_pipeline_twin`` fixes min_df=2/top-3 on the
+    documents table for the oracle): regex-tokenize (lowercase, \\W+),
+    remove ``stopwords`` (defaults to MLlib's frozen English list),
+    build the CountVectorizer-style vocabulary under the ``min_df`` cut,
+    IDF = ln((N+1)/(df+1)) rounded to 6dp, and emit each document's
+    ``top_k`` features by tf*idf (ties to the alphabetically first
+    term). Returns (id_col, feat_rank, term, tf, df, idf, tfidf).
+
+    Same plan shape as the twin: token-keyed partial aggs build the
+    domain-bounded idf table, which BROADCASTS to the (doc, term) tf
+    stream; top_k is a doc-keyed WindowGroupLimit. Validated entries
+    (min_df >= 1, top_k >= 1) — a silent 0 would emit an empty
+    vocabulary or no features instead of failing."""
+    if min_df < 1 or top_k < 1:
+        raise ValueError(
+            f"tfidf_pipeline_features: need min_df >= 1 and top_k >= 1, "
+            f"got min_df={min_df} top_k={top_k}"
+        )
+    terms = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), terms.alias("terms"))
+    tok = base.select("doc_id", F.explode("terms").alias("term"))
+    if stopwords:
+        tok = tok.filter(~F.col("term").isin(*stopwords))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("idf"),
+        )
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    feat = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        feat.withColumn("feat_rank", F.row_number().over(w))
+        .filter(F.col("feat_rank") <= top_k)
+        .select(
+            F.col("doc_id").alias(id_col),
+            "feat_rank",
+            "term",
+            "tf",
+            "df",
+            "idf",
+            "tfidf",
+        )
+    )

@@ -514,3 +514,45 @@ def test_cv_grid_twin_matches_pure_python(spark, sf_dir):
     }
     assert got == expect
     assert sum(1 for v in got.values() if v[3]) == 1, "exactly one winner"
+
+
+def test_tfidf_production_form(spark, sf_dir):
+    """The parameterized tfidf_pipeline_features must (a) reproduce the
+    declared twin exactly at the twin's fixed parameters, (b) honor
+    caller min_df/top_k/stopwords, and (c) validate its entries."""
+    from pyspark_for_ebook_classification_spark.ml.queries import (
+        tfidf_pipeline_features,
+    )
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    docs = load(spark, sf_dir, "documents")
+    twin = {
+        (r["doc_id"], r["feat_rank"]): (r["term"], r["tf"], r["df"], r["idf"])
+        for r in all_queries()["ml_tfidf_pipeline_twin"].fn(spark, sf_dir).collect()
+    }
+    prod = {
+        (r["doc_id"], r["feat_rank"]): (r["term"], r["tf"], r["df"], r["idf"])
+        for r in tfidf_pipeline_features(docs).collect()
+    }
+    assert prod == twin
+    # top_k=1 is the rank-1 slice of the default run
+    top1 = tfidf_pipeline_features(docs, top_k=1).collect()
+    assert {(r["doc_id"], 1) for r in top1} == {
+        k for k in twin if k[1] == 1
+    }
+    # a harsher min_df shrinks (or keeps) the vocabulary, never grows it
+    harsh = tfidf_pipeline_features(docs, min_df=10)
+    vocab_harsh = {r["term"] for r in harsh.select("term").distinct().collect()}
+    vocab_default = {t for (t, _, _, _) in twin.values()}
+    assert vocab_harsh <= vocab_default or vocab_harsh == set()
+    # no stopword filtering keeps stopwords rankable
+    raw = tfidf_pipeline_features(docs, stopwords=())
+    raw_terms = {r["term"] for r in raw.select("term").distinct().collect()}
+    assert "the" in raw_terms or "a" in raw_terms
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_df"):
+        tfidf_pipeline_features(docs, min_df=0)
+    with _pytest.raises(ValueError, match="min_df"):
+        tfidf_pipeline_features(docs, top_k=0)
