@@ -42,25 +42,27 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: since its last verdict" (plans/registry.py bookkeeping note) — plus
 #: verdict-ordered re-attestations. These jump the whole freshness queue:
 #: the driver's standing verdict for them is KNOWN-STALE, the one place the
-#: hard signal contradicts the repo. r9 pins (VERDICT r8 task 1):
+#: hard signal contradicts the repo. Each entry is (name, satisfied_round):
+#: the pin AUTO-PRUNES once the name carries a driver verdict from
+#: ``satisfied_round`` or later, so stale pins cannot burn freshness slots
+#: and the next round's paste stays fully mechanical. r9 pins (VERDICT r8
+#: task 1; satisfied by any CORRECTNESS_r09+ verdict):
 #:   * text_bm25_topk / sim_rrf_hybrid_fusion — repaired in r8 (corpus-
 #:     adaptive posting budget; genuine two-modality fusion) but absent
 #:     from CORRECTNESS_r08, so their standing driver verdicts are r7's
 #:     vacuous 0-row greens. MUST lead the r9 block.
 #:   * the seven r8 first-greens (LR twins, eval twin, BPE trainer, CCNet
 #:     split, winnowing pair) — verdict-ordered second attestation.
-#: Prune entries once the pinned name's fresh verdict lands (they would
-#: otherwise burn freshness slots forever).
 PINNED = (
-    "text_bm25_topk",
-    "sim_rrf_hybrid_fusion",
-    "ml_lr_scoring_twin",
-    "ml_lr_confusion_twin",
-    "ml_eval_relational_twin",
-    "text_bpe_merge_train",
-    "text_ccnet_perplexity_buckets",
-    "text_winnowing_fingerprints",
-    "text_winnowing_overlap_pairs",
+    ("text_bm25_topk", 9),
+    ("sim_rrf_hybrid_fusion", 9),
+    ("ml_lr_scoring_twin", 9),
+    ("ml_lr_confusion_twin", 9),
+    ("ml_eval_relational_twin", 9),
+    ("text_bpe_merge_train", 9),
+    ("text_ccnet_perplexity_buckets", 9),
+    ("text_winnowing_fingerprints", 9),
+    ("text_winnowing_overlap_pairs", 9),
 )
 
 #: standing high-risk families for post-closure freshness rotation
@@ -130,9 +132,12 @@ def front_block(queries, verdicts: dict[str, int], slots: int = 50) -> list[str]
     if len(front) < slots:
         front += unverified_rows[: slots - len(front)]
     if len(front) < slots:
-        front += [n for n in PINNED if n in queries and n not in front][
-            : slots - len(front)
+        active = [
+            n
+            for n, satisfied in PINNED
+            if n in queries and n not in front and verdicts.get(n, 0) < satisfied
         ]
+        front += active[: slots - len(front)]
     if len(front) < slots:
         risk_rank = {n: i for i, n in enumerate(HIGH_RISK)}
 

@@ -227,3 +227,34 @@ def test_priority_matches_rotation_script():
         f"First divergence at slot {next(i for i, (a, b) in enumerate(zip(actual, expected)) if a != b)}: "
         f"{[(a, b) for a, b in zip(actual, expected) if a != b][:3]}"
     )
+
+
+def test_pinned_tier_auto_prunes_after_fresh_verdict():
+    """The PINNED re-attestation tier (r9) must drop out mechanically
+    once the driver's fresh verdict lands — a pin satisfied by a
+    CORRECTNESS_r09+ entry may not keep burning freshness slots in r10."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_priority", os.path.join(root, "scripts", "rotate_priority.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    verdicts = rp.last_verdicts(root)
+    pinned_names = [n for n, _ in rp.PINNED]
+    now = rp.front_block(QUERIES, verdicts)
+    # simulate the r9 driver round: every pinned name gets a fresh verdict
+    satisfied = dict(verdicts, **{n: 9 for n in pinned_names})
+    later = rp.front_block(QUERIES, satisfied)
+    stale_still_front = [
+        n for n in pinned_names if n in later[: len(rp.PINNED) + 10]
+    ]
+    assert not stale_still_front, (
+        f"satisfied pins still occupy front slots: {stale_still_front}"
+    )
+    # and TODAY (verdicts still pre-r9) the pins are all in the block
+    if all(verdicts.get(n, 0) < 9 for n in pinned_names):
+        assert all(n in now for n in pinned_names)
