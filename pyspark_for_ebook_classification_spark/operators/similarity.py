@@ -2697,3 +2697,114 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mmr_score"),
         "rank",
     )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    lam: float = 0.5,
+    k: int = _MMR_K,
+    query_col: str = "query_id",
+    item_col: str = "cand_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRODUCTION maximal-marginal-relevance re-ranker (the ``rrf_fuse``
+    pattern — the declared ``sim_mmr_diversified_topk`` and the serving
+    stack fix their pools/λ for the oracle): greedily diversify ANY
+    per-query candidate pool carrying a relevance score and an embedding.
+    Step 1 takes the relevance argmax; each later step takes argmax of
+    λ·rel − (1−λ)·max cosine-to-selected, ties to the smallest item id.
+    Returns (query_col, item_col, rel, mmr, rank) with rank 1..k.
+
+    Entries validated: 0 ≤ λ ≤ 1 and k ≥ 1 (λ outside [0,1] flips the
+    diversity term's sign silently — the winnowing w=0 failure class).
+    Pools smaller than k simply yield fewer rows per query.
+
+    Scale shape: identical to the declared queries — the pool and its
+    pairwise cosine table are localCheckpoint'd (|Q|·P and |Q|·P² rows,
+    bounded by construction), so the k greedy steps are k bounded joins
+    + windows that never replan whatever produced the pool; MMR cost is
+    independent of corpus size. Callers hand in the pool precisely so
+    the expensive retrieval stage stays under THEIR plan control."""
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_rerank: need 0 <= lam <= 1, got {lam}")
+    if k < 1:
+        raise ValueError(f"mmr_rerank: need k >= 1, got {k}")
+    p = pool.select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("cand_id"),
+        F.col(rel_col).cast("double").alias("rel"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn("nrm", F.sqrt(spark_dot("embedding", "embedding")))
+    p = p.localCheckpoint(eager=True)
+    pa = p.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    pb = p.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    picks = (
+        p.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            (F.lit(lam) * F.col("rel")).alias("mmr"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    sel = picks.select("query_id", "cand_id")
+    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
+    for step in range(2, k + 1):
+        mxs = (
+            psim.join(
+                sel.select("query_id", F.col("cand_id").alias("b")), ["query_id", "b"]
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("mxs"))
+        )
+        nxt = (
+            p.join(sel, ["query_id", "cand_id"], "left_anti")
+            .join(mxs, ["query_id", "cand_id"])
+            .select(
+                "query_id",
+                "cand_id",
+                "rel",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("mxs")).alias(
+                    "mmr"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", "rel", "mmr", F.lit(step).alias("rank"))
+        )
+        picks = picks.unionByName(nxt).localCheckpoint(eager=True)
+        sel = picks.select("query_id", "cand_id")
+    return picks.select(
+        F.col("query_id").alias(query_col),
+        F.col("cand_id").alias(item_col),
+        "rel",
+        "mmr",
+        "rank",
+    )

@@ -148,3 +148,87 @@ def test_stack_mmr_matches_pure_python_greedy(spark, stack_rows):
     assert any(mmr_order[q] != rel_order[q] for q in mmr_order), (
         "MMR never reordered any query's pool — diversification vacuous"
     )
+
+
+def test_mmr_rerank_production_form(spark):
+    """The parameterized mmr_rerank must reproduce a pure-Python greedy
+    (sequential-fold cosines, λ balance, id tie-breaks) on a synthetic
+    pool at two λ settings; λ=1 degenerates to pure relevance order and
+    bad entries raise."""
+    import math
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # two queries; candidates on a plane so cosine structure is obvious
+    rows = []
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.99, 0.14, 0.0], 3: [0.0, 1.0, 0.0],
+        4: [0.0, 0.98, 0.2], 5: [0.6, 0.8, 0.0], 6: [0.0, 0.0, 1.0],
+    }
+    rels = {1: 0.95, 2: 0.94, 3: 0.90, 4: 0.89, 5: 0.85, 6: 0.50}
+    for q in (10, 20):
+        for c, v in vecs.items():
+            rows.append((q, c, rels[c], v))
+    pool = spark.createDataFrame(
+        rows, "query_id bigint, cand_id bigint, rel double, embedding array<double>"
+    )
+
+    def py_greedy(lam, k):
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        nrm = {c: math.sqrt(dot(v, v)) for c, v in vecs.items()}
+        out = []
+        for q in (10, 20):
+            sel = []
+            for rank in range(1, k + 1):
+                best = None
+                for c in vecs:
+                    if c in sel:
+                        continue
+                    if not sel:
+                        m = lam * rels[c]
+                    else:
+                        mx = max(
+                            dot(vecs[c], vecs[s]) / (nrm[c] * nrm[s]) for s in sel
+                        )
+                        m = lam * rels[c] - (1.0 - lam) * mx
+                    if best is None or m > best[1] or (m == best[1] and c < best[0]):
+                        best = (c, m)
+                sel.append(best[0])
+                out.append((q, best[0], rels[best[0]], best[1], rank))
+        return sorted(out)
+
+    for lam in (0.5, 0.3):
+        got = sorted(
+            (r["query_id"], r["cand_id"], r["rel"], r["mmr"], r["rank"])
+            for r in mmr_rerank(pool, lam=lam, k=4).collect()
+        )
+        assert got == py_greedy(lam, 4), f"lam={lam}"
+    # diversification is visible: at λ=0.5 the near-duplicate of the top
+    # pick (cand 2, cosine ~0.99 to cand 1) must NOT be pick 2
+    order = {
+        r["rank"]: r["cand_id"]
+        for r in mmr_rerank(pool, lam=0.5, k=3).collect()
+        if r["query_id"] == 10
+    }
+    assert order[1] == 1 and order[2] != 2
+    # λ=1 is pure relevance order
+    pure = {
+        r["rank"]: r["cand_id"]
+        for r in mmr_rerank(pool, lam=1.0, k=3).collect()
+        if r["query_id"] == 10
+    }
+    assert pure == {1: 1, 2: 2, 3: 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lam"):
+        mmr_rerank(pool, lam=1.5)
+    with _pytest.raises(ValueError, match="k >= 1"):
+        mmr_rerank(pool, k=0)
