@@ -83,32 +83,15 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r9 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r08) — 304/304 verified,
-    # 0 FAILs ever outstanding). Tier PINNED leads (r8 verdict task 1):
-    # text_bm25_topk + sim_rrf_hybrid_fusion were REPAIRED in r8 but
-    # missed the r8 front block, so their standing driver verdicts are
-    # r7's vacuous 0-row greens — the one place the hard signal
-    # contradicts the repo; then the seven r8 first-greens for a second
-    # attestation. Tier freshness follows: the 12 standing high-risk
-    # families, then oldest-verdict-first round-robin (the r2
-    # window/set/function block, whose verdicts are 7 rounds old).
-    # ========== (r9 additions — never verified — lead per tier 1)
-    "ml_tfidf_pipeline_twin",
-    "sim_retrieval_stack_topk",
-    "ml_label_index_twin",
-    "ml_ngram_stage_twin",
-    "text_bpe_encode_vocab",
-    "ml_cv_grid_relational_twin",
-    "text_bm25_topk",
-    "sim_rrf_hybrid_fusion",
-    "ml_lr_scoring_twin",
-    "ml_lr_confusion_twin",
-    "ml_eval_relational_twin",
-    "text_bpe_merge_train",
-    "text_ccnet_perplexity_buckets",
-    "text_winnowing_fingerprints",
-    "text_winnowing_overlap_pairs",
+    # ========== r10 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r09) — 310/310 verified,
+    # 0 FAILs ever outstanding). The r9 PINNED tier auto-pruned: every
+    # pin carries a CORRECTNESS_r09 verdict, so this block is PURE
+    # freshness rotation for the first time — the 12 standing high-risk
+    # families, then oldest-verdict-first round-robin (the r3
+    # scan/fn/TPC-H + r2 UDF/dedup/sim/text/data blocks, whose standing
+    # verdicts are 6–7 rounds old).
+    # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -121,30 +104,45 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    "window_moving_avg_range",
-    "window_topn_revenue_per_segment",
-    "window_percent_rank_cume",
-    "window_first_last_value",
-    "sort_multi_nulls",
-    "limit_offset_page",
-    "topk_global_lineitems",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except_all",
-    "set_intersect_all",
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_math_suite",
-    "fn_array_suite",
-    "fn_explode_tokens",
-    "fn_json_map_suite",
-    "agg_pricing_summary",
-    "window_ntile_quartiles",
-    "window_funnel_conversion",
-    "fn_hash_suite",
-    "sql_shipping_priority_q3",
+    # ========== (tier: oldest-verdict-first freshness round-robin)
     "agg_revenue_delta_q6",
+    "subquery_priority_counts_q4",
+    "subquery_above_avg_balance",
+    "join_full_outer_nation_presence",
+    "unpivot_lineitem_measures",
+    "sql_local_supplier_volume_q5",
+    "join_returned_items_q10",
+    "agg_promo_share_q14",
+    "sql_big_order_customers_q18",
+    "filter_disjunctive_bands_q19",
+    "udf_pandas_scalar_tier",
+    "udf_grouped_map_rank",
+    "udf_grouped_agg_span",
+    "udf_iterator_partition_stats",
+    "udtf_chunk_documents",
+    "udf_plain_python_rowwise",
+    "dedup_exact_sha",
+    "dedup_minhash_lsh",
+    "dedup_simhash_groups",
+    "dedup_connected_components",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_bucketed",
+    "sim_cosine_neardup_pairs",
+    "sim_ann_ivf_kmeans",  # rows-only
+    "sim_knn_label_vote",
+    "text_stats_by_lang",
+    "text_quality_score",
+    "text_token_count_subwords",
+    "text_fingerprint_shingle",
+    "text_tfidf_vocab",
+    "text_lang_id_ngram",
+    "text_unigram_logprob",
+    "data_stratified_sample",
+    "data_mix_weighted_sources",
+    "data_pack_sequences",
+    "data_quality_quantile_filter",
+    "multimodal_row_transport",
+    "multimodal_decode_stub",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -114,6 +114,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 
