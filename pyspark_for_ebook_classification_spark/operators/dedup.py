@@ -107,11 +107,20 @@ def _shingles_expr():
     would evaluate ``element_at(empty, 1)``, which throws under Spark 4
     ANSI mode while DuckDB yields NULL — a crash/parity divergence.
     """
+    return _shingles_expr_k(3)
+
+
+def _shingles_expr_k(k: int):
+    """Parameterized k-token shingle expression (identical to the fixed
+    trigram form at k=3 — the registered queries' default). Same Spark-4
+    ANSI caveat: callers pre-filter ``size(tokens) >= 1``."""
+    parts = ", ".join(
+        f"element_at(tokens, least(i + {j}, size(tokens)))" for j in range(1, k)
+    )
+    inner = "element_at(tokens, i)" + (f", {parts}" if parts else "")
     return F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(tokens) - 2, 1)), "
-        "i -> concat_ws(' ', element_at(tokens, i), "
-        "element_at(tokens, least(i + 1, size(tokens))), "
-        "element_at(tokens, least(i + 2, size(tokens))))))"
+        f"array_distinct(transform(sequence(1, greatest(size(tokens) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {inner})))"
     )
 
 
@@ -122,23 +131,39 @@ _SQL_SHINGLES = (
 )
 
 
-def _minhash_signature(df: DataFrame) -> DataFrame:
+def _lcg_seeds(num_hashes: int) -> tuple[list[int], list[int]]:
+    """The universal-hash seed family, extended to any signature width —
+    identical to _LCG_A/_LCG_B over the first N_HASHES seeds."""
+    a = [(1_103_515_245 * (i + 1)) % MERSENNE_P for i in range(num_hashes)]
+    b = [(12_345 * (i + 1) + 7) % MERSENNE_P for i in range(num_hashes)]
+    return a, b
+
+
+def _minhash_signature(
+    df: DataFrame, num_hashes: int = N_HASHES, shingle_k: int = 3
+) -> DataFrame:
     """doc_id → one min-md5 per seed over the shingle set. Single explode +
-    single groupBy; the 12 mins are computed side by side in one partial
-    aggregation.
+    single groupBy; the signature mins are computed side by side in one
+    partial aggregation. Defaults reproduce the registered 12-hash
+    trigram pipeline bit-for-bit; num_hashes/shingle_k parameterize the
+    production ``neardup_dedup`` entry.
 
     The repartition matters: the doc table arrives as few input splits
     (one small parquet file locally), but explode amplifies work ~50×
-    (shingles × 12 hashes) — without it the whole minhash stage runs in
-    one task. Same principle at 100 TB: repartition BEFORE compute
-    amplification, sized to the amplified volume, not the input volume.
+    (shingles × num_hashes hashes) — without it the whole minhash stage
+    runs in one task. Same principle at 100 TB: repartition BEFORE
+    compute amplification, sized to the amplified volume, not the input
+    volume.
     """
+    lcg_a, lcg_b = _lcg_seeds(num_hashes)
     toks = (
         df.repartition(32, "doc_id")
         .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
     )
-    sh = toks.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+    sh = toks.select(
+        "doc_id", F.explode(_shingles_expr_k(shingle_k)).alias("shingle")
+    )
     hm = sh.select(
         "doc_id",
         (
@@ -147,32 +172,34 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
         ).alias("hm"),
     )
     aggs = [
-        F.min((F.lit(_LCG_A[i]) * F.col("hm") + F.lit(_LCG_B[i])) % MERSENNE_P).alias(
+        F.min((F.lit(lcg_a[i]) * F.col("hm") + F.lit(lcg_b[i])) % MERSENNE_P).alias(
             f"h{i}"
         )
-        for i in range(N_HASHES)
+        for i in range(num_hashes)
     ]
     return hm.groupBy("doc_id").agg(*aggs)
 
 
-def _bands(sig: DataFrame) -> DataFrame:
+def _bands(
+    sig: DataFrame, n_bands: int = N_BANDS, band_rows: int = BAND_ROWS
+) -> DataFrame:
     """Signature → (doc_id, band_id, band_hash) rows."""
-    band_rows = [
+    band_frames = [
         sig.select(
             "doc_id",
             F.lit(b).alias("band_id"),
             F.concat_ws(
                 "|",
                 *[
-                    F.col(f"h{b * BAND_ROWS + r}").cast("string")
-                    for r in range(BAND_ROWS)
+                    F.col(f"h{b * band_rows + r}").cast("string")
+                    for r in range(band_rows)
                 ],
             ).alias("band_hash"),
         )
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
-    out = band_rows[0]
-    for extra in band_rows[1:]:
+    out = band_frames[0]
+    for extra in band_frames[1:]:
         out = out.unionByName(extra)
     return out
 
@@ -259,7 +286,7 @@ def _sql_minhash_cte() -> str:
     """
 
 
-def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(doc_a < doc_b) candidate pairs from a band frame — THE banding
     configuration: bucket on (band_id, band_hash), keep bucket sizes in
     [2, MAX_BUCKET], expand pairs in-bucket (no self-join; signatures
@@ -269,7 +296,7 @@ def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     buckets = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
     # docs is sorted, so i<j expansion yields doc_a < doc_b directly
     pair_expr = F.expr(
@@ -1999,4 +2026,155 @@ def dedup_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("c") > 1).cast("bigint").alias("n_collision_buckets"),
         F.max("c").cast("bigint").alias("max_bucket"),
         F.expr("CAST(SUM(c * (c - 1) DIV 2) AS BIGINT)").alias("pair_slots"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production near-dup entry point (library API)
+
+
+def lsh_collision_probability(jaccard: float, bands: int, rows: int) -> float:
+    """Banding-theory S-curve: P(candidate | true Jaccard j) with b bands
+    of r rows is 1 − (1 − j^r)^b — the math dedup_banding_sweep prices on
+    the real corpus. Pure helper so callers (and tests) can sanity-check a
+    (bands, rows) choice against their threshold before running the pass."""
+    if not (0.0 <= jaccard <= 1.0):
+        raise ValueError(f"lsh_collision_probability: need 0 <= jaccard <= 1, got {jaccard}")
+    if bands < 1 or rows < 1:
+        raise ValueError(
+            f"lsh_collision_probability: need bands >= 1 and rows >= 1, got ({bands}, {rows})"
+        )
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = N_HASHES,
+    bands: int = N_BANDS,
+    *,
+    max_bucket: int = MAX_BUCKET,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION MinHash-LSH near-duplicate dedup (the ``bm25_search``/
+    ``mmr_rerank`` pattern applied to the most-run LLM-pipeline pass): run
+    the full shingle → minhash → band → bucket-join → exact-Jaccard-verify
+    → connected-components pipeline of the declared ``dedup_minhash_lsh``
+    + ``dedup_connected_components`` over ANY (id, text) frame with
+    caller-chosen similarity threshold and banding. At the defaults the
+    candidate/verify stages are bit-identical to the registered
+    fixed-workload queries (pinned by tests/test_r10_neardup.py against a
+    pure-Python union-find over dedup_minhash_lsh's own pairs).
+
+    Returns one row per input doc: (id_col, cluster_id, keep) — cluster_id
+    is the minimum member id of the doc's near-dup cluster (ids compare
+    numerically for numeric id columns, lexicographically for strings) and
+    keep marks exactly that minimum member: the keep-FIRST policy. Docs
+    with no near-dup above the threshold are their own singleton cluster
+    with keep=true, so ``filter("keep")`` is the deduplicated corpus.
+
+    Parameter guidance: banding theory puts the S-curve midpoint at
+    (1/bands)^(rows/band) — see ``lsh_collision_probability`` and the
+    corpus-priced ``dedup_banding_sweep``. Candidates BELOW the curve are
+    recovered only probabilistically (LSH recall), but every candidate is
+    exact-Jaccard-verified, so precision is exact at any banding.
+
+    Scale shape — every stage is the audited one from the declared
+    queries: signatures are one explode + one partial-agg groupBy
+    (repartitioned before the ~50× compute amplification), candidates come
+    from an in-bucket group-by expansion (never a band self-join — that
+    would replan the minhash pipeline per side) with oversized boilerplate
+    buckets dropped under ``max_bucket`` so pair counts stay ~linear in
+    corpus size, Jaccard verification touches candidate pairs only, and
+    the label-propagation loop runs on the near-dup SUBGRAPH (near-dup
+    components are shallow, so a handful of rounds; edges/labels
+    localCheckpoint'd per round to keep lineage flat, with only a scalar
+    changed-count collected per round). Singletons never enter the loop
+    and rejoin at the end via one left join against the input ids."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"neardup_dedup: need 0 < threshold < 1, got {threshold}")
+    if num_hashes < 1 or bands < 1:
+        raise ValueError(
+            f"neardup_dedup: need num_hashes >= 1 and bands >= 1, got ({num_hashes}, {bands})"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"neardup_dedup: bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if max_bucket < 2:
+        raise ValueError(f"neardup_dedup: need max_bucket >= 2, got {max_bucket}")
+    if shingle_k < 1:
+        raise ValueError(f"neardup_dedup: need shingle_k >= 1, got {shingle_k}")
+    band_rows = num_hashes // bands
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    shingled = (
+        d.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr_k(shingle_k).alias("shingles"))
+    )
+    sig = _minhash_signature(d, num_hashes=num_hashes, shingle_k=shingle_k)
+    cand = _lsh_candidate_pairs(
+        _bands(sig, n_bands=bands, band_rows=band_rows), max_bucket=max_bucket
+    )
+    ta = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    tb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    pairs = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+    # Connected components by min-label propagation over the verified
+    # pairs — the declared dedup_connected_components loop, generalized to
+    # any orderable id type (string ids can't use the decimal label-sum
+    # convergence test, so convergence is the per-round changed-label
+    # count: labels only decrease, so changed == 0 IS the fixpoint).
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("component_id", "prev_id")
+            .join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                "prev_id",
+                F.least("prev_id", F.coalesce("neighbor_min", "prev_id")).alias(
+                    "component_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("component_id") != F.col("prev_id")).count()
+        labels = new_labels.select("doc_id", "component_id")
+        if changed == 0:
+            break
+
+    ids = d.select("doc_id")
+    out = ids.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("cluster_id")
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
