@@ -1499,7 +1499,10 @@ _MMR_K = 5      # diversified results to keep
 #: λ = 0.5 exactly representable: score = λ·rel − (1−λ)·max sim-to-selected
 
 
-def _mmr_oracle() -> str:
+def _mmr_oracle(lam: float = 0.5) -> str:
+    """Unrolled greedy-MMR oracle; ``lam`` must be exactly representable
+    (0.5/0.25/0.75) so the SQL literal and F.lit agree bit-for-bit."""
+    lm, om = repr(lam), repr(1.0 - lam)
     head = f"""{_SQL_NORMED},
         q AS (
             SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
@@ -1526,7 +1529,7 @@ def _mmr_oracle() -> str:
                         AND p1.cand_id <> p2.cand_id
         ),
         pick1 AS (
-            SELECT query_id, cand_id, rel, 0.5 * rel AS mmr, 1 AS rank
+            SELECT query_id, cand_id, rel, {lm} * rel AS mmr, 1 AS rank
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY rel DESC, cand_id
@@ -1539,7 +1542,7 @@ def _mmr_oracle() -> str:
         steps.append(f"""
         score{k} AS (
             SELECT p.query_id, p.cand_id, p.rel,
-                   0.5 * p.rel - 0.5 * MAX(ps.sim) AS mmr
+                   {lm} * p.rel - {om} * MAX(ps.sim) AS mmr
             FROM pool p
             JOIN sel{k - 1} s
               ON s.query_id = p.query_id
@@ -2597,10 +2600,13 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: corpus-sized work is exactly the two upstream retrieval
     passes (BM25's broadcast probe, cosine's broadcast scan) — already
     scale-audited on their own; fusion runs on |Q|×{RRF_POOL} rank rows,
-    MMR on a |Q|×{_STACK_POOL} pool with |Q|×{_STACK_POOL}² pairwise
-    sims, both localCheckpoint'd (bounded) so the five greedy steps never
-    replan the retrieval stages. End-to-end, corpus traffic is ONE tf
-    build + ONE embedding scan regardless of K, pool, or step count."""
+    MMR on a |Q|×{_STACK_POOL} pool with an INCREMENTAL running
+    max-sim-to-selected (r10: |Q|×{_STACK_POOL}×(K−1) pairwise sims
+    instead of the former upfront |Q|×{_STACK_POOL}² table — see the
+    in-loop comment), both localCheckpoint'd (bounded) so the five
+    greedy steps never replan the retrieval stages. End-to-end, corpus
+    traffic is ONE tf build + ONE embedding scan regardless of K, pool,
+    or step count."""
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
     fpool = (
         _rrf_fused(spark, sf_dir)
@@ -2620,31 +2626,21 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "rrf", "rel", "embedding", "nrm")
         .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
     )
-    pa = pool.select(
-        "query_id",
-        F.col("cand_id").alias("a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    pb = pool.select(
-        "query_id",
-        F.col("cand_id").alias("b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    psim = (
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "sim"
-            ),
-        )
-        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
-    )
+    # Incremental running-max instead of an upfront |Q|·POOL² pairwise
+    # table (r9 verdict task 5 — trim the stack's dominant bounded
+    # stage). The advisor's proposed trim — restrict the pairwise build
+    # to the top-K-by-rel candidates — is UNSOUND: when the high-rel
+    # pool is self-similar, a low-rel orthogonal candidate outside any
+    # rel-top-K wins a greedy step (mmr = λ·rel − (1−λ)·mxs; clones of
+    # pick 1 carry mxs ≈ 1). The sound reduction: MMR only ever needs
+    # max sim TO THE SELECTED SET, and the selected set grows one item
+    # per step — so fold each step's single new pick into a running
+    # per-candidate max. Pairwise sims computed: |Q|·POOL·(K−1) instead
+    # of |Q|·POOL² (halved at POOL=10, K=5), each against a broadcast
+    # 1-row-per-query pick table; output-identical because a running max
+    # over the same doubles IS the max over the selected set (proven by
+    # the pure-Python greedy recount in tests/test_r9_semantics2.py and
+    # the unrolled full-pairwise oracle's hash).
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     picks = (
         pool.withColumn("rn", F.row_number().over(w_rel))
@@ -2659,19 +2655,42 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sel = picks.select("query_id", "cand_id")
+    last = sel  # the newest pick (1 row per query)
+    mxs_run = None  # (query_id, cand_id, mxs) running max-sim-to-selected
     w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
     for k in range(2, _MMR_K + 1):
-        mxs = (
-            psim.join(
-                sel.select("query_id", F.col("cand_id").alias("b")),
-                ["query_id", "b"],
+        pick_emb = (
+            pool.join(last.withColumnRenamed("cand_id", "b"), ["query_id"])
+            .filter(F.col("cand_id") == F.col("b"))
+            .select(
+                "query_id",
+                "b",
+                F.col("embedding").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
             )
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("mxs"))
         )
+        new_sims = (
+            pool.join(F.broadcast(pick_emb), "query_id")
+            .filter(F.col("cand_id") != F.col("b"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    spark_dot("embedding", "emb_b")
+                    / (F.col("nrm") * F.col("nrm_b"))
+                ).alias("mxs"),
+            )
+        )
+        mxs_run = (
+            new_sims
+            if mxs_run is None
+            else mxs_run.unionByName(new_sims)
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("mxs").alias("mxs"))
+        ).localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
         step = (
             pool.join(sel, ["query_id", "cand_id"], "left_anti")
-            .join(mxs, ["query_id", "cand_id"])
+            .join(mxs_run, ["query_id", "cand_id"])
             .select(
                 "query_id",
                 "cand_id",
@@ -2687,6 +2706,7 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sim_mmr_diversified_topk stage-explosion fix)
         picks = picks.unionByName(step).localCheckpoint(eager=True)
         sel = picks.select("query_id", "cand_id")
+        last = step.select("query_id", "cand_id")
     return picks.select(
         "query_id",
         "cand_id",
@@ -2806,5 +2826,63 @@ def mmr_rerank(
         F.col("cand_id").alias(item_col),
         "rel",
         "mmr",
+        "rank",
+    )
+
+
+@query(
+    "sim_mmr_library_topk",
+    survey_ref="L3,W4,J8,A1",
+    doc="The production mmr_rerank entry under the hash gate: the "
+    "registered top-20 relevance pool diversified at λ=0.75 through "
+    "one library call.",
+    oracle=_mmr_oracle(0.75),
+)
+def sim_mmr_library_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``mmr_rerank`` path itself under the driver's hash
+    gate (r9 verdict task 6 — library entries never reach the driver, so
+    their pins were pytest-only): build the registered top-{_MMR_POOL}
+    relevance pool (the sim_mmr_diversified_topk stage, byte-identical
+    scoring) and hand it to ONE ``mmr_rerank`` call — no reimplemented
+    greedy loop that could drift from the production code. λ=0.75 (not
+    the declared query's 0.5) so the λ/(1−λ) parameter plumbing is what
+    the oracle actually checks: 0.75 and 0.25 are exactly representable,
+    so F.lit and the SQL literal are the same double. Relevance-heavier
+    λ picks a measurably different set than λ=0.5 wherever diversity
+    mattered — the λ dial a serving deployment actually turns.
+
+    Scale shape: inherited from mmr_rerank — the pool and its pairwise
+    cosine table are localCheckpoint'd (|Q|·P and |Q|·P² rows, bounded),
+    the k greedy steps never replan the corpus-sized scoring stage."""
+    e = _normed(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            "embedding",
+            (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias(
+                "rel"
+            ),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("query_id", "cand_id", "rel", "embedding")
+    )
+    out = mmr_rerank(pool, lam=0.75, k=_MMR_K)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr_score"),
         "rank",
     )

@@ -2582,3 +2582,252 @@ def text_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("occurrences"),
         F.countDistinct("word").cast("bigint").alias("word_types"),
     )
+
+
+@query(
+    "text_bpe_decode_roundtrip",
+    survey_ref="L6,A1,F1,W2",
+    doc="BPE tokenizer DECODE: concatenate each word type's encoded "
+    "symbols back in position order and prove count-weighted identity "
+    "with the original word table, bucketed by encoded length.",
+    oracle=f"""
+        WITH {_bpe_ctes()},
+        dec AS (
+            SELECT word, cnt, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+                   string_agg(s, '' ORDER BY p) AS decoded
+            FROM s{BPE_ROUNDS} GROUP BY word, cnt
+        )
+        SELECT n_symbols,
+               CAST(COUNT(*) AS BIGINT) AS word_types,
+               CAST(SUM(cnt) AS BIGINT) AS corpus_tokens,
+               CAST(SUM(CASE WHEN decoded = word || '{BPE_EOW}'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS roundtrip_exact_types
+        FROM dec GROUP BY n_symbols
+    """,
+)
+def text_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE half that closes L6's tokenizer loop (r9 verdict task
+    3 — train → encode → decode → ORIGINAL): replay the 6 trained merges
+    (the encode), then decode each word type by concatenating its symbol
+    stream back in position order, and prove the round-trip identity the
+    tokenizer user actually relies on — decoded text == original word (+
+    the end-of-word marker the encoder appended). The output buckets
+    word types by encoded length: per n_symbols, the word-type count,
+    the count-weighted corpus-token mass, and how many types round-trip
+    exactly. The identity guarantee is that roundtrip_exact_types ==
+    word_types in EVERY bucket (BPE merges only ever concatenate
+    adjacent symbols, so decode is lossless by construction) — pinned as
+    an invariant by tests/test_r10_semantics.py, with the sequential
+    Python scanner as third engine re-deriving every bucket. All-integer
+    output — no rounding hazards.
+
+    Scale shape: identical to the encode half (one corpus tokenize+count
+    pass; each merge round two window passes + a broadcast argmax over
+    the Zipf-bounded word-TYPE stream), plus one per-word ordered
+    string_agg — a partial agg over the type-sized stream (array_sort of
+    ≤ word-length structs per type, never corpus-sized), then a
+    vocabulary-bounded final agg keyed by encoded length."""
+    d = load(spark, sf_dir, "documents")
+    wt = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW)))
+    stream = (
+        wt.select("word", "cnt", F.posexplode(chars).alias("p0", "s"))
+        .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BPE_ROUNDS):
+        _, merged = _bpe_merge_round(stream)
+        stream = merged.localCheckpoint(eager=True)
+    dec = stream.groupBy("word", "cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "s"))),
+                lambda x: x["s"],
+            ),
+        ).alias("decoded"),
+    )
+    return dec.groupBy("n_symbols").agg(
+        F.count(F.lit(1)).cast("bigint").alias("word_types"),
+        F.sum("cnt").cast("bigint").alias("corpus_tokens"),
+        F.sum(
+            F.when(
+                F.col("decoded") == F.concat(F.col("word"), F.lit(BPE_EOW)), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("roundtrip_exact_types"),
+    )
+
+
+@query(
+    "text_winnow_search_floor",
+    survey_ref="L1,L2,J8,A1",
+    doc="The production winnow_overlap_search entry under the hash gate: "
+    "full-corpus MOSS overlap search at the registry (k, w) with the "
+    "min_shared=2 coincidence-suppression floor.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens
+            FROM documents
+            WHERE length({_SQL_TOKENS}) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        grams AS (
+            SELECT doc_id,
+                   length(tokens) - {WINNOW_K - 1} AS m,
+                   i AS p,
+                   md5(array_to_string(tokens[i:i + {WINNOW_K - 1}], ' ')) AS h
+            FROM toks,
+                 unnest(range(1, length(tokens) - {WINNOW_K - 2})) AS u(i)
+        ),
+        wins AS (
+            SELECT doc_id, t,
+                   h || lpad(CAST(999999999 - p AS VARCHAR), 9, '0') AS key
+            FROM grams,
+                 unnest(range(greatest(p, {WINNOW_W}),
+                              least(p + {WINNOW_W - 1}, m) + 1)) AS u(t)
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, substring(key, 1, 32) AS fp
+            FROM (SELECT doc_id, MIN(key) AS key FROM wins GROUP BY doc_id, t)
+        ),
+        fdf AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+        tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+        kept AS (
+            SELECT f.doc_id, f.fp FROM fps f JOIN fdf USING (fp)
+            WHERE df BETWEEN 2 AND {WINNOW_FP_DF_MAX}
+        ),
+        wpairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT id_a, id_b, n_shared,
+               floor(n_shared / CAST(least(ta.n_fp, tb.n_fp) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS overlap
+        FROM wpairs
+        JOIN tot ta ON ta.doc_id = id_a
+        JOIN tot tb ON tb.doc_id = id_b
+    """,
+)
+def text_winnow_search_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION library path itself under the driver's hash gate
+    (r9 verdict task 6 — the driver never sees library entries, so their
+    pins were pytest-only): this query IS one call to
+    ``winnow_overlap_search`` at the registry (k={WINNOW_K},
+    w={WINNOW_W}, fp_df_max={WINNOW_FP_DF_MAX}) — no reimplementation,
+    no parallel twin that could drift from the production code. Unlike
+    the declared ``text_winnowing_overlap_pairs`` (1/10 doc sample,
+    min_shared=1, deliberately floor-free so the sampled answer stays
+    non-vacuous), this runs the FULL corpus with production MOSS's
+    min_shared=2 single-fingerprint-coincidence suppression — at the
+    gate scale the floor kills 97% of candidate pairs (3,374 → 103
+    measured at sf0.01; 322,878 → 7,551 at sf0.1), which is exactly the
+    signal/noise separation a plagiarism or contamination scan ships
+    with. min_shared=2 at (k=3, w=4) ≈ an 11-token verbatim-run floor
+    (s·w + k − 1).
+
+    Scale shape: inherited verbatim from the library fn (two shuffles
+    build the ~2/(w+1)-density index, the self-join is df-capped so pair
+    slots ≤ OCC·({WINNOW_FP_DF_MAX}−1)/2, the floor prunes AFTER the
+    pair agg, per-doc totals broadcast back)."""
+    d = load(spark, sf_dir, "documents")
+    return winnow_overlap_search(
+        d,
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=2,
+        fp_df_max=WINNOW_FP_DF_MAX,
+    )
+
+
+#: the fixed ad-hoc query strings for the library-routed BM25 entry —
+#: common corpus terms, so every query matches at any SF. Both the Spark
+#: call and the oracle VALUES list derive from this one tuple.
+BM25_LIB_QUERIES = ("hash join", "scan filter column", "vector stream data")
+
+
+def _bm25_lib_values() -> str:
+    rows = []
+    for q in BM25_LIB_QUERIES:
+        for t in dict.fromkeys(w for w in q.split(" ") if w):
+            rows.append(f"('{q}', '{t}')")
+    return ", ".join(rows)
+
+
+@query(
+    "text_bm25_library_search",
+    survey_ref="L3,L6,W4,A1",
+    doc="The production bm25_search entry under the hash gate: three "
+    "fixed ad-hoc query strings ranked against the corpus, top-5 each.",
+    oracle=f"""
+        WITH lbtoks AS (
+            SELECT doc_id, {_SQL_TOKENS} AS tokens FROM documents
+        ),
+        lbstats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(length(tokens)) AS BIGINT) AS total_tokens
+            FROM lbtoks
+        ),
+        lbtf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(tokens) AS token FROM lbtoks)
+            GROUP BY doc_id, token
+        ),
+        lbdf AS (SELECT token, COUNT(*) AS df FROM lbtf GROUP BY token),
+        lbdl AS (SELECT doc_id, length(tokens) AS dl FROM lbtoks),
+        lbq(query, token) AS (VALUES {_bm25_lib_values()}),
+        lbqt AS (
+            SELECT query, q.token,
+                   ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) AS idf
+            FROM lbq q JOIN lbdf d ON d.token = q.token, lbstats s
+        ),
+        lbscore AS (
+            SELECT q.query, f.doc_id,
+                   CAST(SUM(CAST(
+                       q.idf * ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 *
+                           (l.dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs)))))
+                   AS DECIMAL(28,6))) AS DOUBLE) AS score
+            FROM lbqt q
+            JOIN lbtf f ON f.token = q.token
+            JOIN lbdl l ON l.doc_id = f.doc_id, lbstats s
+            GROUP BY q.query, f.doc_id
+        )
+        SELECT query, doc_id, round(score, 4) AS bm25, rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query ORDER BY score DESC, doc_id ASC
+            ) AS rank FROM lbscore
+        ) WHERE rank <= 5
+    """,
+)
+def text_bm25_library_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``bm25_search`` path itself under the driver's
+    hash gate (r9 verdict task 6): rank three fixed ad-hoc query STRINGS
+    against the corpus through ONE library call — the ad-hoc-string
+    workload shape the declared ``text_bm25_topk`` cannot exercise (its
+    queries are corpus-derived so the oracle can replay the rarest-term
+    selection; user strings skip the posting budget by design — a user's
+    common term is kept, not silently dropped). The three queries use
+    common corpus terms so the answer is non-vacuous at every SF, and
+    the oracle VALUES list is generated from the same Python tuple the
+    Spark call receives, so the two engines cannot disagree about the
+    workload.
+
+    Scale shape: inherited verbatim from bm25_search — one
+    tokenize+explode+combine builds the (doc, token, tf) table; the
+    query-term table (|Q|=3 × ≤3 terms, driver-side literals) BROADCASTS
+    to it, so the corpus-sized side never shuffles; per-(query,doc)
+    decimal-summed partial agg; top-5 per query is a WindowGroupLimit.
+    Unlike the declared query's 1/97-sampled workload, |Q| here is FIXED
+    — the broadcast never grows with the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return bm25_search(d, queries=list(BM25_LIB_QUERIES), k=5)

@@ -91,6 +91,11 @@ _PRIORITY: tuple[str, ...] = (
     # families, then oldest-verdict-first round-robin (the r3
     # scan/fn/TPC-H + r2 UDF/dedup/sim/text/data blocks, whose standing
     # verdicts are 6–7 rounds old).
+    # ========== (tier: r10 additions — never verified — lead per policy)
+    "text_bpe_decode_roundtrip",
+    "text_winnow_search_floor",
+    "text_bm25_library_search",
+    "sim_mmr_library_topk",
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -139,10 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "data_stratified_sample",
     "data_mix_weighted_sources",
-    "data_pack_sequences",
-    "data_quality_quantile_filter",
-    "multimodal_row_transport",
-    "multimodal_decode_stub",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

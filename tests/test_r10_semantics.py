@@ -1,0 +1,91 @@
+"""Round-10 semantic third engines: the BPE decode/round-trip identity
+(L6's train → encode → decode loop closure) re-derived by the sequential
+Python scanner, plus the lossless-decode invariant itself.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark_for_ebook_classification_spark.operators.textops import (
+    BPE_EOW,
+    BPE_ROUNDS,
+)
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def _scanner_encoded_words(docs: dict[int, list[str]]):
+    """The tests/test_r8_semantics.py textbook BPE scanner run to its
+    final word→symbol-stream state (the encoded corpus over word types)."""
+    wt = Counter(t for toks in docs.values() for t in toks)
+    words = {w: (list(w) + [BPE_EOW], c) for w, c in wt.items()}
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (l, r), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        new = {}
+        for w, (syms, cnt) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new[w] = (merged, cnt)
+        words = new
+    return words
+
+
+def test_bpe_decode_roundtrip_matches_scanner(spark, sf_dir):
+    """Third engine: the scanner's encoded word table, decoded and
+    bucketed by encoded length, must reproduce every output bucket —
+    word-type count, count-weighted token mass, and exact-round-trip
+    count — of the declared query."""
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    words = _scanner_encoded_words(docs)
+    expect: dict[int, list[int]] = {}
+    for w, (syms, cnt) in words.items():
+        b = expect.setdefault(len(syms), [0, 0, 0])
+        b[0] += 1
+        b[1] += cnt
+        b[2] += int("".join(syms) == w + BPE_EOW)
+    got = {
+        r["n_symbols"]: [
+            r["word_types"],
+            r["corpus_tokens"],
+            r["roundtrip_exact_types"],
+        ]
+        for r in all_queries()["text_bpe_decode_roundtrip"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_decode_is_lossless(spark, sf_dir):
+    """THE tokenizer guarantee: every word type round-trips exactly
+    (roundtrip_exact_types == word_types in every bucket) — BPE merges
+    only concatenate adjacent symbols, so decode is lossless. A merge
+    bug that corrupted the stream (dropped/duplicated a position) would
+    break this before it broke any count."""
+    rows = all_queries()["text_bpe_decode_roundtrip"].fn(spark, sf_dir).collect()
+    assert rows, "no buckets — empty word-type table?"
+    for r in rows:
+        assert r["roundtrip_exact_types"] == r["word_types"], (
+            f"bucket n_symbols={r['n_symbols']}: "
+            f"{r['roundtrip_exact_types']}/{r['word_types']} round-trip"
+        )
+    # conservation: bucketed token mass re-adds to the corpus token count
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    n_tokens = d.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+    ).collect()[0][0]
+    assert sum(r["corpus_tokens"] for r in rows) == n_tokens
