@@ -152,7 +152,53 @@ EXTRA = [
     "text_bpe_encode_vocab",
     "ml_cv_grid_relational_twin",
     # (sim_retrieval_stack_topk graduated to HEADLINE in r9)
+    # r10 additions: the BPE decode half and the three library-routed
+    # queries that put the production entry points under the hash gate
+    "text_bpe_decode_roundtrip",
+    "text_winnow_search_floor",
+    "text_bm25_library_search",
+    "sim_mmr_library_topk",
 ]
+
+
+#: The PREVIOUS round's headline list — BENCH_r09's 21 queries. The
+#: emitted `comparable` block subtotals the intersection with the current
+#: HEADLINE so round-over-round comparison is self-describing (r9 verdict
+#: finding 2: r9's printed 26.96 s total included the new 21st query;
+#: the honest round-over-round number was the identical-20 subset's
+#: 22.81 s, which only BENCHNOTES.md recorded).
+PREV_ROUND_HEADLINE = [
+    "agg_pricing_summary",
+    "scan_parquet_checksum",
+    "join_broadcast_star_revenue",
+    "join_inner_revenue_by_customer",
+    "join_asof_purchase_last_click",
+    "window_topn_revenue_per_segment",
+    "dedup_exact_sha",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_bucketed",
+    "text_tfidf_vocab",
+    "text_lang_id_ngram",
+    "stream_session_window_twin",
+    "text_minhash_containment",
+    "dedup_minhash_estimate_error",
+    "graph_triangle_count",
+    "dedup_semantic_embedding",
+    "agg_ols_two_features",
+    "graph_kcore_hindex",
+    "sim_mmr_diversified_topk",
+    "sim_retrieval_stack_topk",
+]
+
+
+def comparable_subtotal(
+    timings: dict[str, float], prev_names: list[str]
+) -> tuple[list[str], float]:
+    """The identical-set subtotal vs the previous round's headline list —
+    pure so tests/test_bench_guards.py can pin it over fixtures."""
+    names = [n for n in prev_names if n in timings]
+    return names, round(sum(timings[n] for n in names), 3)
 
 
 #: Canary-drift auto-remeasure trigger (r8 verdict item 3): r8 shipped
@@ -172,21 +218,54 @@ SCALING_DISAGREE_TRIGGER = 0.25
 
 
 def parse_scaling_reference(path: str) -> dict[str, float]:
-    """Per-query sf0.1 wall seconds from SCALING.md's table (col 3).
-    Missing file or unparseable rows → empty/partial dict (guard skips)."""
+    """Per-query sf0.1 wall seconds from SCALING.md's table, located by
+    HEADER NAME (r9 ADVICE: the old positional col-3 parse would silently
+    read the wrong column if scaling_check.py ever added/reordered one).
+    Missing file, missing header, or unparseable rows → empty/partial
+    dict (guard skips)."""
     ref: dict[str, float] = {}
     if not os.path.exists(path):
         return ref
-    row = re.compile(r"^\|\s*(\w+)\s*\|\s*[0-9.]+\s*\|\s*([0-9.]+)\s*\|")
+    target_idx = None
     with open(path) as fh:
         for line in fh:
-            m = row.match(line)
+            if not line.startswith("|"):
+                continue
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if target_idx is None:
+                # first table line must be the header; find 'sf0.1 (s)'
+                if "sf0.1 (s)" not in cells:
+                    return ref
+                target_idx = cells.index("sf0.1 (s)")
+                continue
+            if len(cells) <= target_idx or set(cells[0]) <= {"-", " "}:
+                continue  # separator row or malformed
+            try:
+                ref[cells[0]] = float(cells[target_idx])
+            except ValueError:
+                pass
+    return ref
+
+
+def parse_scaling_provenance(path: str) -> float | None:
+    """SCALING.md's own canary drift (written by scripts/scaling_check.py
+    since r10) as a fraction, or None when the file predates provenance.
+    The SCALING-disagree guard needs the reference to be a QUIET-host
+    measurement: a reference taken on an already-contaminated host is
+    inflated and suppresses the guard in the same direction as the
+    stale-high case (r9 ADVICE)."""
+    if not os.path.exists(path):
+        return None
+    m_line = re.compile(r"^Canary: .*drift ([+-]?[0-9.]+)%")
+    with open(path) as fh:
+        for line in fh:
+            m = m_line.match(line)
             if m:
                 try:
-                    ref[m.group(1)] = float(m.group(2))
+                    return float(m.group(1)) / 100.0
                 except ValueError:
-                    pass
-    return ref
+                    return None
+    return None
 
 
 def second_pass_reasons(
@@ -276,9 +355,26 @@ def main() -> None:
     timings = measure(names)
     canary_post = min(run_once(CANARY) for _ in range(3))
     drift = (canary_post - canary_pre) / max(canary_pre, 1e-9)
-    scaling_ref = parse_scaling_reference(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.md")
+    first_pass_drift = drift
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.md"
     )
+    # The disagree guard needs SCALING's column to be a QUIET-host
+    # reference (r9 ADVICE): a reference measured on an already-
+    # contaminated host is inflated and suppresses the guard. Trust it
+    # only when scaling_check.py recorded its own canary bracket within
+    # the same 10% bar (faster-direction drift is benign warm-up).
+    scaling_drift = parse_scaling_provenance(scaling_path)
+    scaling_trusted = (
+        scaling_drift is not None and scaling_drift <= CANARY_DRIFT_TRIGGER
+    )
+    scaling_ref = parse_scaling_reference(scaling_path) if scaling_trusted else {}
+    if not scaling_trusted:
+        print(
+            "# SCALING reference untrusted (no guard-clean canary "
+            f"provenance; drift={scaling_drift}) — disagree guard disabled",
+            file=sys.stderr,
+        )
     reasons = second_pass_reasons(drift, timings, scaling_ref, sf)
     if reasons:
         for r in reasons:
@@ -293,6 +389,7 @@ def main() -> None:
     for name in names:
         total += timings[name]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    comp_names, comp_total = comparable_subtotal(timings, PREV_ROUND_HEADLINE)
 
     print(
         json.dumps(
@@ -302,16 +399,32 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # round-over-round comparison, self-describing (r9 verdict
+                # finding 2): the subtotal over the PREVIOUS round's
+                # headline list, plus both lists, so a reader never
+                # recomputes the comparable number from the tail.
+                "comparable": {
+                    "prev_round_queries": PREV_ROUND_HEADLINE,
+                    "shared_queries": comp_names,
+                    "total": comp_total,
+                },
                 "canary": {
                     "query": CANARY,
                     "pre_sec": round(canary_pre, 3),
                     "post_sec": round(canary_post, 3),
                     "drift_pct": round(100 * drift, 1),
+                    "first_pass_drift_pct": round(100 * first_pass_drift, 1),
                 },
                 "guards": {
                     "canary_trigger_pct": round(100 * CANARY_DRIFT_TRIGGER, 1),
                     "scaling_disagree_trigger_pct": round(
                         100 * SCALING_DISAGREE_TRIGGER, 1
+                    ),
+                    "scaling_reference_trusted": scaling_trusted,
+                    "scaling_reference_drift_pct": (
+                        None
+                        if scaling_drift is None
+                        else round(100 * scaling_drift, 1)
                     ),
                     "second_pass_reasons": reasons,
                 },

@@ -64,14 +64,26 @@ def _run(spark, fn, sf_dir: str) -> float:
     return best
 
 
+CANARY = "scan_parquet_checksum"
+#: same bar as bench.py's CANARY_DRIFT_TRIGGER — keep in sync
+CANARY_DRIFT_TRIGGER = 0.10
+
+
 def main() -> None:
     spark = get_spark("scaling_check")
     queries = all_queries()
     # warmup: touch both datasets once so neither SF pays first-read cost
     for sf in SFS:
-        queries["scan_parquet_checksum"].fn(spark, sf).write.format("noop").mode(
+        queries[CANARY].fn(spark, sf).write.format("noop").mode(
             "overwrite"
         ).save()
+    # Canary bracket (r9 ADVICE): bench.py's SCALING-disagree guard uses
+    # this file's sf0.1 column as the quiet-host reference, so the
+    # reference must prove ITS OWN host was quiet — otherwise an inflated
+    # reference suppresses the guard in exactly the contaminated case it
+    # exists for. bench.py trusts the column only when the recorded drift
+    # is within the same 10% bar.
+    canary_pre = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
 
     rows = []
     for name in HEADLINE + EXTRA:
@@ -101,6 +113,14 @@ def main() -> None:
             print(f"audit {name}: {n} rows{flag}")
     audit.sort()
 
+    canary_post = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
+    canary_drift = (canary_post - canary_pre) / max(canary_pre, 1e-9)
+    verdict = (
+        "guard-clean"
+        if canary_drift <= CANARY_DRIFT_TRIGGER
+        else "CONTAMINATED — re-run on a quiet host"
+    )
+
     out = [
         "# SCALING — headline-query wall time, sf0.01 vs sf0.1 (10× data)",
         "",
@@ -112,6 +132,12 @@ def main() -> None:
         "growth would be the signature of an accidental pair explosion "
         "or spilled shuffle. See PLANS.md for the plans behind these "
         "numbers.",
+        "",
+        f"Canary: pre {canary_pre:.3f} s, post {canary_post:.3f} s, "
+        f"drift {100 * canary_drift:+.1f}% — {verdict} "
+        f"(trigger {100 * CANARY_DRIFT_TRIGGER:.0f}%). bench.py's "
+        "SCALING-disagree guard only trusts this table when this line "
+        "records a guard-clean run.",
         "",
         "| query | sf0.01 (s) | sf0.1 (s) | ratio |",
         "| --- | --- | --- | --- |",

@@ -97,3 +97,69 @@ def test_boundary_just_under_triggers_nothing():
     # and just over both bars trips both
     reasons = bench.second_pass_reasons(0.101, {"q": 1.251}, {"q": 1.0}, 0.1)
     assert len(reasons) == 2
+
+
+def test_comparable_subtotal_over_fixture():
+    # r10: the emitted `comparable` block must subtotal exactly the
+    # intersection with the previous round's headline list, in that
+    # list's order, ignoring queries new this round.
+    timings = {"a": 1.0, "b": 2.25, "new_this_round": 9.0}
+    names, total = bench.comparable_subtotal(timings, ["b", "a", "dropped"])
+    assert names == ["b", "a"]
+    assert total == 3.25
+    # full identity when the lists coincide
+    names, total = bench.comparable_subtotal({"a": 1.111}, ["a"])
+    assert (names, total) == (["a"], 1.111)
+    assert bench.comparable_subtotal({}, ["a"]) == ([], 0.0)
+
+
+def test_prev_round_headline_is_r09s_21(tmp_path):
+    # the literal list must be BENCH_r09's exact query set
+    import json
+
+    r09 = json.load(open(os.path.join(ROOT, "BENCH_r09.json")))
+    assert set(bench.PREV_ROUND_HEADLINE) == set(r09["parsed"]["queries"])
+    assert len(bench.PREV_ROUND_HEADLINE) == 21
+
+
+def test_parse_scaling_reference_locates_column_by_header(tmp_path):
+    # r9 ADVICE: a reordered/extended table must still read 'sf0.1 (s)'
+    p = tmp_path / "SCALING.md"
+    p.write_text(
+        "# title\n\nprose\n\n"
+        "| query | extra_col | sf0.01 (s) | sf0.1 (s) | ratio |\n"
+        "| --- | --- | --- | --- | --- |\n"
+        "| q1 | 9.999 | 0.100 | 1.500 | 15.00× |\n"
+        "| q2 | 8.888 | 0.200 | 2.500 | 12.50× |\n"
+    )
+    ref = bench.parse_scaling_reference(str(p))
+    assert ref == {"q1": 1.5, "q2": 2.5}
+    # a table WITHOUT the expected header parses to nothing (guard skips)
+    p.write_text("| query | wall (s) |\n| --- | --- |\n| q1 | 1.5 |\n")
+    assert bench.parse_scaling_reference(str(p)) == {}
+
+
+def test_parse_scaling_reference_real_file_matches_known_cell():
+    # pin a known query's parsed value to its literal sf0.1 cell so a
+    # future column change cannot silently shift the guard's reference
+    path = os.path.join(ROOT, "SCALING.md")
+    ref = bench.parse_scaling_reference(path)
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("| join_inner_revenue_by_customer "):
+                cells = [c.strip() for c in line.strip().strip("|").split("|")]
+                assert ref["join_inner_revenue_by_customer"] == float(cells[2])
+                break
+        else:
+            raise AssertionError("known query missing from SCALING.md")
+
+
+def test_parse_scaling_provenance(tmp_path):
+    p = tmp_path / "SCALING.md"
+    p.write_text("# t\n\nCanary: pre 0.210 s, post 0.215 s, drift +2.4% — guard-clean (trigger 10%).\n")
+    assert bench.parse_scaling_provenance(str(p)) == 0.024
+    p.write_text("# t\n\nCanary: pre 0.210 s, post 0.180 s, drift -14.3% — guard-clean (trigger 10%).\n")
+    assert abs(bench.parse_scaling_provenance(str(p)) - (-0.143)) < 1e-12
+    p.write_text("# no provenance line here\n")
+    assert bench.parse_scaling_provenance(str(p)) is None
+    assert bench.parse_scaling_provenance("/nonexistent/SCALING.md") is None

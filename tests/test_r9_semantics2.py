@@ -7,10 +7,17 @@ MMR over the collected pool reproduces every pick exactly.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 
-SF = "/root/testdata/sf0.01"  # the driver's gate scale: 6 BM25 queries
+# The driver's gate scale (sf0.01 — 6 BM25 queries), derived from the same
+# env override the rest of the suite uses (r9 ADVICE: a hardcoded absolute
+# path fails on any host without it) — keep the sf0.01 pin, swap the base.
+_BASE = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+)
+SF = os.path.join(_BASE, "sf0.01")
 
 
 @pytest.fixture(scope="module")
