@@ -2886,3 +2886,141 @@ def sim_mmr_library_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mmr", 6).alias("mmr_score"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Production ANN entry point (library API)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    method: str = "bruteforce",
+    *,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    plane_offset: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """PRODUCTION vector top-k search (the ``neardup_dedup``/
+    ``bm25_search`` pattern applied to L3): rank ``corpus`` against
+    ``queries`` by cosine over ANY pair of (id, array<float>) frames.
+    ``method='bruteforce'`` is the exact baseline (the declared
+    ``sim_topk_bruteforce`` plan); ``method='lsh'`` is the scale path —
+    multi-table random-hyperplane LSH candidate generation with exact
+    cosine rerank over the candidate union (the declared
+    ``sim_ann_lsh_bucketed`` plan, banding parameterized). At the default
+    parameters each method reproduces its registered query bit-for-bit
+    when handed the registry workload (pinned by tests/test_r10_ann.py).
+
+    Returns (query_id, neighbor_id, cosine, rank) with cosine rounded to
+    6 places (the declared twins' contract) and rank 1..k per query.
+    ``exclude_self`` drops neighbor rows whose id equals the query id
+    (the registered workload's convention — queries drawn from the
+    corpus); pass False when the id spaces are disjoint.
+
+    Parameter guidance: recall/cost is tuned by (n_tables, planes_per
+    _table) — more planes per table sharpen buckets (fewer candidates,
+    lower recall per table), more tables union more chances (recall →
+    1 − (1 − r_t)^L). ``plane_offset`` selects a disjoint slice of the
+    deterministic LCG plane family so stacked LSH uses (IVF cells vs
+    candidate tables) never share hyperplanes. Plane weights index into
+    a 64-dim family; dims ≤ 64 get independent planes, larger vectors
+    reuse weights across planes past index 64 (still valid LSH, weaker
+    independence) — regenerate the family before using much larger dims.
+
+    Scale shape — both methods keep the corpus-sized side shuffle-free:
+    bruteforce broadcasts the query side and streams the corpus through
+    ONE codegen'd scoring stage + a per-query top-k window (set
+    ``broadcast_queries=False`` when |Q| outgrows the driver — AQE then
+    picks the join); LSH computes all L signatures in one pass over each
+    side (stack, not L scans), joins buckets with the query side
+    broadcast, dedupes candidates BEFORE the exact rerank, and reranks
+    candidates only. Neither method self-joins the corpus."""
+    if k < 1:
+        raise ValueError(f"ann_topk: need k >= 1, got {k}")
+    if method not in ("bruteforce", "lsh"):
+        raise ValueError(f"ann_topk: unknown method {method!r}")
+    if method == "lsh" and (n_tables < 1 or planes_per_table < 1):
+        raise ValueError(
+            f"ann_topk: need n_tables >= 1 and planes_per_table >= 1, "
+            f"got ({n_tables}, {planes_per_table})"
+        )
+
+    en = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ne"),
+    ).withColumn("nn", F.sqrt(spark_dot("ne", "ne")))
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qe"),
+    ).withColumn("qn", F.sqrt(spark_dot("qe", "qe")))
+
+    if method == "bruteforce":
+        qside = F.broadcast(qn) if broadcast_queries else qn
+        scored = en.crossJoin(qside)
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "neighbor_id",
+            (spark_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+    else:
+        def _tables(df: DataFrame, idc: str, vc: str) -> DataFrame:
+            # all L signatures in ONE pass over the vector (the declared
+            # query's stack() discipline), then exploded to the long form
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        spark_lsh_bucket(
+                            vc,
+                            planes_per_table,
+                            dim,
+                            plane_offset + t * planes_per_table,
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+            return df.select(F.col(idc), F.explode(entries).alias("e")).select(
+                idc, F.col("e.table_id").alias("table_id"), F.col("e.bucket").alias("bucket")
+            )
+
+        ct = _tables(en, "neighbor_id", "ne")
+        qt = _tables(qn, "query_id", "qe")
+        qside = F.broadcast(qt) if broadcast_queries else qt
+        cand = ct.join(qside, ["table_id", "bucket"]).select(
+            "query_id", "neighbor_id"
+        )
+        if exclude_self:
+            cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        cand = cand.distinct()
+        qemb = F.broadcast(qn) if broadcast_queries else qn
+        scored = (
+            cand.join(qemb, "query_id")
+            .join(en, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (spark_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cos"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+    )
