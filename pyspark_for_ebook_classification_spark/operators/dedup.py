@@ -2178,3 +2178,35 @@ def neardup_dedup(
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def exact_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION exact dedup (the ``neardup_dedup`` companion — together
+    they are the L1/L2 dedup pair every corpus pass starts with): collapse
+    byte-identical texts of ANY (id, text) frame onto their sha2-256
+    content hash with the keep-first (min-id) policy. Returns one row per
+    input doc: (id_col, content_hash, keep) — ``filter("keep")`` is the
+    exactly-deduplicated corpus, and ``content_hash`` is the stable key
+    downstream incremental passes anti-join on (the
+    ``dedup_incremental_exact`` pattern).
+
+    Scale shape — the declared ``dedup_exact_sha`` plan: the shuffle key
+    is the 64-char hash, not the document text, so at 100 TB the heavy
+    text column never crosses the wire; one partial-agg groupBy computes
+    the per-hash min id, broadcast-sized nothing, and the keep flag is a
+    map-side comparison after one hash-keyed join back."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"),
+    )
+    firsts = d.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    return d.join(firsts, "content_hash").select(
+        F.col("doc_id").alias(id_col),
+        "content_hash",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )

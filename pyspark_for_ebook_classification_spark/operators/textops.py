@@ -2831,3 +2831,111 @@ def text_bm25_library_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the broadcast never grows with the corpus."""
     d = load(spark, sf_dir, "documents")
     return bm25_search(d, queries=list(BM25_LIB_QUERIES), k=5)
+
+
+def gopher_gate(
+    docs: DataFrame,
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_per_word: float = 0.3,
+    min_alpha_word_ratio: float = 0.6,
+    min_distinct_stopwords: int = 1,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION Gopher-style quality gate (Rae et al. 2021, Table A1
+    shape — the parameterized form of the declared
+    ``text_gopher_quality_rules``, which fixes the registry thresholds
+    and a 1/5 doc sample for the oracle): score ANY (id, text) frame
+    against caller-chosen thresholds. Returns one row per NON-EMPTY doc
+    (zero-token docs are dropped — every ratio divides by word count):
+    (id_col, word_count, mean_word_len, symbol_per_word,
+    alpha_word_ratio, n_distinct_stop, keep) with keep = all five rules
+    hold — ``filter("keep")`` is the quality-gated corpus, and the five
+    feature columns are kept so a caller can re-gate at different
+    thresholds WITHOUT recomputing the features (thresholds are cheap;
+    the tokenize pass is not).
+
+    Threshold validation: bounds must be ordered and ratios within
+    [0, 1]-sane ranges — a silently inverted band would keep nothing and
+    look like an aggressive filter (the winnowing w=0 failure class).
+
+    Scale shape — the declared query's: ONE projection pass over the
+    corpus, no shuffle, no Python; every feature is a codegen'd
+    higher-order function over the token array, thresholds are literals
+    Catalyst constant-folds, and at 100 TB the gate runs at parquet-scan
+    speed (column-pruned to id + text)."""
+    if min_words > max_words:
+        raise ValueError(
+            f"gopher_gate: min_words ({min_words}) > max_words ({max_words})"
+        )
+    if min_mean_word_len > max_mean_word_len:
+        raise ValueError(
+            f"gopher_gate: min_mean_word_len ({min_mean_word_len}) > "
+            f"max_mean_word_len ({max_mean_word_len})"
+        )
+    if not (0.0 <= min_alpha_word_ratio <= 1.0):
+        raise ValueError(
+            f"gopher_gate: need 0 <= min_alpha_word_ratio <= 1, got {min_alpha_word_ratio}"
+        )
+    if max_symbol_per_word < 0.0:
+        raise ValueError(
+            f"gopher_gate: need max_symbol_per_word >= 0, got {max_symbol_per_word}"
+        )
+    if min_distinct_stopwords > len(stopwords):
+        raise ValueError(
+            f"gopher_gate: min_distinct_stopwords ({min_distinct_stopwords}) "
+            f"exceeds the stop list size ({len(stopwords)})"
+        )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    stoplist = F.array(*[F.lit(w) for w in stopwords])
+    wc = F.size("tokens")
+    mean_len = (
+        F.aggregate("tokens", F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / wc
+    )
+    symbol_per_word = (
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[#.]{3,}|[0-9]"), F.lit(0))
+        ).cast("double")
+        / wc
+    )
+    alpha_ratio = (
+        F.size(F.filter("tokens", lambda t: t.rlike("[a-zA-Z]"))).cast("double") / wc
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter("tokens", lambda t: F.array_contains(stoplist, t)))
+    )
+    feat = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col), toks.alias("tokens"))
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            wc.cast("int").alias("word_count"),
+            mean_len.alias("mean_word_len"),
+            symbol_per_word.alias("symbol_per_word"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            n_stop.cast("int").alias("n_distinct_stop"),
+        )
+    )
+    return feat.select(
+        F.col("doc_id").alias(id_col),
+        "word_count",
+        "mean_word_len",
+        "symbol_per_word",
+        "alpha_word_ratio",
+        "n_distinct_stop",
+        (
+            F.col("word_count").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+            & (F.col("symbol_per_word") < max_symbol_per_word)
+            & (F.col("alpha_word_ratio") > min_alpha_word_ratio)
+            & (F.col("n_distinct_stop") >= min_distinct_stopwords)
+        ).alias("keep"),
+    )

@@ -1,0 +1,100 @@
+"""Round-10: exact_dedup and gopher_gate production entries — pinned
+against their declared fixed-workload queries, planted fixtures, and
+threshold validation.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark_for_ebook_classification_spark.operators.dedup import exact_dedup
+from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+from pyspark_for_ebook_classification_spark.sources.io import load
+
+
+def test_exact_dedup_matches_registered_query(spark, sf_dir):
+    """Grouping the library output by content hash must reproduce the
+    declared dedup_exact_sha rows (keep-first id + copy count) exactly."""
+    expected = {
+        r.content_hash: (r.keep_doc_id, r.n_copies)
+        for r in all_queries()["dedup_exact_sha"].fn(spark, sf_dir).collect()
+    }
+    out = exact_dedup(load(spark, sf_dir, "documents")).collect()
+    keeps = {r.content_hash: r.doc_id for r in out if r.keep}
+    counts = Counter(r.content_hash for r in out)
+    assert {h: (keeps[h], counts[h]) for h in counts} == expected
+    # exactly one keeper per hash, and it is the min id
+    by_hash: dict[str, list[int]] = {}
+    for r in out:
+        by_hash.setdefault(r.content_hash, []).append(r.doc_id)
+    for h, ids in by_hash.items():
+        assert keeps[h] == min(ids)
+
+
+def test_exact_dedup_planted(spark):
+    docs = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "different")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.keep for r in exact_dedup(docs).collect()}
+    assert out == {1: True, 3: False, 2: True}
+
+
+def test_gopher_gate_matches_registered_query(spark, sf_dir):
+    """At the registry thresholds over the declared 1/5 sample, the
+    library must reproduce text_gopher_quality_rules row-for-row."""
+    expected = sorted(
+        tuple(r) for r in all_queries()["text_gopher_quality_rules"].fn(
+            spark, sf_dir
+        ).collect()
+    )
+    d = load(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    got = sorted(tuple(r) for r in gopher_gate(d).collect())
+    assert got == expected
+
+
+def test_gopher_gate_thresholds_move_the_gate(spark, sf_dir):
+    """Re-gating at stricter thresholds keeps a subset; features are
+    threshold-independent."""
+    d = load(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    base = gopher_gate(d)
+    strict = gopher_gate(d, min_words=30)
+    kept_base = {r.doc_id for r in base.collect() if r.keep}
+    kept_strict = {r.doc_id for r in strict.collect() if r.keep}
+    assert kept_strict <= kept_base
+    f_base = {r.doc_id: r.word_count for r in base.collect()}
+    f_strict = {r.doc_id: r.word_count for r in strict.collect()}
+    assert f_base == f_strict
+
+
+def test_gopher_gate_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is warm today for sure"),  # keep
+            (2, "x y"),  # too few words
+            (3, "000 111 222 333 444 555 666 777 888 999"),  # symbols, no alpha
+            (4, ""),  # zero tokens -> dropped entirely
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.keep for r in gopher_gate(docs).collect()}
+    assert rows == {1: True, 2: False, 3: False}
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"min_words": 10, "max_words": 5},
+        {"min_mean_word_len": 5.0, "max_mean_word_len": 2.0},
+        {"min_alpha_word_ratio": 1.5},
+        {"max_symbol_per_word": -0.1},
+        {"min_distinct_stopwords": 99},
+    ],
+)
+def test_gopher_gate_validation(spark, kwargs):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        gopher_gate(docs, **kwargs)
