@@ -2600,13 +2600,13 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: corpus-sized work is exactly the two upstream retrieval
     passes (BM25's broadcast probe, cosine's broadcast scan) — already
     scale-audited on their own; fusion runs on |Q|×{RRF_POOL} rank rows,
-    MMR on a |Q|×{_STACK_POOL} pool with an INCREMENTAL running
-    max-sim-to-selected (r10: |Q|×{_STACK_POOL}×(K−1) pairwise sims
-    instead of the former upfront |Q|×{_STACK_POOL}² table — see the
-    in-loop comment), both localCheckpoint'd (bounded) so the five
-    greedy steps never replan the retrieval stages. End-to-end, corpus
-    traffic is ONE tf build + ONE embedding scan regardless of K, pool,
-    or step count."""
+    MMR on a |Q|×{_STACK_POOL} pool with |Q|×{_STACK_POOL}² pairwise
+    sims, both localCheckpoint'd (bounded) so the five greedy steps
+    never replan the retrieval stages (the POOL² table is kept on
+    MEASUREMENT — see the in-loop comment: both trim variants lose on
+    job-count floor at this pool size). End-to-end, corpus traffic is
+    ONE tf build + ONE embedding scan regardless of K, pool, or step
+    count."""
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
     fpool = (
         _rrf_fused(spark, sf_dir)
@@ -2626,21 +2626,46 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "rrf", "rel", "embedding", "nrm")
         .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
     )
-    # Incremental running-max instead of an upfront |Q|·POOL² pairwise
-    # table (r9 verdict task 5 — trim the stack's dominant bounded
-    # stage). The advisor's proposed trim — restrict the pairwise build
-    # to the top-K-by-rel candidates — is UNSOUND: when the high-rel
-    # pool is self-similar, a low-rel orthogonal candidate outside any
-    # rel-top-K wins a greedy step (mmr = λ·rel − (1−λ)·mxs; clones of
-    # pick 1 carry mxs ≈ 1). The sound reduction: MMR only ever needs
-    # max sim TO THE SELECTED SET, and the selected set grows one item
-    # per step — so fold each step's single new pick into a running
-    # per-candidate max. Pairwise sims computed: |Q|·POOL·(K−1) instead
-    # of |Q|·POOL² (halved at POOL=10, K=5), each against a broadcast
-    # 1-row-per-query pick table; output-identical because a running max
-    # over the same doubles IS the max over the selected set (proven by
-    # the pure-Python greedy recount in tests/test_r9_semantics2.py and
-    # the unrolled full-pairwise oracle's hash).
+    # POOL² pairwise table, kept DELIBERATELY (r9 verdict task 5,
+    # measured): two trims were implemented and timed at sf0.1 —
+    # (a) the advisor's top-K-by-rel reachability filter is UNSOUND
+    # (when the high-rel pool is self-similar, a low-rel orthogonal
+    # candidate outside any rel-top-K wins a greedy step: mmr =
+    # λ·rel − (1−λ)·mxs and clones of pick 1 carry mxs ≈ 1), and
+    # (b) the sound incremental running-max (fold each step's new pick
+    # into a per-candidate max; POOL·(K−1) sims instead of POOL²)
+    # measured 6.23 s vs 5.29 s min-of-3 with per-step eager
+    # checkpoints, 7.14 s without — at |Q|·POOL² = 10×100 bounded rows
+    # the pairwise volume was never the cost; Spark JOB COUNT is, and
+    # one upfront checkpoint beats K−1 incremental steps. Revisit only
+    # if POOL grows ~100× (the crossover where data volume beats job
+    # floor). Output-identity of variant (b) was proven against this
+    # form's oracle hash at sf0.01 AND sf0.1 before reverting.
+    pa = pool.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
+    )
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     picks = (
         pool.withColumn("rn", F.row_number().over(w_rel))
@@ -2655,42 +2680,19 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sel = picks.select("query_id", "cand_id")
-    last = sel  # the newest pick (1 row per query)
-    mxs_run = None  # (query_id, cand_id, mxs) running max-sim-to-selected
     w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
     for k in range(2, _MMR_K + 1):
-        pick_emb = (
-            pool.join(last.withColumnRenamed("cand_id", "b"), ["query_id"])
-            .filter(F.col("cand_id") == F.col("b"))
-            .select(
-                "query_id",
-                "b",
-                F.col("embedding").alias("emb_b"),
-                F.col("nrm").alias("nrm_b"),
+        mxs = (
+            psim.join(
+                sel.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
             )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("mxs"))
         )
-        new_sims = (
-            pool.join(F.broadcast(pick_emb), "query_id")
-            .filter(F.col("cand_id") != F.col("b"))
-            .select(
-                "query_id",
-                "cand_id",
-                (
-                    spark_dot("embedding", "emb_b")
-                    / (F.col("nrm") * F.col("nrm_b"))
-                ).alias("mxs"),
-            )
-        )
-        mxs_run = (
-            new_sims
-            if mxs_run is None
-            else mxs_run.unionByName(new_sims)
-            .groupBy("query_id", "cand_id")
-            .agg(F.max("mxs").alias("mxs"))
-        ).localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
         step = (
             pool.join(sel, ["query_id", "cand_id"], "left_anti")
-            .join(mxs_run, ["query_id", "cand_id"])
+            .join(mxs, ["query_id", "cand_id"])
             .select(
                 "query_id",
                 "cand_id",
@@ -2706,7 +2708,6 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sim_mmr_diversified_topk stage-explosion fix)
         picks = picks.unionByName(step).localCheckpoint(eager=True)
         sel = picks.select("query_id", "cand_id")
-        last = step.select("query_id", "cand_id")
     return picks.select(
         "query_id",
         "cand_id",

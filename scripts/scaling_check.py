@@ -77,6 +77,17 @@ def main() -> None:
         queries[CANARY].fn(spark, sf).write.format("noop").mode(
             "overwrite"
         ).save()
+    # One untimed WARM PASS over every measured query at both SFs (the
+    # bench.py r7 methodology, applied here in r10): the first regenerate
+    # with the canary bracket recorded drift -47.6% — the pass started on
+    # a cold JVM, so the early table rows were deep-JIT-inflated, which
+    # is the UNSAFE direction for a disagree-guard reference (an inflated
+    # reference suppresses the guard). Steady-state first, then measure.
+    for name in HEADLINE + EXTRA:
+        for sf in SFS:
+            queries[name].fn(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
     # Canary bracket (r9 ADVICE): bench.py's SCALING-disagree guard uses
     # this file's sf0.1 column as the quiet-host reference, so the
     # reference must prove ITS OWN host was quiet — otherwise an inflated

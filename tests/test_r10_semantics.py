@@ -89,3 +89,43 @@ def test_bpe_decode_is_lossless(spark, sf_dir):
         F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
     ).collect()[0][0]
     assert sum(r["corpus_tokens"] for r in rows) == n_tokens
+
+
+def test_winnow_search_floor_pair_budget(spark, sf_dir):
+    """Containment treatment for the full-corpus floor query (its
+    sf0.01→sf0.1 ratio sits at the 2.5× watch boundary): the df-capped
+    index bounds TOTAL shared-fingerprint mass analytically — Σ n_shared
+    over ALL pairs (pre-floor) ≤ Σ C(df,2) over kept fingerprints ≤
+    OCC·(cap−1)/2 — so pair work is linear in kept occurrences by
+    construction, at any corpus size. The min_shared floor only prunes
+    further."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        WINNOW_FP_DF_MAX,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load as _load
+
+    d = _load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, k=WINNOW_K, w=WINNOW_W).select(
+        "doc_id", "fp"
+    ).distinct()
+    dfr = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_FP_DF_MAX))
+        .collect()
+    )
+    pair_slots = sum(r.df * (r.df - 1) // 2 for r in dfr)
+    occ = sum(r.df for r in dfr)
+    assert pair_slots <= occ * (WINNOW_FP_DF_MAX - 1) // 2
+    # the floor query's total shared mass is within the pre-floor budget
+    floor_rows = all_queries()["text_winnow_search_floor"].fn(
+        spark, sf_dir
+    ).collect()
+    assert floor_rows, "floor query vacuous at the gate scale"
+    assert sum(r.n_shared for r in floor_rows) <= pair_slots
+    assert all(r.n_shared >= 2 for r in floor_rows)
