@@ -3025,3 +3025,109 @@ def ann_topk(
             F.col("rn").alias("rank"),
         )
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    tau: float = _SEMDEDUP_TAU,
+    *,
+    target_cell: int = _SEMDEDUP_TARGET_CELL,
+    max_refine: int = _SEMDEDUP_MAX_REFINE,
+    plane_offset: int = _SEMDEDUP_PLANE_OFFSET,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+) -> DataFrame:
+    """PRODUCTION SemDeDup (Abbas et al. 2023 — the embedding-space pass
+    that completes the dedup trio: ``exact_dedup`` for byte-identical,
+    ``neardup_dedup`` for token-level near-dups, this for paraphrases
+    and re-encodings that embed to nearly the same point): run the
+    declared ``dedup_semantic_embedding`` pipeline over ANY
+    (id, array<float>) frame with caller-chosen cosine threshold and
+    cell sizing. At the defaults on a labeled frame it reproduces the
+    registered query bit-for-bit (pinned by tests/test_r10_library.py).
+
+    Returns one row per vector: (id_col, cell, keep, max_lower_cos) —
+    a vector is dropped iff some LOWER-id vector in its cell is within
+    ``tau`` by cosine (the deterministic one-shot policy: a conservative
+    superset of the chained greedy's removals, computed in one pass),
+    so ``filter("keep")`` is the semantically deduplicated set.
+    ``label_col=None`` cells purely by SRP prefix (unlabeled corpora).
+
+    Parameter guidance: ``target_cell`` bounds EXPECTED cell population
+    — refinement bits are added until n ≤ n_labels·target·2^bits, so
+    per-cell pairwise cost stays O(target²·d) at any corpus size;
+    ``max_refine`` caps the depth (each bit is one inline SRP plane; 32
+    bits covers ~10¹³ vectors). Raising tau drops more aggressively
+    (tau is a cosine floor, not a distance). Recall at cell boundaries
+    behaves like SemDeDup's k-means cells: a cos≈0.95 pair co-locates
+    per bit with p≈0.90.
+
+    Scale shape — the declared query's, unchanged: one broadcast 1-row
+    stats aggregate feeds the exact-integer bits ladder (no log2, no
+    driver collect), one cell-keyed shuffle for the pairwise join (the
+    streamed side repartitioned BEFORE the compute-amplifying stage),
+    one id-keyed partial-agg MAX, one left join back. Total pairwise
+    work is O(n·target·d) — linear in corpus size."""
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"semdedup: need 0 < tau <= 1, got {tau}")
+    if target_cell < 1:
+        raise ValueError(f"semdedup: need target_cell >= 1, got {target_cell}")
+    if not (0 <= max_refine <= 30):
+        raise ValueError(f"semdedup: need 0 <= max_refine <= 30, got {max_refine}")
+
+    label = F.col(label_col) if label_col else F.lit("all")
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        label.alias("label"),
+    ).withColumn("nrm", F.sqrt(spark_dot("embedding", "embedding")))
+    stats = F.broadcast(
+        e.agg(F.count("*").alias("n"), F.count_distinct("label").alias("nl"))
+    )
+    bits_expr = (
+        "CASE "
+        + " ".join(
+            f"WHEN n <= nl * {target_cell * (1 << b)} THEN {b}"
+            for b in range(max_refine + 1)
+        )
+        + f" ELSE {max_refine} END"
+    )
+    cell_expr = f"concat(CAST(label AS STRING), '|', substring(sig, 1, {bits_expr}))"
+    sig = (
+        spark_lsh_bucket("embedding", max_refine, dim, plane_offset)
+        if max_refine > 0
+        else F.lit("")  # depth 0: cells are labels alone
+    )
+    celled = (
+        e.crossJoin(stats)
+        .withColumn("sig", sig)
+        .withColumn("cell", F.expr(cell_expr))
+    )
+    a = celled.repartition("vec_id").select(
+        "cell",
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = celled.select(
+        "cell",
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    lower_max = (
+        a.join(b, "cell")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .select(F.col("vid_b").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("mx"))
+    )
+    return celled.join(lower_max, "vec_id", "left").select(
+        F.col("vec_id").alias(id_col),
+        "cell",
+        (F.col("mx").isNull() | (F.col("mx") < tau)).alias("keep"),
+        F.round("mx", 6).alias("max_lower_cos"),
+    )

@@ -98,3 +98,67 @@ def test_gopher_gate_validation(spark, kwargs):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError):
         gopher_gate(docs, **kwargs)
+
+
+def test_semdedup_matches_registered_query(spark, sf_dir):
+    """At the defaults on the labeled embeddings table, the library must
+    reproduce dedup_semantic_embedding row-for-row."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import semdedup
+
+    expected = sorted(
+        tuple(r)
+        for r in all_queries()["dedup_semantic_embedding"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in semdedup(load(spark, sf_dir, "embeddings")).collect()
+    )
+    assert got == expected
+
+
+def test_semdedup_planted_and_unlabeled(spark):
+    """Identical vectors share every SRP bit (same cell at any depth):
+    the higher id is dropped at tau below 1.0; an orthogonal vector is
+    kept even when co-celled. label_col=None cells purely by prefix."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # exact duplicate of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup(vecs, tau=0.9, label_col=None, dim=4).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False  # cos 1.0 >= 0.9 to lower-id 1
+    assert out[3] is True   # max cos to any lower-id vector is 0.0
+
+
+def test_semdedup_tau_moves_the_gate(spark, sf_dir):
+    """Lower tau drops MORE (tau is a cosine floor): keep-set at tau=0.2
+    must be a subset of the keep-set at tau=0.3."""
+    from pyspark_for_ebook_classification_spark.operators.similarity import semdedup
+
+    e = load(spark, sf_dir, "embeddings")
+    keep_03 = {r.vec_id for r in semdedup(e, tau=0.3).collect() if r.keep}
+    keep_02 = {r.vec_id for r in semdedup(e, tau=0.2).collect() if r.keep}
+    assert keep_02 <= keep_03
+    assert len(keep_02) < len(keep_03)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [{"tau": 0.0}, {"tau": 1.5}, {"target_cell": 0}, {"max_refine": -1}, {"max_refine": 31}],
+)
+def test_semdedup_validation(spark, kwargs):
+    from pyspark_for_ebook_classification_spark.operators.similarity import semdedup
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        semdedup(vecs, label_col=None, **kwargs)
