@@ -158,6 +158,9 @@ EXTRA = [
     "text_winnow_search_floor",
     "text_bm25_library_search",
     "sim_mmr_library_topk",
+    # r10: the composed quality->exact->near curation funnel (three
+    # library entries chained as one declared query)
+    "data_curation_pipeline",
 ]
 
 

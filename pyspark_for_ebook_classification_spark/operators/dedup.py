@@ -2210,3 +2210,138 @@ def exact_dedup(
         "content_hash",
         (F.col("doc_id") == F.col("keep_id")).alias("keep"),
     )
+
+
+def _sql_curation_pipeline() -> str:
+    """Oracle for the composed curation pipeline: the gopher feature CTE
+    (full corpus), sha-exact keep-first over quality survivors, the
+    registered minhash sig/band/candidate chains restricted to exact
+    survivors via the chain's doc_filter hook, exact-Jaccard verify,
+    recursive min-label components, and the per-doc verdict join."""
+    rules = (
+        "length(tokens) BETWEEN 5 AND 100000"
+        " AND CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)"
+        "     / length(tokens) BETWEEN 2.0 AND 12.0"
+        " AND CAST(length(regexp_extract_all(text, '[#.]{3,}|[0-9]')) AS DOUBLE)"
+        "     / length(tokens) < 0.3"
+        " AND CAST(length(list_filter(tokens, t -> regexp_matches(t, '[a-zA-Z]')))"
+        "     AS DOUBLE) / length(tokens) > 0.6"
+        " AND length(list_distinct(list_filter(tokens,"
+        "     t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for"))
+        + "], t)))) >= 1"
+    )
+    return f"""
+        WITH RECURSIVE
+        gtoks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents
+        ),
+        qkeep AS (
+            SELECT doc_id FROM gtoks
+            WHERE length(tokens) > 0 AND {rules}
+        ),
+        ehash AS (
+            SELECT d.doc_id, sha256(d.text) AS h
+            FROM documents d JOIN qkeep USING (doc_id)
+        ),
+        ekeep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS mn
+                FROM ehash
+            ) WHERE doc_id = mn
+        ),
+        {_sql_sig_chain(prefix="c", doc_filter="doc_id IN (SELECT doc_id FROM ekeep)")},
+        {_sql_band_cand_chain(prefix="c")},
+        verified AS (
+            SELECT doc_a, doc_b FROM ccand
+            JOIN cshingled ta ON ta.doc_id = doc_a
+            JOIN cshingled tb ON tb.doc_id = doc_b
+            WHERE CAST(length(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                  / length(list_distinct(ta.shingles || tb.shingles))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        vedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b, doc_a FROM verified
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM ekeep
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN vedges e ON e.src = r.doc_id
+        ),
+        nkeep AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+            ) WHERE doc_id = cluster_id
+        )
+        SELECT d.doc_id,
+               (q.doc_id IS NOT NULL) AS quality_keep,
+               (e.doc_id IS NOT NULL) AS exact_keep,
+               (n.doc_id IS NOT NULL) AS final_keep
+        FROM documents d
+        LEFT JOIN qkeep q ON q.doc_id = d.doc_id
+        LEFT JOIN ekeep e ON e.doc_id = d.doc_id
+        LEFT JOIN nkeep n ON n.doc_id = d.doc_id
+    """
+
+
+@query(
+    "data_curation_pipeline",
+    survey_ref="L1,L2,L4,J2,A1",
+    doc="End-to-end corpus curation composed from the production library "
+    "entries: Gopher quality gate -> exact sha dedup -> MinHash-LSH near "
+    "dedup, one keep-verdict row per document per stage.",
+    oracle=_sql_curation_pipeline(),
+)
+def data_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline every pre-training corpus runs,
+    as ONE declared hash-green query (the sim_retrieval_stack_topk
+    composition discipline applied to curation, r10): stage 1 the Gopher
+    quality gate, stage 2 exact content-hash dedup over the quality
+    survivors, stage 3 MinHash-LSH near-dedup (band -> bucket -> exact
+    Jaccard >= {JACCARD_THRESHOLD} -> connected components, keep-first)
+    over the exact survivors. Every stage IS one call to its production
+    library entry — ``gopher_gate``, ``exact_dedup``, ``neardup_dedup``
+    — so the composed production path itself sits under the driver's
+    hash gate; no stage is reimplemented for the oracle's benefit.
+
+    Output: one row per input document with the per-stage verdict
+    booleans (quality_keep, exact_keep, final_keep) — a doc's
+    exact/final flags are false unless every earlier stage kept it, so
+    ``filter("final_keep")`` is the curated corpus and the three column
+    sums are the funnel. On the driver fixture the quality gate drops
+    ~9% and near-dedup collapses the planted near-dup clusters; the
+    exact stage passes everything through (the synthetic corpus has no
+    byte-identical pair — the stage logic is still exercised and
+    oracle-checked, and fires on any real corpus).
+
+    Scale shape: strictly the sum of its (individually audited) library
+    stages — the quality gate is one projection pass at parquet-scan
+    speed; exact dedup shuffles 64-char hashes, never text; near-dedup
+    is the banded bucket-join with the MAX_BUCKET boilerplate cap and
+    the label-propagation loop over the near-dup SUBGRAPH only. Each
+    stage's input is the previous stage's survivor set, so work is
+    monotonically non-increasing down the funnel."""
+    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+
+    d = load(spark, sf_dir, "documents")
+    qk = gopher_gate(d).filter("keep").select("doc_id")
+    surv_q = d.join(qk, "doc_id")
+    ek = exact_dedup(surv_q).filter("keep").select("doc_id")
+    surv_e = surv_q.join(ek, "doc_id")
+    nk = neardup_dedup(surv_e).filter("keep").select("doc_id")
+    return (
+        d.select("doc_id")
+        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
+        .join(ek.withColumn("exact_keep", F.lit(True)), "doc_id", "left")
+        .join(nk.withColumn("final_keep", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+            F.coalesce("exact_keep", F.lit(False)).alias("exact_keep"),
+            F.coalesce("final_keep", F.lit(False)).alias("final_keep"),
+        )
+    )

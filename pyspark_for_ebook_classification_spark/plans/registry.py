@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_winnow_search_floor",
     "text_bm25_library_search",
     "sim_mmr_library_topk",
+    "data_curation_pipeline",
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -143,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_lang_id_ngram",
     "text_unigram_logprob",
     "data_stratified_sample",
-    "data_mix_weighted_sources",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -129,3 +129,40 @@ def test_winnow_search_floor_pair_budget(spark, sf_dir):
     assert floor_rows, "floor query vacuous at the gate scale"
     assert sum(r.n_shared for r in floor_rows) <= pair_slots
     assert all(r.n_shared >= 2 for r in floor_rows)
+
+
+def test_curation_pipeline_funnel_is_monotone_and_stagewise_consistent(spark, sf_dir):
+    """Composition proof for data_curation_pipeline: verdict flags are a
+    monotone funnel (final => exact => quality), each stage's keep-set
+    equals the corresponding library call run stage-by-stage, and the
+    quality stage actually drops documents at the gate scale (the funnel
+    is non-vacuous)."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        exact_dedup,
+        neardup_dedup,
+    )
+    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+    from pyspark_for_ebook_classification_spark.sources.io import load as _load
+
+    rows = all_queries()["data_curation_pipeline"].fn(spark, sf_dir).collect()
+    d = _load(spark, sf_dir, "documents")
+    assert len(rows) == d.count()
+    for r in rows:
+        assert not (r.final_keep and not r.exact_keep)
+        assert not (r.exact_keep and not r.quality_keep)
+    q_set = {r.doc_id for r in rows if r.quality_keep}
+    e_set = {r.doc_id for r in rows if r.exact_keep}
+    f_set = {r.doc_id for r in rows if r.final_keep}
+    assert f_set <= e_set <= q_set
+    assert len(q_set) < len(rows), "quality stage dropped nothing — vacuous funnel"
+
+    # stage-by-stage recomputation through the library entries
+    assert q_set == {
+        r.doc_id for r in gopher_gate(d).collect() if r.keep
+    }
+    surv_q = d.join(spark.createDataFrame([(i,) for i in q_set], "doc_id long"), "doc_id")
+    assert e_set == {r.doc_id for r in exact_dedup(surv_q).collect() if r.keep}
+    surv_e = surv_q.join(
+        spark.createDataFrame([(i,) for i in e_set], "doc_id long"), "doc_id"
+    )
+    assert f_set == {r.doc_id for r in neardup_dedup(surv_e).collect() if r.keep}
