@@ -2901,6 +2901,7 @@ def ann_topk(
     *,
     n_tables: int = 4,
     planes_per_table: int = 4,
+    grid_bits: int = 8,
     dim: int = 64,
     plane_offset: int = 0,
     id_col: str = "vec_id",
@@ -2945,13 +2946,15 @@ def ann_topk(
     candidates only. Neither method self-joins the corpus."""
     if k < 1:
         raise ValueError(f"ann_topk: need k >= 1, got {k}")
-    if method not in ("bruteforce", "lsh"):
+    if method not in ("bruteforce", "lsh", "srp_multiprobe"):
         raise ValueError(f"ann_topk: unknown method {method!r}")
     if method == "lsh" and (n_tables < 1 or planes_per_table < 1):
         raise ValueError(
             f"ann_topk: need n_tables >= 1 and planes_per_table >= 1, "
             f"got ({n_tables}, {planes_per_table})"
         )
+    if method == "srp_multiprobe" and not (1 <= grid_bits <= 62):
+        raise ValueError(f"ann_topk: need 1 <= grid_bits <= 62, got {grid_bits}")
 
     en = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -2965,6 +2968,34 @@ def ann_topk(
     if method == "bruteforce":
         qside = F.broadcast(qn) if broadcast_queries else qn
         scored = en.crossJoin(qside)
+        if exclude_self:
+            scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        scored = scored.select(
+            "query_id",
+            "neighbor_id",
+            (spark_dot("qe", "ne") / (F.col("qn") * F.col("nn"))).alias("cos"),
+        )
+    elif method == "srp_multiprobe":
+        # the declared sim_ann_grid_multiprobe plan, banding parameterized:
+        # corpus rows get an integer SRP cell code; each query probes its
+        # home cell plus every Hamming-1 flip (boundary-straddling
+        # neighbors disagree on few hyperplane signs), scoring
+        # ~(grid_bits+1)/2^grid_bits of the corpus per query.
+        enc = en.withColumn(
+            "code", spark_srp_code("ne", grid_bits, dim, plane_offset)
+        )
+        qc = qn.withColumn(
+            "qcode", spark_srp_code("qe", grid_bits, dim, plane_offset)
+        )
+        probe_cells = F.array(
+            F.col("qcode"),
+            *[F.col("qcode").bitwiseXOR(F.lit(1 << i)) for i in range(grid_bits)],
+        )
+        probes = qc.select(
+            "query_id", "qe", "qn", F.explode(probe_cells).alias("cell")
+        )
+        pside = F.broadcast(probes) if broadcast_queries else probes
+        scored = enc.join(pside, enc["code"] == pside["cell"])
         if exclude_self:
             scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
         scored = scored.select(

@@ -113,3 +113,47 @@ def test_parameter_validation(spark, kwargs):
     )
     with pytest.raises(ValueError):
         ann_topk(df, df, **kwargs)
+
+
+def test_srp_multiprobe_matches_registered_query(spark, sf_dir, emb):
+    """ann_topk(srp_multiprobe) at the registered grid (8 bits, plane
+    family 48) must equal sim_ann_grid_multiprobe row-for-row."""
+    expected = _rows(all_queries()["sim_ann_grid_multiprobe"].fn(spark, sf_dir))
+    q = emb.filter(f"vec_id < {N_QUERIES}")
+    got = _rows(
+        ann_topk(
+            emb,
+            q,
+            k=TOP_K,
+            method="srp_multiprobe",
+            grid_bits=8,
+            plane_offset=48,
+        )
+    )
+    assert got == expected
+
+
+def test_srp_multiprobe_results_are_exact_cosines(spark, sf_dir, emb):
+    """Multi-probe is exact-reranked: every returned cosine equals the
+    brute-force value for that pair."""
+    q = emb.filter(f"vec_id < {N_QUERIES}")
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_topk(emb, q, k=1_000_000, method="bruteforce").collect()
+    }
+    mp = ann_topk(
+        emb, q, k=TOP_K, method="srp_multiprobe", grid_bits=8, plane_offset=48
+    ).collect()
+    assert mp, "multi-probe returned nothing at the registered grid"
+    for r in mp:
+        assert bf[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_srp_multiprobe_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        ann_topk(df, df, method="srp_multiprobe", grid_bits=0)
+    with pytest.raises(ValueError):
+        ann_topk(df, df, method="srp_multiprobe", grid_bits=63)
