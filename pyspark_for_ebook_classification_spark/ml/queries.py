@@ -1178,3 +1178,107 @@ def tfidf_pipeline_features(
             "tfidf",
         )
     )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION relational multinomial Naive Bayes — the reference
+    repo's core use case (train a text classifier, score a corpus) as a
+    parameterized library entry over ANY labeled/unlabeled frame pair:
+    train on (id, label, text), score (id, text), return one row per
+    scoreable test doc as (id_col, pred label, nb_log_score). Lidstone
+    smoothing is caller-chosen (``alpha``; 1.0 = add-one = the declared
+    ``ml_nb_relational_twin``, whose split this function reproduces
+    bit-for-bit at alpha=1.0 — pinned by tests/test_r10_library.py).
+    Test docs sharing NO train-vocabulary token have no evidence and
+    emit no row (standard NB scoring drops out-of-vocab tokens).
+
+    Math (the twin's oracle-proven discipline): prior log(n_c/n_train),
+    likelihood log((c + alpha)/(tot_c + alpha·V)) over the train vocab,
+    each log factor rounded to 6 decimals pre-sum and the per-(doc,
+    label) sum accumulated in DECIMAL(28,6) so partial-aggregation
+    order cannot move the result; argmax ties to the alphabetically
+    first label.
+
+    Scale shape — the twin's: the model is two vocabulary-sized tables
+    (per-label token counts, per-label totals) plus two scalars, all
+    BROADCAST; scoring is one map-side join over the test token stream
+    followed by a (doc, label)-keyed partial agg; training is one
+    token-keyed combine. No corpus self-join anywhere. MLlib's
+    NaiveBayes (ml/pipeline.py) stays the production surface when
+    HashingTF features are wanted; this is the engine-native form whose
+    every number a DuckDB oracle can replay."""
+    if alpha <= 0:
+        raise ValueError(f"nb_classify: need alpha > 0, got {alpha}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    tr = train.select(
+        F.col(label_col).alias("lang"), toks.alias("tokens")
+    )
+    te = test.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
+
+    tr_tok = tr.select("lang", F.explode("tokens").alias("token"))
+    cnt_lt = tr_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot_l = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = tr_tok.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    n_train = tr.agg(F.count(F.lit(1)).alias("n_train"))
+    prior = (
+        tr.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+    )
+    te_tok = (
+        te.select("doc_id", F.explode("tokens").alias("token"))
+        .join(vocab, "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    log_lik = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+            / (F.col("tot") + F.lit(float(alpha)) * F.col("v"))
+        ),
+        6,
+    )
+    log_prior = F.round(F.log(F.col("n_docs") / F.col("n_train").cast("double")), 6)
+    scored = (
+        te_tok.crossJoin(
+            F.broadcast(
+                prior.select(F.col("lang").alias("cand_lang"), "n_docs", "n_train")
+            )
+        )
+        .join(
+            F.broadcast(tot_l.select(F.col("lang").alias("cand_lang"), "tot")),
+            "cand_lang",
+        )
+        .crossJoin(F.broadcast(vsize))
+        .join(
+            cnt_lt.select(F.col("lang").alias("cand_lang"), "token", "c"),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            (
+                F.first(log_prior).cast("decimal(28,6)")
+                + F.sum((F.col("tf") * log_lik).cast("decimal(28,6)"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cand_lang").alias(f"pred_{label_col}"),
+            F.col("score").cast("double").alias("nb_log_score"),
+        )
+    )

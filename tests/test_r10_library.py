@@ -162,3 +162,98 @@ def test_semdedup_validation(spark, kwargs):
     )
     with pytest.raises(ValueError):
         semdedup(vecs, label_col=None, **kwargs)
+
+
+def test_nb_classify_matches_registered_twin(spark, sf_dir):
+    """nb_classify at alpha=1.0 on the twin's own md5-band split must
+    reproduce ml_nb_relational_twin's predictions and scores exactly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.ml.queries import (
+        _NB_CUT,
+        _NB_SEED,
+        nb_classify,
+    )
+
+    expected = {
+        r.doc_id: (r.pred_lang, r.nb_log_score)
+        for r in all_queries()["ml_nb_relational_twin"].fn(spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), F.lit(str(_NB_SEED))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    train = d.filter(bucket < _NB_CUT)
+    test = d.filter(bucket >= _NB_CUT)
+    got = {
+        r.doc_id: (r.pred_lang, r.nb_log_score)
+        for r in nb_classify(train, test, alpha=1.0).collect()
+    }
+    assert got == expected
+
+
+def test_nb_classify_planted(spark):
+    """Obvious two-class separation: test docs built from one class's
+    vocabulary classify to that class; an all-OOV doc emits no row."""
+    from pyspark_for_ebook_classification_spark.ml.queries import nb_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "spam", "buy cheap pills now buy now"),
+            (2, "spam", "cheap pills cheap offer"),
+            (3, "ham", "meeting notes agenda project"),
+            (4, "ham", "project meeting tomorrow agenda"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, "buy pills cheap"),
+            (11, "project agenda meeting"),
+            (12, "zzz qqq www"),  # fully out-of-vocab
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in nb_classify(train, test).collect()}
+    assert out == {10: "spam", 11: "ham"}
+
+
+def test_nb_classify_custom_columns_and_alpha(spark):
+    from pyspark_for_ebook_classification_spark.ml.queries import nb_classify
+
+    train = spark.createDataFrame(
+        [("a", "pos", "good great fine"), ("b", "neg", "bad awful poor")],
+        "uri string, sentiment string, body string",
+    )
+    test = spark.createDataFrame(
+        [("x", "good fine"), ("y", "awful bad")], "uri string, body string"
+    )
+    out = {
+        r.uri: r.pred_sentiment
+        for r in nb_classify(
+            train,
+            test,
+            alpha=0.5,
+            id_col="uri",
+            label_col="sentiment",
+            text_col="body",
+        ).collect()
+    }
+    assert out == {"x": "pos", "y": "neg"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nb_classify(train, test, alpha=0.0)
