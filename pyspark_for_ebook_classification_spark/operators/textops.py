@@ -1878,6 +1878,15 @@ def _bpe_merge_round(s_prev: DataFrame):
         .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
         .limit(1)
     )
+    return best, _bpe_merge_with(s_prev, best)
+
+
+def _bpe_merge_with(s_prev: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply ONE fixed merge pair (a 1-row (l, r) frame) to the
+    positional symbol stream — the merge half of _bpe_merge_round,
+    shared with the production ``bpe_apply`` so training and replay
+    cannot drift apart."""
+    w = Window.partitionBy("word").orderBy("p")
     m = s_prev.crossJoin(
         F.broadcast(
             best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
@@ -1895,7 +1904,7 @@ def _bpe_merge_round(s_prev: DataFrame):
     sel = g.withColumn(
         "sel", F.col("m") & (((F.col("p") - min_p) % 2) == 0)
     ).withColumn("skip", F.coalesce(F.lag("sel").over(w), F.lit(False)))
-    merged = (
+    return (
         sel.filter(~F.col("skip"))
         .select(
             "word",
@@ -1904,7 +1913,6 @@ def _bpe_merge_round(s_prev: DataFrame):
             F.when(F.col("sel"), F.concat("bl", "br")).otherwise(F.col("s")).alias("s"),
         )
     )
-    return best, merged
 
 
 @query(
@@ -2938,4 +2946,65 @@ def gopher_gate(
             & (F.col("alpha_word_ratio") > min_alpha_word_ratio)
             & (F.col("n_distinct_stop") >= min_distinct_stopwords)
         ).alias("keep"),
+    )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    eow: str = BPE_EOW,
+) -> DataFrame:
+    """PRODUCTION BPE APPLICATION: tokenize ``docs`` with an arbitrary
+    trained merge table — the artifact ``bpe_train`` returns (collect
+    its (left_sym, right_sym) rows in round order), or any externally
+    trained table. This closes the tokenizer loop at the library level:
+    train with ``bpe_train``, ship the merge table, replay it here over
+    any corpus — applying a trained BPE IS replaying its merges in
+    order, each through the exact window algebra the trainer used
+    (shared ``_bpe_merge_with``, so train and apply cannot drift).
+
+    Returns one row per word TYPE: (word, cnt, symbols, n_symbols) with
+    ``symbols`` the encoded token array in order (last element carries
+    the end-of-word marker). Per Zipf the word-type table is tiny next
+    to the corpus, so this is the join-ready form — explode ``symbols``
+    against your doc-token stream for per-document token ids, or
+    aggregate ``cnt`` by symbol for the corpus token budget (at the
+    trainer's own merges that aggregate equals the declared
+    ``text_bpe_encode_vocab``, pinned by tests/test_r10_library.py).
+
+    Scale shape — the trainer's: the corpus is tokenized and counted
+    ONCE into the frequency-weighted word-type stream; each merge is
+    two window passes over type-sized data with the 1-row pair
+    broadcast; type-table-sized localCheckpoints keep round lineage
+    flat. Cost is |merges| rounds over types, never corpus rescans."""
+    merges = list(merges)
+    for i, pair in enumerate(merges):
+        if len(pair) != 2 or not pair[0] or not pair[1]:
+            raise ValueError(
+                f"bpe_apply: merge {i} must be a (left, right) pair of "
+                f"non-empty strings, got {pair!r}"
+            )
+    spark = docs.sparkSession
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    wt = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    chars = F.concat(F.split("word", ""), F.array(F.lit(eow)))
+    stream = (
+        wt.select("word", "cnt", F.posexplode(chars).alias("p0", "s"))
+        .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
+        .localCheckpoint(eager=True)
+    )
+    for left, right in merges:
+        pair = spark.createDataFrame([(left, right)], "l string, r string")
+        stream = _bpe_merge_with(stream, pair).localCheckpoint(eager=True)
+    return stream.groupBy("word", "cnt").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]
+        ).alias("symbols"),
+        F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
     )

@@ -257,3 +257,84 @@ def test_nb_classify_custom_columns_and_alpha(spark):
 
     with _pytest.raises(ValueError):
         nb_classify(train, test, alpha=0.0)
+
+
+def test_bpe_apply_of_trained_merges_matches_encode_query(spark, sf_dir):
+    """bpe_train -> collect merge table -> bpe_apply must reproduce the
+    declared text_bpe_encode_vocab aggregate exactly — the library-level
+    train->apply loop equals the oracle-gated one."""
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.operators.textops import (
+        BPE_ROUNDS,
+        bpe_apply,
+        bpe_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, rounds=BPE_ROUNDS).orderBy("round").collect()
+    ]
+    applied = bpe_apply(d, merges).collect()
+    occ: Counter = Counter()
+    types: Counter = Counter()
+    for r in applied:
+        for s in r.symbols:
+            occ[s] += r.cnt
+        for s in set(r.symbols):
+            types[s] += 1
+    expected = {
+        r.symbol: (r.occurrences, r.word_types)
+        for r in all_queries()["text_bpe_encode_vocab"].fn(spark, sf_dir).collect()
+    }
+    assert {s: (occ[s], types[s]) for s in occ} == expected
+    # decode identity at the library level: symbols re-concatenate to
+    # the original word (+ the end-of-word marker)
+    for r in applied:
+        assert "".join(r.symbols) == r.word + "</w>"
+        assert r.n_symbols == len(r.symbols)
+
+
+def test_bpe_apply_planted_fixed_merges(spark):
+    """Replaying a hand-written merge table (not trained on this corpus)
+    must match the sequential scanner with the same fixed merges —
+    greedy left-to-right non-overlapping per pair, in table order."""
+    from pyspark_for_ebook_classification_spark.operators.textops import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "abab abba aaaa")], "doc_id int, text string"
+    )
+    merges = [("a", "b"), ("ab", "ab")]
+
+    def scan(word, table):
+        syms = list(word) + ["</w>"]
+        for l, r in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.word: list(r.symbols) for r in bpe_apply(docs, merges).collect()}
+    assert got == {w: scan(w, merges) for w in ("abab", "abba", "aaaa")}
+
+
+def test_bpe_apply_validation(spark):
+    from pyspark_for_ebook_classification_spark.operators.textops import bpe_apply
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_apply(docs, [("a", "")])
+    with _pytest.raises(ValueError):
+        bpe_apply(docs, [("a",)])
+    # empty merge table is the identity tokenizer (chars + eow)
+    out = {r.word: list(r.symbols) for r in bpe_apply(docs, []).collect()}
+    assert out == {"a": ["a", "</w>"], "b": ["b", "</w>"]}
