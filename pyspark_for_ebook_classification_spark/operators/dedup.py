@@ -2345,3 +2345,70 @@ def data_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("final_keep", F.lit(False)).alias("final_keep"),
         )
     )
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    neardup_threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = N_HASHES,
+    bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher_params: dict | None = None,
+) -> DataFrame:
+    """PRODUCTION curation funnel — the parameterized form of the
+    declared ``data_curation_pipeline`` (which fixes every threshold for
+    the oracle): quality-gate → exact-dedup → near-dedup ANY (id, text)
+    frame at caller-chosen thresholds, each stage one call to its
+    library entry (``gopher_gate`` / ``exact_dedup`` / ``neardup_dedup``
+    — no reimplementation). ``gopher_params`` passes through to
+    gopher_gate (min_words, ratio bounds, stopwords, ...); the remaining
+    keywords parameterize the MinHash-LSH stage.
+
+    Returns one row per input doc: (id_col, quality_keep, exact_keep,
+    final_keep) — monotone verdicts (final ⇒ exact ⇒ quality), so
+    ``filter("final_keep")`` is the curated corpus and the column sums
+    are the funnel. At the defaults it equals the declared query row for
+    row (pinned by tests/test_r10_library.py).
+
+    Scale shape: strictly the sum of the audited stages, each stage's
+    input the previous survivor set — work is monotonically
+    non-increasing down the funnel; see each entry's own notes."""
+    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    qk = (
+        gopher_gate(d, **(gopher_params or {}))
+        .filter("keep")
+        .select("doc_id")
+    )
+    surv_q = d.join(qk, "doc_id")
+    ek = exact_dedup(surv_q).filter("keep").select("doc_id")
+    surv_e = surv_q.join(ek, "doc_id")
+    nk = (
+        neardup_dedup(
+            surv_e,
+            threshold=neardup_threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket=max_bucket,
+            shingle_k=shingle_k,
+        )
+        .filter("keep")
+        .select("doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
+        .join(ek.withColumn("exact_keep", F.lit(True)), "doc_id", "left")
+        .join(nk.withColumn("final_keep", F.lit(True)), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+            F.coalesce("exact_keep", F.lit(False)).alias("exact_keep"),
+            F.coalesce("final_keep", F.lit(False)).alias("final_keep"),
+        )
+    )

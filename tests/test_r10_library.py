@@ -338,3 +338,34 @@ def test_bpe_apply_validation(spark):
     # empty merge table is the identity tokenizer (chars + eow)
     out = {r.word: list(r.symbols) for r in bpe_apply(docs, []).collect()}
     assert out == {"a": ["a", "</w>"], "b": ["b", "</w>"]}
+
+
+def test_curate_matches_declared_pipeline(spark, sf_dir):
+    """curate() at the defaults must equal data_curation_pipeline
+    row-for-row — the convenience wrapper IS the declared query."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import curate
+
+    expected = sorted(
+        tuple(r)
+        for r in all_queries()["data_curation_pipeline"].fn(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r) for r in curate(load(spark, sf_dir, "documents")).collect()
+    )
+    assert got == expected
+
+
+def test_curate_thresholds_move_stages(spark, sf_dir):
+    """Stricter quality thresholds shrink the whole funnel; verdicts stay
+    monotone at any parameters."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import curate
+
+    d = load(spark, sf_dir, "documents")
+    base = curate(d).collect()
+    strict = curate(d, gopher_params={"min_words": 30}).collect()
+    kept = {r.doc_id for r in base if r.final_keep}
+    kept_strict = {r.doc_id for r in strict if r.final_keep}
+    assert kept_strict <= kept
+    for r in strict:
+        assert not (r.final_keep and not r.exact_keep)
+        assert not (r.exact_keep and not r.quality_keep)
