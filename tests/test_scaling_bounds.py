@@ -136,3 +136,56 @@ def test_dsir_no_amplification(spark, sf_dir):
         .count()
     )
     assert n_buckets <= _DSIR_BUCKETS
+
+
+def test_basket_affinity_pair_expansion_bound(spark, sf_dir):
+    """r10 SCALING watch entrant (2.62× under 10× data): basket-pair
+    expansion is Σ over orders of C(k,2) with k = distinct brands in the
+    order — bounded per basket by basket SIZE, and the output is keyed
+    by (brand_a, brand_b) whose domain is the fixed brand vocabulary.
+    Recompute both sides from data: Σ n_ab over output pairs must equal
+    the exact per-order combinatorial total, and output rows must not
+    exceed C(|brands|, 2)."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    expected_pairs = sum(r.k * (r.k - 1) // 2 for r in baskets)
+    n_brands = pt.select("p_brand").distinct().count()
+    rows = QUERIES["agg_basket_affinity"].fn(spark, sf_dir).collect()
+    assert sum(r.n_ab for r in rows) == expected_pairs
+    assert len(rows) <= n_brands * (n_brands - 1) // 2
+
+
+def test_substring_spans_coverage_bound(spark, sf_dir):
+    """r10 SCALING watch entrant (2.60×): covered tokens per doc cannot
+    exceed the doc's token count (span regions are subsets of the doc),
+    and the corpus-wide covered total cannot exceed the corpus token
+    count — the ExactSubstr linear-anchor ceiling in its simplest
+    conservation form."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        ).collect()
+    }
+    rows = QUERIES["dedup_substring_spans"].fn(spark, sf_dir).collect()
+    assert rows
+    total_covered = 0
+    for r in rows:
+        assert r.dup_tokens <= n_tok[r.doc_id], r
+        assert r.n_tokens == n_tok[r.doc_id], r
+        total_covered += r.dup_tokens
+    assert total_covered <= sum(n_tok.values())
