@@ -2204,11 +2204,14 @@ def exact_dedup(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"),
     )
-    firsts = d.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
-    return d.join(firsts, "content_hash").select(
+    # one hash-keyed exchange: the per-hash min is a whole-partition
+    # window (no ORDER BY → one pass, no frame sort), cheaper than the
+    # groupBy + join-back form (two shuffles of the same key)
+    keep_id = F.min("doc_id").over(Window.partitionBy("content_hash"))
+    return d.select(
         F.col("doc_id").alias(id_col),
         "content_hash",
-        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+        (F.col("doc_id") == keep_id).alias("keep"),
     )
 
 
