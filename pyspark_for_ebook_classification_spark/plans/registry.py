@@ -83,20 +83,12 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r10 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r09) — 310/310 verified,
-    # 0 FAILs ever outstanding). The r9 PINNED tier auto-pruned: every
-    # pin carries a CORRECTNESS_r09 verdict, so this block is PURE
-    # freshness rotation for the first time — the 12 standing high-risk
-    # families, then oldest-verdict-first round-robin (the r3
-    # scan/fn/TPC-H + r2 UDF/dedup/sim/text/data blocks, whose standing
-    # verdicts are 6–7 rounds old).
-    # ========== (tier: r10 additions — never verified — lead per policy)
-    "text_bpe_decode_roundtrip",
-    "text_winnow_search_floor",
-    "text_bm25_library_search",
-    "sim_mmr_library_topk",
-    "data_curation_pipeline",
+    # ========== r11 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r10) — 315/315 verified,
+    # 0 FAILs ever outstanding; pure freshness rotation: the 12 standing
+    # high-risk families first, then oldest-verdict-first round-robin —
+    # the r1/r2-verified core, now 9-10 rounds stale, resurfaces for
+    # re-attestation against today's code per the r10 verdict note).
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -111,39 +103,44 @@ _PRIORITY: tuple[str, ...] = (
     "data_curriculum_order",
     "data_shuffle_deterministic",
     # ========== (tier: oldest-verdict-first freshness round-robin)
-    "agg_revenue_delta_q6",
-    "subquery_priority_counts_q4",
-    "subquery_above_avg_balance",
-    "join_full_outer_nation_presence",
-    "unpivot_lineitem_measures",
-    "sql_local_supplier_volume_q5",
-    "join_returned_items_q10",
-    "agg_promo_share_q14",
-    "sql_big_order_customers_q18",
-    "filter_disjunctive_bands_q19",
-    "udf_pandas_scalar_tier",
-    "udf_grouped_map_rank",
-    "udf_grouped_agg_span",
-    "udf_iterator_partition_stats",
-    "udtf_chunk_documents",
-    "udf_plain_python_rowwise",
-    "dedup_exact_sha",
-    "dedup_minhash_lsh",
-    "dedup_simhash_groups",
-    "dedup_connected_components",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_bucketed",
-    "sim_cosine_neardup_pairs",
-    "sim_ann_ivf_kmeans",  # rows-only
-    "sim_knn_label_vote",
-    "text_stats_by_lang",
-    "text_quality_score",
-    "text_token_count_subwords",
-    "text_fingerprint_shingle",
-    "text_tfidf_vocab",
-    "text_lang_id_ngram",
-    "text_unigram_logprob",
-    "data_stratified_sample",
+    "data_mix_weighted_sources",
+    "data_pack_sequences",
+    "data_quality_quantile_filter",
+    "multimodal_row_transport",
+    "multimodal_decode_stub",
+    "stream_tumbling_hourly_twin",
+    "stream_sliding_quarter_twin",
+    "stream_session_window_twin",
+    "stream_dedup_twin",
+    "stream_stateful_runmax_twin",
+    "stream_static_join_twin",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_partitioned_pruned_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_python_datasource",
+    "scan_xml_roundtrip",
+    "join_asof_forward_next_error",
+    "join_null_safe_eq",
+    "fn_map_suite",
+    "fn_null_suite",
+    "fn_posexplode_positions",
+    "fn_struct_suite",
+    "fn_variant_suite",
+    "fn_try_suite",
+    "fn_higher_order_suite",
+    "fn_xml_parse_suite",
+    "fn_explode_outer_preserves_rows",
+    "fn_string_suite2",
+    "sql_volume_shipping_q7",
+    "sql_market_share_q8",
+    "sql_top_supplier_q15",
+    "sql_small_qty_revenue_q17",
+    "sql_customer_distribution_q13",
+    "sql_sales_opportunity_q22",
+    "sql_min_cost_supplier_q2",
+    "sql_product_profit_q9",
+    "sql_important_stock_q11",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -207,6 +204,17 @@ _PRIORITY: tuple[str, ...] = (
 #       the standing high-risk 12, then oldest-first (the r2 block).
 #       Derived against union(r01..r08); pinned by the rotation-equality
 #       test.
+#   r10 (prior front block): the five r10 additions (BPE decode
+#       round-trip, winnow-search floor, BM25/MMR library routers, the
+#       composed curation pipeline) led and went green on first driver
+#       contact; then high-risk 12, then oldest-first freshness.
+#   r11 (this file's front block): ALL 315 names now carry a verdict and
+#       the r10 additions re-attested in r10 itself, so this is the first
+#       PURE freshness block with no debt tier: high-risk 12, then the
+#       r2/r3-verified streaming/scan/fn/TPC-H core (verdicts 8-9 rounds
+#       old). r11 query additions will be re-pasted to the front per
+#       policy tier (1) when they land. Derived against union(r01..r10);
+#       pinned by the rotation-equality test.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation

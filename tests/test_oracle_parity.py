@@ -115,6 +115,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
 
 
