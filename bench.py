@@ -271,6 +271,18 @@ def parse_scaling_provenance(path: str) -> float | None:
     return None
 
 
+def scaling_reference_trusted(scaling_drift: float | None) -> bool:
+    """Whether SCALING.md's sf0.1 column may serve as the disagree
+    guard's reference. Symmetric bar (r10 ADVICE): a large NEGATIVE
+    canary drift means the pre bracket ran cold, so every reference
+    cell is inflated — the exact direction that silently disarms the
+    guard — and must be distrusted just like a degraded-host positive
+    drift. Contrast with second_pass_reasons' canary rule, which stays
+    DIRECTIONAL: there the question is "did the host degrade while this
+    pass measured", and a faster-direction drift is benign warm-up."""
+    return scaling_drift is not None and abs(scaling_drift) <= CANARY_DRIFT_TRIGGER
+
+
 def second_pass_reasons(
     drift: float,
     timings: dict[str, float],
@@ -366,11 +378,13 @@ def main() -> None:
     # reference (r9 ADVICE): a reference measured on an already-
     # contaminated host is inflated and suppresses the guard. Trust it
     # only when scaling_check.py recorded its own canary bracket within
-    # the same 10% bar (faster-direction drift is benign warm-up).
+    # the same 10% bar, in EITHER direction (r10 ADVICE): a large
+    # NEGATIVE drift means canary_pre ran cold, so the whole reference
+    # table is inflated — exactly the direction that suppresses the
+    # disagree guard. (bench's own second-pass trigger below stays
+    # directional: degradation trips, warm-up doesn't.)
     scaling_drift = parse_scaling_provenance(scaling_path)
-    scaling_trusted = (
-        scaling_drift is not None and scaling_drift <= CANARY_DRIFT_TRIGGER
-    )
+    scaling_trusted = scaling_reference_trusted(scaling_drift)
     scaling_ref = parse_scaling_reference(scaling_path) if scaling_trusted else {}
     if not scaling_trusted:
         print(

@@ -2197,9 +2197,10 @@ def exact_dedup(
 
     Scale shape — the declared ``dedup_exact_sha`` plan: the shuffle key
     is the 64-char hash, not the document text, so at 100 TB the heavy
-    text column never crosses the wire; one partial-agg groupBy computes
-    the per-hash min id, broadcast-sized nothing, and the keep flag is a
-    map-side comparison after one hash-keyed join back."""
+    text column never crosses the wire; a SINGLE hash-keyed exchange
+    feeds a whole-partition window min (no ORDER BY, so no frame sort),
+    and the keep flag is a same-partition comparison against that min —
+    no groupBy, no join back, half the shuffles of the aggregate form."""
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.col(text_col).cast("string"), 256).alias("content_hash"),

@@ -80,6 +80,13 @@ def main() -> int:
             fails.append(name)
             print(f"{name}: FAIL — {e}")
             traceback.print_exc(limit=3)
+    if only is not None:
+        # r10 ADVICE: a typo in the subset list must not produce a
+        # vacuous ALL OK — every requested name has to exist.
+        missing = sorted(only - set(qs))
+        if missing:
+            print(f"RESULT: UNKNOWN QUERY NAMES — {missing}")
+            return 1
     if fails:
         print(f"RESULT: {len(fails)} FAIL — {fails}")
         return 1

@@ -126,9 +126,12 @@ def main() -> None:
 
     canary_post = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
     canary_drift = (canary_post - canary_pre) / max(canary_pre, 1e-9)
+    # Symmetric bar (r10 ADVICE): a big NEGATIVE drift means the pre
+    # bracket ran cold, so every reference cell is inflated — the
+    # direction that would silently disarm bench.py's disagree guard.
     verdict = (
         "guard-clean"
-        if canary_drift <= CANARY_DRIFT_TRIGGER
+        if abs(canary_drift) <= CANARY_DRIFT_TRIGGER
         else "CONTAMINATED — re-run on a quiet host"
     )
 

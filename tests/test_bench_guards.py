@@ -163,3 +163,32 @@ def test_parse_scaling_provenance(tmp_path):
     p.write_text("# no provenance line here\n")
     assert bench.parse_scaling_provenance(str(p)) is None
     assert bench.parse_scaling_provenance("/nonexistent/SCALING.md") is None
+
+
+def test_canary_rule_is_directional():
+    """r10 verdict task 6: the BENCH canary's ±10% band is asymmetric by
+    design — a DEGRADATION beyond the bar trips the second pass, a
+    faster-direction drift (warm-up, e.g. r10's observed -27.7%) does
+    not. Pin the rule so a future edit can't silently invert it."""
+    # r10's literal benign episode: -27.7% drift, quiet timings
+    assert bench.second_pass_reasons(-0.277, {"q": 1.0}, {"q": 1.0}, 0.1) == []
+    # the mirrored degradation MUST trip
+    reasons = bench.second_pass_reasons(0.277, {"q": 1.0}, {"q": 1.0}, 0.1)
+    assert any("canary degraded" in r for r in reasons)
+    # boundary: just under in both directions is quiet
+    assert bench.second_pass_reasons(-0.099, {}, {}, 0.1) == []
+    assert bench.second_pass_reasons(0.099, {}, {}, 0.1) == []
+
+
+def test_scaling_trust_is_symmetric():
+    """r10 ADVICE: the SCALING-reference trust decision (unlike the
+    canary rule above) is SYMMETRIC — a large negative drift means the
+    pre bracket ran cold and the whole reference table is inflated,
+    which is the inflated-reference direction that suppresses the
+    disagree guard."""
+    assert bench.scaling_reference_trusted(0.05)
+    assert bench.scaling_reference_trusted(-0.05)
+    assert not bench.scaling_reference_trusted(0.15)
+    # the r9 cold-JVM episode direction the old <= comparison trusted
+    assert not bench.scaling_reference_trusted(-0.476)
+    assert not bench.scaling_reference_trusted(None)
