@@ -161,6 +161,17 @@ EXTRA = [
     # r10: the composed quality->exact->near curation funnel (three
     # library entries chained as one declared query)
     "data_curation_pipeline",
+    # r11 additions: the remaining production library entries routed
+    # through the hash gate at non-default parameters (ann_topk lsh +
+    # srp_multiprobe, semdedup, nb_classify, bpe_apply)
+    "sim_ann_library_lsh",
+    "sim_ann_library_srp",
+    "dedup_semdedup_library",
+    "ml_nb_library_classify",
+    "text_bpe_library_apply",
+    # r11: the ingest-time curation funnel (gate -> exact-vs-corpus ->
+    # near-dup vs corpus ∪ batch) as one curate_incremental library call
+    "data_curation_incremental",
 ]
 
 

@@ -124,7 +124,13 @@ _NB_SEED = 42
 
 #: the NB train+score CTE chain up to the per-doc argmax; shared by
 #: ml_nb_relational_twin and the ml_eval_relational_twin built on it.
-_NB_CTES = f"""
+def _nb_ctes(alpha: float = 1.0) -> str:
+    """The NB train+score CTE chain at caller-chosen Lidstone alpha —
+    the twin's add-one chain below is this at alpha=1.0; the r11
+    ml_nb_library_classify oracle renders it at the library call's
+    alpha=0.5 so the smoothing dial itself sits under the hash gate."""
+    a = repr(float(alpha))
+    return f"""
     docs AS (
         SELECT doc_id, lang,
                list_filter(string_split(text, ' '), t -> t <> '') AS tokens,
@@ -157,8 +163,8 @@ _NB_CTES = f"""
                CAST(round(ln(p.n_docs / CAST(p.n_train AS DOUBLE)), 6)
                     AS DECIMAL(28,6))
                + SUM(CAST(
-                     e.tf * round(ln((COALESCE(c.c, 0) + 1.0)
-                                     / (t.tot + s.v)), 6)
+                     e.tf * round(ln((COALESCE(c.c, 0) + {a})
+                                     / (t.tot + {a} * s.v)), 6)
                  AS DECIMAL(28,6))) AS score
         FROM te_tok e
         CROSS JOIN prior p
@@ -179,6 +185,10 @@ _NB_CTES = f"""
         WHERE rn = 1
     )
 """
+
+
+#: the add-one chain the registered twin and eval twin share.
+_NB_CTES = _nb_ctes(1.0)
 
 _NB_SQL = f"""
     WITH {_NB_CTES}
@@ -1282,3 +1292,58 @@ def nb_classify(
             F.col("score").cast("double").alias("nb_log_score"),
         )
     )
+
+
+#: ml_nb_library_classify smoothing — deliberately NOT the twin's
+#: add-one: alpha=0.5 (Jeffreys-ish Lidstone, exactly representable so
+#: F.lit and the SQL literal are the same double) moves every likelihood
+#: and, wherever the evidence was close, the argmax itself.
+_LIB_NB_ALPHA = 0.5
+
+
+@query(
+    "ml_nb_library_classify",
+    survey_ref="M7,M9,M10,L6",
+    doc="The production nb_classify entry under the hash gate at the "
+    "non-default alpha=0.5: md5-band split, Lidstone-smoothed "
+    "multinomial NB, per-doc argmax.",
+    oracle=f"""
+        WITH {_nb_ctes(_LIB_NB_ALPHA)}
+        SELECT doc_id, pred_lang, nb_log_score FROM nb_preds
+    """,
+)
+def ml_nb_library_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``nb_classify`` path itself under the driver's
+    hash gate (r10 verdict task 2 — the library entry was pinned only by
+    pytest equality at alpha=1.0): the twin's own md5(doc_id#42) band
+    split feeds ONE ``nb_classify`` call at alpha=0.5, so the Lidstone
+    dial — the parameter a real deployment tunes against held-out
+    perplexity — is what the oracle actually checks. The oracle renders
+    the SAME CTE chain the add-one twin uses, at 0.5 (``_nb_ctes`` is
+    shared, so twin and library oracle cannot drift).
+
+    Scale shape — nb_classify's: the model is two vocabulary-sized
+    broadcast tables plus two scalars; scoring is one map-side join over
+    the test token stream + a (doc, label)-keyed partial agg; training
+    is one token-keyed combine. No corpus self-join."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), F.lit(str(_NB_SEED))
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    docs = d.select("doc_id", "lang", "text", bucket.alias("bucket"))
+    train = docs.filter(F.col("bucket") < _NB_CUT)
+    test = docs.filter(F.col("bucket") >= _NB_CUT)
+    return nb_classify(train, test, alpha=_LIB_NB_ALPHA)

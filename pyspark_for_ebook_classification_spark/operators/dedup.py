@@ -2216,13 +2216,11 @@ def exact_dedup(
     )
 
 
-def _sql_curation_pipeline() -> str:
-    """Oracle for the composed curation pipeline: the gopher feature CTE
-    (full corpus), sha-exact keep-first over quality survivors, the
-    registered minhash sig/band/candidate chains restricted to exact
-    survivors via the chain's doc_filter hook, exact-Jaccard verify,
-    recursive min-label components, and the per-doc verdict join."""
-    rules = (
+def _sql_gopher_rules() -> str:
+    """The gopher_gate default-parameter rule text, shared by the batch
+    and full-corpus curation oracles (single source — the `_nb_ctes` /
+    `_bpe_merge_sql` no-drift discipline)."""
+    return (
         "length(tokens) BETWEEN 5 AND 100000"
         " AND CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE)"
         "     / length(tokens) BETWEEN 2.0 AND 12.0"
@@ -2232,9 +2230,21 @@ def _sql_curation_pipeline() -> str:
         "     AS DOUBLE) / length(tokens) > 0.6"
         " AND length(list_distinct(list_filter(tokens,"
         "     t -> list_contains(["
-        + ", ".join(f"'{w}'" for w in ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for"))
+        + ", ".join(
+            f"'{w}'"
+            for w in ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+        )
         + "], t)))) >= 1"
     )
+
+
+def _sql_curation_pipeline() -> str:
+    """Oracle for the composed curation pipeline: the gopher feature CTE
+    (full corpus), sha-exact keep-first over quality survivors, the
+    registered minhash sig/band/candidate chains restricted to exact
+    survivors via the chain's doc_filter hook, exact-Jaccard verify,
+    recursive min-label components, and the per-doc verdict join."""
+    rules = _sql_gopher_rules()
     return f"""
         WITH RECURSIVE
         gtoks AS (
@@ -2414,5 +2424,246 @@ def curate(
             F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
             F.coalesce("exact_keep", F.lit(False)).alias("exact_keep"),
             F.coalesce("final_keep", F.lit(False)).alias("final_keep"),
+        )
+    )
+
+
+# ----------------------------------------------- r11: incremental curation
+
+#: the batch/corpus split convention every incremental query in this
+#: module uses: doc_id % 4 = 0 stands in for the arriving batch.
+_BATCH_PRED = "doc_id % 4 = 0"
+
+
+def _sql_curation_incremental() -> str:
+    """Oracle for the INCREMENTAL curation pipeline — the daily-crawler
+    shape: gopher gate over the BATCH only, within-batch sha keep-first
+    plus NOT EXISTS against the standing corpus's hashes, then the
+    minhash sig/band/candidate chains over corpus ∪ exact-admitted batch
+    (the chain's doc_filter hook), exact-Jaccard verify, recursive
+    min-label components over the union, and the per-cluster admission
+    rule: a batch doc is admitted iff its cluster contains NO corpus doc
+    and it is the cluster's minimum batch member (keep-first within the
+    batch)."""
+    rules = _sql_gopher_rules()
+    return f"""
+        WITH RECURSIVE
+        gtoks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+            FROM documents WHERE {_BATCH_PRED}
+        ),
+        qkeep AS (
+            SELECT doc_id FROM gtoks
+            WHERE length(tokens) > 0 AND {rules}
+        ),
+        ehash AS (
+            SELECT d.doc_id, sha256(d.text) AS h
+            FROM documents d JOIN qkeep USING (doc_id)
+        ),
+        ekeep_batch AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS mn
+                FROM ehash
+            ) WHERE doc_id = mn
+        ),
+        corpush AS (
+            SELECT sha256(text) AS h FROM documents WHERE NOT ({_BATCH_PRED})
+        ),
+        ekeep AS (
+            SELECT e.doc_id FROM ekeep_batch e JOIN ehash h USING (doc_id)
+            WHERE NOT EXISTS (SELECT 1 FROM corpush c WHERE c.h = h.h)
+        ),
+        {_sql_sig_chain(prefix="i", doc_filter=f"NOT ({_BATCH_PRED}) OR doc_id IN (SELECT doc_id FROM ekeep)")},
+        {_sql_band_cand_chain(prefix="i")},
+        verified AS (
+            SELECT doc_a, doc_b FROM icand
+            JOIN ishingled ta ON ta.doc_id = doc_a
+            JOIN ishingled tb ON tb.doc_id = doc_b
+            WHERE CAST(length(list_intersect(ta.shingles, tb.shingles)) AS DOUBLE)
+                  / length(list_distinct(ta.shingles || tb.shingles))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        vedges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b, doc_a FROM verified
+        ),
+        members AS (
+            SELECT doc_id FROM documents WHERE NOT ({_BATCH_PRED})
+            UNION
+            SELECT doc_id FROM ekeep
+        ),
+        reach(doc_id, lab) AS (
+            SELECT doc_id, doc_id FROM members
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN vedges e ON e.src = r.doc_id
+        ),
+        clusters AS (
+            SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        cstats AS (
+            SELECT cluster_id,
+                   MAX(CASE WHEN NOT ({_BATCH_PRED}) THEN 1 ELSE 0 END) AS has_corpus,
+                   MIN(CASE WHEN {_BATCH_PRED} THEN doc_id END) AS min_batch
+            FROM clusters GROUP BY cluster_id
+        ),
+        nkeep AS (
+            SELECT c.doc_id FROM clusters c JOIN cstats s USING (cluster_id)
+            WHERE ({_BATCH_PRED.replace('doc_id', 'c.doc_id')})
+              AND s.has_corpus = 0 AND c.doc_id = s.min_batch
+        )
+        SELECT d.doc_id,
+               (q.doc_id IS NOT NULL) AS quality_keep,
+               (e.doc_id IS NOT NULL) AS exact_admit,
+               (n.doc_id IS NOT NULL) AS final_admit
+        FROM documents d
+        LEFT JOIN qkeep q ON q.doc_id = d.doc_id
+        LEFT JOIN ekeep e ON e.doc_id = d.doc_id
+        LEFT JOIN nkeep n ON n.doc_id = d.doc_id
+        WHERE {_BATCH_PRED.replace('doc_id', 'd.doc_id')}
+    """
+
+
+@query(
+    "data_curation_incremental",
+    survey_ref="L1,L2,L4,J3,A1",
+    doc="Incremental (ingest-time) curation composed from the production "
+    "library path: gopher gate over the arriving batch, exact sha "
+    "anti-join vs the standing corpus (+ within-batch keep-first), "
+    "near-dup clustering over corpus UNION batch with corpus-wins "
+    "admission — one verdict row per batch doc.",
+    oracle=_sql_curation_incremental(),
+)
+def data_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL curation pipeline a 100 TB crawler actually runs
+    daily (r10 verdict task 4 — data_curation_pipeline is the batch
+    re-curation form; this is the ingest-time form): the arriving batch
+    (doc_id % 4 = 0 stands in for it, the dedup_incremental_* convention)
+    is gated, exact-deduped against itself AND the standing corpus, then
+    near-dup-clustered against corpus ∪ admitted-batch — as ONE
+    ``curate_incremental`` library call, so the production code path
+    itself sits under the driver's hash gate.
+
+    Admission semantics per batch doc: quality_keep = passes the Gopher
+    gate; exact_admit = quality AND its content hash is the batch's
+    keep-first representative AND absent from the corpus; final_admit =
+    exact AND its near-dup cluster (connected components over the
+    verified-Jaccard graph of corpus ∪ admitted batch) contains NO
+    corpus doc and it is the cluster's minimum batch member. Corpus
+    always wins — an arriving near-copy of standing content is rejected,
+    never the standing doc. Verdicts are monotone (final ⇒ exact ⇒
+    quality; pinned by tests/test_r11_curation.py with planted
+    fixtures for every rejection reason).
+
+    Scale shape — the production dataflow this compresses: the gate and
+    hashing touch the BATCH only (~1e-3 of the corpus); the corpus-side
+    hash set is at rest (bucketed by hash, zero corpus-side shuffle per
+    day — the dedup_incremental_exact note); the near stage's corpus
+    signatures are likewise at rest in production (band index bucketed
+    on (band_id, band_hash)), so daily work is batch signatures + one
+    equi-join + candidate-bounded verification; the label-propagation
+    loop runs on the near-dup SUBGRAPH only. Here both sides derive
+    from one driver table, so the shared signature pass runs once."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 4 == 0
+    return curate_incremental(d.filter(is_batch), d.filter(~is_batch))
+
+
+def curate_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    neardup_threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = N_HASHES,
+    bands: int = N_BANDS,
+    max_bucket: int = MAX_BUCKET,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gopher_params: dict | None = None,
+) -> DataFrame:
+    """PRODUCTION incremental curation — ``curate``'s ingest-time
+    sibling: admit an arriving ``batch`` against a standing ``corpus``
+    (both ANY (id, text) frames; ids must be comparable and disjoint
+    across the two). Every stage is one call to its production library
+    entry (``gopher_gate`` / ``exact_dedup`` / ``neardup_dedup`` — no
+    reimplementation): (1) Gopher-gate the batch; (2) exact stage —
+    within-batch keep-first via ``exact_dedup`` plus a LEFT ANTI join of
+    the batch's content hashes against the corpus's (only 64-char
+    hashes shuffle, never text); (3) near stage — ``neardup_dedup``
+    clusters corpus ∪ exact-admitted batch, and a batch doc is admitted
+    iff its cluster contains no corpus doc and it is the cluster's
+    minimum batch member (corpus wins; keep-first within the batch).
+
+    Returns one row per batch doc: (id_col, quality_keep, exact_admit,
+    final_admit), monotone — ``filter("final_admit")`` is the admitted
+    slice to append to the corpus. At the declared parameters it IS
+    ``data_curation_incremental``, so the driver's hash gate attests
+    this exact code path.
+
+    Scale shape: batch-sized work everywhere except the near stage's
+    corpus signature pass, which in production is AT REST (banded index
+    written once, bucketed on (band_id, band_hash) — see
+    dedup_incremental_neardup); the admission aggregate is one
+    cluster-keyed partial agg over the clustered ids, never text."""
+    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+
+    b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    qk = gopher_gate(b, **(gopher_params or {})).filter("keep").select("doc_id")
+    surv_q = b.join(qk, "doc_id")
+
+    eb = exact_dedup(surv_q)  # (doc_id, content_hash, keep) within-batch
+    corpus_hashes = c.select(F.sha2(F.col("text").cast("string"), 256).alias("content_hash"))
+    ek = (
+        eb.filter("keep")
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .select("doc_id")
+    )
+    surv_e = surv_q.join(ek, "doc_id")
+
+    union = c.unionByName(surv_e)
+    clusters = neardup_dedup(
+        union,
+        threshold=neardup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+        shingle_k=shingle_k,
+    ).select("doc_id", "cluster_id")
+    memb = clusters.join(
+        b.select("doc_id").withColumn("is_batch", F.lit(True)),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("is_batch", F.lit(False)).alias("is_batch"),
+    )
+    stats = memb.groupBy("cluster_id").agg(
+        F.max(F.when(~F.col("is_batch"), 1).otherwise(0)).alias("has_corpus"),
+        F.min(F.when(F.col("is_batch"), F.col("doc_id"))).alias("min_batch"),
+    )
+    nk = (
+        memb.join(stats, "cluster_id")
+        .filter(
+            F.col("is_batch")
+            & (F.col("has_corpus") == 0)
+            & (F.col("doc_id") == F.col("min_batch"))
+        )
+        .select("doc_id")
+    )
+    return (
+        b.select("doc_id")
+        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
+        .join(ek.withColumn("exact_admit", F.lit(True)), "doc_id", "left")
+        .join(nk.withColumn("final_admit", F.lit(True)), "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+            F.coalesce("exact_admit", F.lit(False)).alias("exact_admit"),
+            F.coalesce("final_admit", F.lit(False)).alias("final_admit"),
         )
     )

@@ -79,7 +79,7 @@ def _pr_oracle() -> str:
 
 @query(
     "graph_pagerank_fixedpoint",
-    survey_ref="L2,A1,J1",
+    survey_ref="L9,A1,J1",
     doc="8-iteration PageRank over the supplier co-supply graph in BIGINT "
     "fixed-point (millionths) — an iterative Spark loop that hash-matches "
     "an unrolled recursive-CTE oracle exactly.",
@@ -253,7 +253,7 @@ _TRI_CTES = """
 
 @query(
     "graph_triangle_count",
-    survey_ref="L2,J8,A1",
+    survey_ref="L9,J8,A1",
     doc="Per-supplier triangle counts in the undirected co-ship graph via "
     "degree-oriented wedge closing — the skew-proof triangle algorithm.",
     oracle=f"""
@@ -383,7 +383,7 @@ def _kcore_oracle() -> str:
 
 @query(
     "graph_kcore_hindex",
-    survey_ref="L2,A1,J1,W1",
+    survey_ref="L9,A1,J1,W1",
     doc="k-core decomposition by the iterated-h-index fixpoint (8 rounds, "
     "integer-exact) over the strong-tie supplier graph — per-node "
     "coreness, the degeneracy-ordering backbone metric.",
@@ -596,7 +596,7 @@ def kcore_converged(
 
 @query(
     "graph_jaccard_link_prediction",
-    survey_ref="L2,J8,A1",
+    survey_ref="L9,J8,A1",
     doc="Common-neighbor / Jaccard link prediction over the strong-tie "
     "backbone: score non-adjacent pairs by shared-neighbor overlap.",
     oracle=f"""

@@ -3162,3 +3162,252 @@ def semdedup(
         (F.col("mx").isNull() | (F.col("mx") < tau)).alias("keep"),
         F.round("mx", 6).alias("max_lower_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: the production ANN / SemDeDup entry points under the driver's hash
+# gate (r10 verdict task 2 — ann_topk and semdedup were pinned only by
+# pytest equality at the registered defaults; these queries make the
+# driver execute the library code paths THEMSELVES, at parameters the
+# registered twins do NOT use, so the oracle checks the parameter
+# plumbing and not just the default path).
+
+#: sim_ann_library_lsh banding — deliberately NOT the registered twin's
+#: (L=4, r=4): 5 tables × 3 planes changes every bucket boundary, so a
+#: hash-green verdict proves (n_tables, planes_per_table) reach the
+#: signature builder.
+_LIB_LSH_TABLES = 5
+_LIB_LSH_PLANES = 3
+
+#: sim_ann_library_srp probing — 6-bit grid at plane family 56..61
+#: (disjoint from the ANN tables 0–15, SemDeDup 32–39 / 40–47, and the
+#: registered grid 48–55).
+_LIB_GRID_BITS = 6
+_LIB_GRID_OFFSET = 56
+
+
+def _sql_lib_lsh_tables(src: str) -> str:
+    """Oracle rendering of ann_topk's parameterized multi-table
+    signatures at the library-query banding (plane t*r+p, the same
+    layout ann_topk derives from plane_offset + t * planes_per_table)."""
+    selects = []
+    for t in range(_LIB_LSH_TABLES):
+        bucket = sql_lsh_bucket(
+            "embedding", _LIB_LSH_PLANES, 64, t * _LIB_LSH_PLANES
+        )
+        selects.append(
+            f"SELECT vec_id, embedding, nrm, {t} AS table_id, "
+            f"{bucket} AS bucket FROM {src}"
+        )
+    return "\n            UNION ALL\n            ".join(selects)
+
+
+@query(
+    "sim_ann_library_lsh",
+    survey_ref="L3,J1,W4",
+    doc="The production ann_topk(method='lsh') entry under the hash "
+    "gate at a banding the registered twin never uses (5 tables x 3 "
+    "planes): multi-table LSH candidates, exact cosine rerank, top-k.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        tabs AS (
+            {_sql_lib_lsh_tables('normed')}
+        ),
+        qtabs AS (SELECT vec_id AS query_id, table_id, bucket FROM tabs
+                  WHERE vec_id < {N_QUERIES}),
+        cand AS (
+            SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+            FROM tabs t
+            JOIN qtabs q ON t.table_id = q.table_id AND t.bucket = q.bucket
+             AND t.vec_id <> q.query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {sql_dot('qn.embedding', 'en.embedding')} / (qn.nrm * en.nrm) AS cos
+            FROM cand c
+            JOIN normed qn ON qn.vec_id = c.query_id
+            JOIN normed en ON en.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_library_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``ann_topk`` LSH path itself under the driver's
+    hash gate (r10 verdict task 2): the registered corpus/query split
+    handed to ONE ``ann_topk(method='lsh')`` call — no reimplemented
+    candidate generation that could drift from the production code. The
+    banding is (5 tables × 3 planes), NOT the registered twin's (4 × 4),
+    so every bucket boundary moves and the oracle genuinely checks that
+    ``n_tables``/``planes_per_table`` reach the signature builder — the
+    recall/cost dial an ANN deployment actually turns (wider tables =
+    higher per-table recall, more candidates).
+
+    Scale shape — inherited from ann_topk: all 5 signatures per row in
+    one pass over each side, query side broadcast into the bucket join,
+    candidates deduped BEFORE the exact rerank, rerank over candidates
+    only. The corpus never self-joins."""
+    e = _normed(spark, sf_dir)
+    corpus = e.select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return ann_topk(
+        corpus,
+        queries,
+        k=TOP_K,
+        method="lsh",
+        n_tables=_LIB_LSH_TABLES,
+        planes_per_table=_LIB_LSH_PLANES,
+    )
+
+
+@query(
+    "sim_ann_library_srp",
+    survey_ref="L3,J1,W4",
+    doc="The production ann_topk(method='srp_multiprobe') entry under "
+    "the hash gate on a 6-bit grid at plane family 56..61 — Hamming-1 "
+    "multi-probe, exact rerank, top-k.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        coded AS (
+            SELECT vec_id, embedding, nrm,
+                   {sql_srp_code('embedding', _LIB_GRID_BITS, 64, _LIB_GRID_OFFSET)} AS code
+            FROM normed
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, code AS qcode
+            FROM coded WHERE vec_id < {N_QUERIES}
+        ),
+        probes AS (
+            SELECT query_id, qe, qn,
+                   CASE WHEN f = -1 THEN qcode
+                        ELSE xor(qcode, CAST(1 << f AS BIGINT)) END AS cell
+            FROM q CROSS JOIN range(-1, {_LIB_GRID_BITS}) t(f)
+        ),
+        scored AS (
+            SELECT p.query_id,
+                   c.vec_id AS neighbor_id,
+                   {sql_dot('p.qe', 'c.embedding')} / (p.qn * c.nrm) AS cos
+            FROM probes p
+            JOIN coded c ON c.code = p.cell
+            WHERE c.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_library_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``ann_topk`` grid-multi-probe path under the hash
+    gate (r10 verdict task 2): one ``ann_topk(method='srp_multiprobe')``
+    call on a 6-bit grid (64 cells, each query probing its home cell +
+    6 Hamming-1 flips ≈ 11% of the corpus in expectation) at plane
+    family 56..61 — both the cell count AND the plane family differ
+    from the registered 8-bit/48-offset twin, so the verdict proves
+    ``grid_bits`` and ``plane_offset`` reach the integer SRP encoder.
+
+    Scale shape — inherited from ann_topk: one integer code per corpus
+    row, probes exploded on the (broadcast) query side only, scoring
+    confined to probed cells, per-query top-k window."""
+    e = _normed(spark, sf_dir)
+    corpus = e.select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return ann_topk(
+        corpus,
+        queries,
+        k=TOP_K,
+        method="srp_multiprobe",
+        grid_bits=_LIB_GRID_BITS,
+        plane_offset=_LIB_GRID_OFFSET,
+    )
+
+
+#: dedup_semdedup_library parameters — every dial moved off the
+#: registered defaults (tau 0.3, target 32, planes 32..39): tau 0.25 is
+#: exactly representable so F.lit and the SQL literal are the same
+#: double; target 16 halves expected cell population (one extra
+#: refinement bit on the same corpus); planes 40..47 are a disjoint
+#: slice of the LCG family.
+_LIB_SEM_TAU = 0.25
+_LIB_SEM_TARGET = 16
+_LIB_SEM_OFFSET = 40
+
+_LIB_SEM_BITS = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= nl * {_LIB_SEM_TARGET * (1 << b)} THEN {b}"
+        for b in range(_SEMDEDUP_MAX_REFINE + 1)
+    )
+    + f" ELSE {_SEMDEDUP_MAX_REFINE} END"
+)
+
+
+@query(
+    "dedup_semdedup_library",
+    survey_ref="L2,L3,J8,A1",
+    doc="The production semdedup entry under the hash gate at "
+    "non-default dials (tau 0.25, target cell 16, plane family 40..47): "
+    "corpus-adaptive cells, per-cell lower-id cosine max, keep verdict.",
+    oracle=f"""
+        WITH {_SQL_NORMED},
+        stats AS (
+            SELECT count(*) AS n, count(DISTINCT label) AS nl FROM normed
+        ),
+        sigged AS (
+            SELECT vec_id, embedding, label, nrm,
+                   {sql_lsh_bucket('embedding', _SEMDEDUP_MAX_REFINE, 64, _LIB_SEM_OFFSET)} AS sig
+            FROM normed
+        ),
+        celled AS (
+            SELECT vec_id, embedding, label, nrm,
+                   concat(CAST(label AS STRING), '|', substring(sig, 1, {_LIB_SEM_BITS})) AS cell
+            FROM sigged CROSS JOIN stats
+        ),
+        lower_max AS (
+            SELECT b.vec_id,
+                   MAX({sql_dot('a.embedding', 'b.embedding')}
+                       / (a.nrm * b.nrm)) AS mx
+            FROM celled a
+            JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            GROUP BY b.vec_id
+        )
+        SELECT c.vec_id,
+               c.cell,
+               (lm.mx IS NULL OR lm.mx < {_LIB_SEM_TAU}) AS keep,
+               round(lm.mx, 6) AS max_lower_cos
+        FROM celled c
+        LEFT JOIN lower_max lm ON lm.vec_id = c.vec_id
+    """,
+)
+def dedup_semdedup_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``semdedup`` entry itself under the driver's hash
+    gate (r10 verdict task 2 — it was pinned only by pytest equality at
+    the registered defaults): ONE ``semdedup`` call on the embeddings
+    table with every dial moved — tau 0.25 (vs 0.3), target_cell 16 (vs
+    32, adding one refinement bit at any corpus size where the ladder
+    crosses), plane family 40..47 (vs 32..39, moving every cell
+    boundary). A hash-green verdict therefore proves tau, target_cell,
+    and plane_offset all reach the production cell/threshold logic.
+
+    Scale shape — semdedup's, unchanged: broadcast 1-row stats feed the
+    exact-integer bits ladder, one cell-keyed shuffle for the pairwise
+    join (streamed side repartitioned before the compute-amplifying
+    stage), one id-keyed partial-agg MAX, one left join back; pairwise
+    work O(n·target·d), linear in corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup(
+        e,
+        tau=_LIB_SEM_TAU,
+        target_cell=_LIB_SEM_TARGET,
+        plane_offset=_LIB_SEM_OFFSET,
+    )

@@ -1785,17 +1785,14 @@ BPE_ROUNDS = 6
 BPE_EOW = "</w>"
 
 
-def _bpe_round_sql(k: int) -> str:
+def _bpe_merge_sql(k: int) -> str:
+    """The greedy non-overlapping merge tail shared by the TRAINED
+    rounds (argmax b{k}) and the FIXED-merge rounds of the r11
+    bpe_apply oracle — the SQL mirror of _bpe_merge_with being shared
+    between _bpe_merge_round and bpe_apply, so the two oracle forms
+    cannot drift either."""
     prev = f"s{k - 1}"
     return f""",
-    pr{k} AS (
-        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
-            SELECT word, cnt, s AS l,
-                   lead(s) OVER (PARTITION BY word ORDER BY p) AS r
-            FROM {prev}
-        ) WHERE r IS NOT NULL GROUP BY l, r
-    ),
-    b{k} AS (SELECT l, r, c FROM pr{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
     m{k} AS (
         SELECT word, cnt, p, s, b.l AS bl, b.r AS br,
                (s = b.l AND lead(s) OVER (PARTITION BY word ORDER BY p) = b.r) AS m
@@ -1823,10 +1820,32 @@ def _bpe_round_sql(k: int) -> str:
     )"""
 
 
-def _bpe_ctes() -> str:
-    """The word-type stream + unrolled merge rounds, shared by the
-    trainer oracle and the encode oracle (s{BPE_ROUNDS} IS the encoded
-    corpus — applying a trained BPE is replaying its merges)."""
+def _bpe_round_sql(k: int) -> str:
+    """One TRAINED round: argmax pair selection + the shared merge."""
+    prev = f"s{k - 1}"
+    return f""",
+    pr{k} AS (
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT word, cnt, s AS l,
+                   lead(s) OVER (PARTITION BY word ORDER BY p) AS r
+            FROM {prev}
+        ) WHERE r IS NOT NULL GROUP BY l, r
+    ),
+    b{k} AS (SELECT l, r, c FROM pr{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1)""" + _bpe_merge_sql(k)
+
+
+def _bpe_fixed_round_sql(k: int, left: str, right: str) -> str:
+    """One FIXED-merge round (the bpe_apply replay): the pair is a
+    constant instead of the corpus argmax; the merge algebra is the
+    identical shared tail."""
+    return f""",
+    b{k} AS (SELECT '{left}' AS l, '{right}' AS r)""" + _bpe_merge_sql(k)
+
+
+def _bpe_stream_ctes() -> str:
+    """The frequency-weighted word-type positional symbol stream (wt +
+    s0) — the input both the trained rounds and the r11 fixed-merge
+    replay rounds consume."""
     return f"""
     wt AS (
         SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1839,7 +1858,16 @@ def _bpe_ctes() -> str:
                      list_concat(string_split(word, ''), ['{BPE_EOW}']) AS chars
               FROM wt),
              unnest(range(1, length(chars) + 1)) AS u(i)
-    )""" + "".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+    )"""
+
+
+def _bpe_ctes() -> str:
+    """The word-type stream + unrolled merge rounds, shared by the
+    trainer oracle and the encode oracle (s{BPE_ROUNDS} IS the encoded
+    corpus — applying a trained BPE is replaying its merges)."""
+    return _bpe_stream_ctes() + "".join(
+        _bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1)
+    )
 
 
 def _bpe_oracle() -> str:
@@ -3007,4 +3035,63 @@ def bpe_apply(
             F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]
         ).alias("symbols"),
         F.count(F.lit(1)).cast("bigint").alias("n_symbols"),
+    )
+
+
+#: text_bpe_library_apply merge table — a FIXED external artifact, not
+#: the corpus argmax (that's the trainer's job): the shipped-tokenizer
+#: scenario bpe_apply exists for. Chosen to exercise the replay
+#: mechanics: two character merges, a CASCADING merge consuming both
+#: ("sc"+"an" can only fire if rounds 1-2 produced its operands), a
+#: word-final merge against the end-of-word marker, and one more
+#: character pair — all present in the corpus vocabulary, so every
+#: round moves real positions.
+_LIB_BPE_MERGES = [
+    ("s", "c"),
+    ("a", "n"),
+    ("sc", "an"),
+    ("e", BPE_EOW),
+    ("h", "a"),
+]
+
+
+@query(
+    "text_bpe_library_apply",
+    survey_ref="L6,W2,A1,F1",
+    doc="The production bpe_apply entry under the hash gate: replay a "
+    "FIXED 5-merge external tokenizer over the corpus word types — one "
+    "row per type with its encoded symbol string.",
+    oracle=f"""
+        WITH {_bpe_stream_ctes()}{"".join(_bpe_fixed_round_sql(k, l, r) for k, (l, r) in enumerate(_LIB_BPE_MERGES, 1))}
+        SELECT word, cnt,
+               CAST(COUNT(*) AS BIGINT) AS n_symbols,
+               string_agg(s, ' ' ORDER BY p) AS encoded
+        FROM s{len(_LIB_BPE_MERGES)}
+        GROUP BY word, cnt
+    """,
+)
+def text_bpe_library_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``bpe_apply`` path itself under the driver's hash
+    gate (r10 verdict task 2 — it was pinned only by pytest equality at
+    the trainer's own merges): ONE ``bpe_apply`` call replaying a FIXED
+    5-merge table that no trainer on this corpus produces — the
+    ship-the-tokenizer scenario the function exists for. The table
+    includes a CASCADING merge (("sc","an") whose operands only exist
+    after rounds 1-2) and a word-final merge against the end-of-word
+    marker, so a hash-green verdict proves the replay applies arbitrary
+    external pairs in caller order through the shared window algebra.
+    Output is the join-ready word-type table: (word, corpus count,
+    encoded length, the encoded symbol string).
+
+    Scale shape — bpe_apply's: the corpus is tokenized and counted ONCE
+    into the Zipf-bounded word-type stream; each merge is two window
+    passes over type-sized data with the 1-row pair broadcast;
+    per-word ordered aggregation is type-sized, never corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    enc = bpe_apply(d, _LIB_BPE_MERGES)
+    return enc.select(
+        "word",
+        "cnt",
+        "n_symbols",
+        F.concat_ws(" ", "symbols").alias("encoded"),
     )

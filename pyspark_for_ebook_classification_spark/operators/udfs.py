@@ -264,7 +264,7 @@ def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udf_cogrouped_merge_asof",
-    survey_ref="UF2,J7",
+    survey_ref="UF7,J7",
     doc="Cogrouped applyInPandas: per-user pandas merge_asof (view ← signup).",
     oracle="""
         WITH views AS (

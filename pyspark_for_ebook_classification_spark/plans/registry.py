@@ -89,6 +89,13 @@ _PRIORITY: tuple[str, ...] = (
     # high-risk families first, then oldest-verdict-first round-robin —
     # the r1/r2-verified core, now 9-10 rounds stale, resurfaces for
     # re-attestation against today's code per the r10 verdict note).
+    # ========== (tier: r11 additions — never verified — lead per policy)
+    "data_curation_incremental",
+    "text_bpe_library_apply",
+    "sim_ann_library_lsh",
+    "sim_ann_library_srp",
+    "dedup_semdedup_library",
+    "ml_nb_library_classify",
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",

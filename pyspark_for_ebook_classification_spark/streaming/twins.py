@@ -268,7 +268,7 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
 
 @query(
     "stream_stream_join_twin",
-    survey_ref="ST7,J5,W2",
+    survey_ref="ST8,J5,W2",
     doc="Batch twin of the watermarked stream-stream interval join (click→purchase).",
     oracle="""
         SELECT c.user_id,
@@ -326,7 +326,7 @@ def chained_daily_peak(events: DataFrame) -> DataFrame:
 
 @query(
     "stream_chained_window_twin",
-    survey_ref="ST1,A1,W4",
+    survey_ref="ST9,A1,W4",
     oracle="""
         WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
