@@ -244,6 +244,11 @@ def parse_scaling_reference(path: str) -> dict[str, float]:
     with open(path) as fh:
         for line in fh:
             if not line.startswith("|"):
+                # r11: STOP at the end of the first table — later tables
+                # (the splittable-scan twin) carry different columns at
+                # the same index and would silently poison the reference.
+                if target_idx is not None:
+                    break
                 continue
             cells = [c.strip() for c in line.strip().strip("|").split("|")]
             if target_idx is None:

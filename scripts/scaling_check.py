@@ -135,6 +135,43 @@ def main() -> None:
         else "CONTAMINATED — re-run on a quiet host"
     )
 
+    # ---- splittable-scan twin (r10 verdict task 5) ----
+    # Driver parquet = ONE row group per table, so a scan cannot split
+    # and everything below a query's first exchange runs in one task.
+    # Re-time every >2.5× entrant against a scratch copy of the same
+    # sf0.1 data repartitioned into 32 files: if the ratio was the
+    # single-row-group artifact, the split scan parallelizes the map
+    # stage and the time collapses. Measured OUTSIDE the canary bracket
+    # (these rows are explanatory, never a guard reference — bench.py's
+    # parser stops at the first table).
+    import shutil
+    import tempfile
+
+    from pyspark_for_ebook_classification_spark.sources.io import TABLES, load
+
+    split_rows = []
+    hot = [(n, a, b, r) for n, a, b, r in rows if r > 2.5]
+    if hot:
+        scratch = tempfile.mkdtemp(prefix="spark_graft_splitscan_")
+        try:
+            for t in TABLES:
+                load(spark, SFS[1], t).repartition(32).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(scratch, f"{t}.parquet"))
+            for name, _a, _b, _r in hot:  # untimed warm pass first
+                queries[name].fn(spark, scratch).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            for name, _a, b, r in hot:
+                t_split = _run(spark, queries[name].fn, scratch)
+                split_rows.append((name, r, b, t_split, b / t_split))
+                print(
+                    f"split-scan {name}: {b:.3f}s -> {t_split:.3f}s "
+                    f"({b / t_split:.2f}x faster)"
+                )
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
     out = [
         "# SCALING — headline-query wall time, sf0.01 vs sf0.1 (10× data)",
         "",
@@ -177,6 +214,30 @@ def main() -> None:
         "rows before such stages: that would flatter these local "
         "numbers by adding a full-data shuffle at 100 TB — exactly "
         "backwards.",
+        "",
+        "## Splittable-scan twin (single-row-group artifact, measured)",
+        "",
+        "Every >2.5× entrant above, re-timed against a scratch copy of "
+        "the SAME sf0.1 tables repartitioned into 32 parquet files (so "
+        "the scan splits into 32 tasks, as any real multi-file corpus "
+        "would). A large speedup here proves the headline ratio is the "
+        "single-row-group measurement artifact — the plan parallelizes "
+        "the moment the input can split — and retires the entry as a "
+        "scale worry (its analytical-ceiling test remains as a cheap "
+        "conservation invariant). Timed OUTSIDE the canary bracket; "
+        "never used as a guard reference.",
+        "",
+        "| query | headline ratio | single-group sf0.1 (s) | split-scan sf0.1 (s) | split speedup |",
+        "| --- | --- | --- | --- | --- |",
+        *[
+            f"| {n} | {r:.2f}× | {b:.3f} | {s:.3f} | {sp:.2f}× |"
+            for n, r, b, s, sp in split_rows
+        ],
+        *(
+            []
+            if split_rows
+            else ["| (no >2.5× entrant this run) | — | — | — | — |"]
+        ),
         "",
         "## Text-family workload audit (gate scale, sf0.01)",
         "",

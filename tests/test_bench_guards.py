@@ -192,3 +192,24 @@ def test_scaling_trust_is_symmetric():
     # the r9 cold-JVM episode direction the old <= comparison trusted
     assert not bench.scaling_reference_trusted(-0.476)
     assert not bench.scaling_reference_trusted(None)
+
+
+def test_parse_scaling_reference_stops_at_first_table(tmp_path):
+    """r11: SCALING.md gained a second table (the splittable-scan twin)
+    whose column at the reference index is a DIFFERENT measurement —
+    the parser must stop at the first table's end or split-scan times
+    would silently poison the disagree guard's reference."""
+    p = tmp_path / "SCALING.md"
+    p.write_text(
+        "# t\n\n"
+        "| query | sf0.01 (s) | sf0.1 (s) | ratio |\n"
+        "| --- | --- | --- | --- |\n"
+        "| q1 | 0.5 | 1.5 | 3.00× |\n"
+        "\n"
+        "## Splittable-scan twin\n\n"
+        "| query | headline ratio | single-group sf0.1 (s) | split-scan sf0.1 (s) | split speedup |\n"
+        "| --- | --- | --- | --- | --- |\n"
+        "| q1 | 3.00× | 1.5 | 0.2 | 7.50× |\n"
+    )
+    ref = bench.parse_scaling_reference(str(p))
+    assert ref == {"q1": 1.5}, ref

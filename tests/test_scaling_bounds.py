@@ -7,6 +7,16 @@ containment_pair_budget treatment: a conservation/ceiling invariant that
 recomputes BOTH sides from data (pure Python where feasible), pinned so
 any future change that introduces real amplification trips a test instead
 of drifting in SCALING.md.
+
+r11 (verdict task 5): the >2.5× ratios these ceilings were written for are
+now also EMPIRICALLY explained — scripts/scaling_check.py re-times every
+>2.5× entrant against a 32-file repartitioned copy of the same sf0.1 data
+(the "Splittable-scan twin" SCALING.md section); the split scan
+parallelizes the single-task map stage and the time collapses, proving the
+ratio was the driver's single-row-group artifact. The entries are retired
+as scale WORRIES; these tests remain as cheap conservation invariants
+(they catch real amplification a future edit could introduce, which the
+split twin would not).
 """
 
 from __future__ import annotations
