@@ -172,6 +172,9 @@ EXTRA = [
     # r11: the ingest-time curation funnel (gate -> exact-vs-corpus ->
     # near-dup vs corpus ∪ batch) as one curate_incremental library call
     "data_curation_incremental",
+    # r11: decontaminate at n=5 + the tokenizer-aware packing pipeline
+    "data_decontaminate_library",
+    "data_tokenize_pack_pipeline",
 ]
 
 
