@@ -175,6 +175,9 @@ EXTRA = [
     # r11: decontaminate at n=5 + the tokenizer-aware packing pipeline
     "data_decontaminate_library",
     "data_tokenize_pack_pipeline",
+    # r11: the streamable ingest near-dup gate (static-side cap,
+    # projection-only minhash, one aggregation — the streaming twin's plan)
+    "dedup_incremental_gate",
 ]
 
 

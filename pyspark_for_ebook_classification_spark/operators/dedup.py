@@ -2667,3 +2667,251 @@ def curate_incremental(
             F.coalesce("final_admit", F.lit(False)).alias("final_admit"),
         )
     )
+
+
+# --------------------------------------- r11: streamable incremental gate
+
+#: oracle rendering of one banded signature table (2 bands × 6 rows)
+#: from a prefixed sig CTE — the custom two-sided form the incremental
+#: gate needs (corpus-capped, batch uncapped).
+def _sql_gate_bands(p: str) -> str:
+    selects = []
+    for b in range(N_BANDS):
+        expr = " || '|' || ".join(
+            f"CAST(h{b * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, {expr} AS band_hash FROM {p}sig"
+        )
+    return "\n            UNION ALL\n            ".join(selects)
+
+
+def _sql_incremental_gate() -> str:
+    """Oracle for the STREAMABLE ingest gate: corpus-side-only bucket
+    cap (the production semantics — the standing index cannot know the
+    arriving batch), batch signatures, distinct cross candidates, exact
+    Jaccard verify, per-doc best match + admit verdict; one row per
+    batch doc with ≥1 candidate."""
+    return f"""
+        WITH {_sql_sig_chain(prefix="gc", doc_filter=f"NOT ({_BATCH_PRED})")},
+        {_sql_sig_chain(prefix="gn", doc_filter=_BATCH_PRED)},
+        cbands AS (
+            {_sql_gate_bands('gc')}
+        ),
+        cok AS (
+            SELECT band_id, band_hash FROM cbands
+            GROUP BY band_id, band_hash
+            HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        ccapped AS (
+            SELECT b.* FROM cbands b JOIN cok USING (band_id, band_hash)
+        ),
+        nbands AS (
+            {_sql_gate_bands('gn')}
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+            FROM nbands n
+            JOIN ccapped c USING (band_id, band_hash)
+        ),
+        j AS (
+            SELECT c.new_id, c.old_id,
+                   CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (length(a.shingles) + length(b.shingles)
+                      - length(list_intersect(a.shingles, b.shingles))) AS jac
+            FROM cand c
+            JOIN gnshingled a ON a.doc_id = c.new_id
+            JOIN gcshingled b ON b.doc_id = c.old_id
+        )
+        SELECT new_id AS doc_id,
+               CAST(n_cands AS BIGINT) AS n_cands,
+               old_id AS best_match,
+               round(jac, 6) AS best_jaccard,
+               (jac < {JACCARD_THRESHOLD}) AS admit
+        FROM (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY new_id) AS n_cands,
+                   row_number() OVER (
+                       PARTITION BY new_id ORDER BY jac DESC, old_id
+                   ) AS rn
+            FROM j
+        )
+        WHERE rn = 1
+    """
+
+
+def _gate_sig_cols(df: DataFrame) -> DataFrame:
+    """Projection-only MinHash: shingles → per-shingle md5 hash array →
+    the 12 signature mins as COLUMNS, with the two band hashes — no
+    explode, no groupBy, so the identical expression runs on a batch
+    frame AND on a Structured Streaming frame (streaming aggregations
+    cannot chain, but projections always can). Bit-identical to
+    _minhash_signature's explode+groupBy form (same md5/LCG math; the
+    min over an array equals the min over grouped rows)."""
+    out = df.withColumn(
+        "hmarr",
+        F.expr(
+            "transform(shingles, s -> "
+            f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % {MERSENNE_P})"
+        ),
+    )
+    for i in range(N_HASHES):
+        out = out.withColumn(
+            f"h{i}",
+            F.expr(
+                f"array_min(transform(hmarr, x -> ({_LCG_A[i]} * x + {_LCG_B[i]}) % {MERSENNE_P}))"
+            ),
+        )
+    for b in range(N_BANDS):
+        out = out.withColumn(
+            f"b{b}",
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                    for r in range(BAND_ROWS)
+                ],
+            ),
+        )
+    return out.drop("hmarr", *[f"h{i}" for i in range(N_HASHES)])
+
+
+def gate_static_index(corpus: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The standing corpus's banded index in the ONE-ROW-PER-DOC layout
+    the streamable gate joins against: (doc_id, shingles, b0, b1) where
+    b{i} is NULLed when that bucket's corpus population exceeds
+    MAX_BUCKET (the static-side cap — boilerplate buckets are dropped
+    at index-build time, so the arriving batch never pays for them).
+    In production this is written once, bucketed on the band hashes,
+    and refreshed on corpus appends; carrying the shingle array in the
+    index trades storage for re-join latency (swap for a doc pointer +
+    verify-time join when shingle payloads dominate)."""
+    d = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    base = (
+        d.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr().alias("shingles"))
+    )
+    sig = _gate_sig_cols(base)
+    w0 = Window.partitionBy("b0")
+    w1 = Window.partitionBy("b1")
+    return (
+        sig.withColumn("n0", F.count(F.lit(1)).over(w0))
+        .withColumn("n1", F.count(F.lit(1)).over(w1))
+        .select(
+            "doc_id",
+            "shingles",
+            F.when(F.col("n0") <= MAX_BUCKET, F.col("b0")).alias("b0"),
+            F.when(F.col("n1") <= MAX_BUCKET, F.col("b1")).alias("b1"),
+        )
+    )
+
+
+def gate_score(batch: DataFrame, index: DataFrame, *, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The streamable scoring stage shared by the declared
+    ``dedup_incremental_gate`` (batch input) and the Structured
+    Streaming runner (``streaming/jobs.run_incremental_gate_stream``,
+    stream input): two band equi-joins whose union is PAIR-EXACT
+    without any distinct (a pair can only repeat when both bands match;
+    the second join drops rows whose band-0 hashes already matched via
+    a null-safe inequality), exact-Jaccard verification as a
+    projection, and ONE aggregation per new doc (count + argmax via
+    struct max, ties to the lowest corpus id) — the only stateful op,
+    so the identical plan runs under a complete-mode streaming sink.
+
+    ``batch`` must carry (doc_id, shingles, b0, b1) — the
+    _gate_sig_cols layout; ``index`` is gate_static_index's output."""
+    new = batch.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shingles").alias("sh_n"),
+        F.col("b0").alias("nb0"),
+        F.col("b1").alias("nb1"),
+    )
+    old = index.select(
+        F.col("doc_id").alias("old_id"),
+        F.col("shingles").alias("sh_o"),
+        F.col("b0").alias("ob0"),
+        F.col("b1").alias("ob1"),
+    )
+    j0 = new.join(old, F.col("nb0") == F.col("ob0"))
+    j1 = new.join(old, F.col("nb1") == F.col("ob1")).filter(
+        ~F.expr("nb0 <=> ob0")
+    )
+    pairs = j0.unionByName(j1)
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    jac = inter.cast("double") / (
+        F.size("sh_n") + F.size("sh_o") - inter
+    )
+    scored = pairs.select(
+        "new_id",
+        "old_id",
+        jac.alias("jac"),
+    )
+    best = F.max(F.struct(F.col("jac").alias("j"), (-F.col("old_id")).alias("nid")))
+    return (
+        scored.groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            best.alias("best"),
+        )
+        .select(
+            F.col("new_id").alias("doc_id"),
+            "n_cands",
+            (-F.col("best.nid")).alias("best_match"),
+            F.round("best.j", 6).alias("best_jaccard"),
+            (F.col("best.j") < threshold).alias("admit"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental_gate",
+    survey_ref="L2,L1,J1,J4,A1",
+    doc="The STREAMABLE ingest near-dup gate: corpus band index capped "
+    "static-side, arriving docs scored via projection-only MinHash + "
+    "two band equi-joins (pair-exact by construction) + one per-doc "
+    "aggregation — the plan shape that also runs as a Structured "
+    "Streaming job (see streaming/jobs.run_incremental_gate_stream).",
+    oracle=_sql_incremental_gate(),
+)
+def dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time near-dup gate RESHAPED so the identical plan runs
+    under Structured Streaming (the twin discipline of §2.10 applied to
+    the L2 ingest pass): where ``dedup_incremental_neardup`` caps
+    buckets over batch ∪ corpus (exact-twin of the standing pipeline's
+    banding), THIS query uses the production-true STATIC-SIDE cap — the
+    standing index is built (and its boilerplate buckets dropped) before
+    any batch arrives — and confines every stateful operation to one
+    final aggregation: signatures are projection-only (array HOFs over
+    the shingle array — no explode+groupBy, which a stream cannot chain
+    before a join), candidate pairs come from two band equi-joins whose
+    union is pair-exact WITHOUT a distinct (the second join drops pairs
+    whose band-0 hashes already matched), and the per-doc verdict
+    (candidate count, best match by Jaccard with ties to the lowest
+    corpus id, admit = best < {JACCARD_THRESHOLD}) is one groupBy.
+    tests/test_streaming.py proves the memory-sink streaming run of the
+    SAME stages (via gate_score) equals this query row for row.
+
+    Output: one row per batch doc with ≥1 surviving candidate — docs
+    with no bucket collision are admitted trivially and carry no
+    verdict row (exactly what a stream can emit without an outer join
+    against its own aggregate).
+
+    Scale shape: the static index is at rest (written bucketed on the
+    band hashes; ~corpus-sized but append-only), the batch side is
+    ~1e-3 of the corpus and broadcast-joinable, verification touches
+    candidate pairs only, and the single aggregation keys on batch doc
+    ids — bounded state, the streaming requirement and the 100 TB
+    requirement coinciding."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 4 == 0
+    index = gate_static_index(d.filter(~is_batch))
+    batch = (
+        d.filter(is_batch)
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr().alias("shingles"))
+    )
+    return gate_score(_gate_sig_cols(batch), index)

@@ -391,3 +391,64 @@ def run_custom_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sessions, "append")
+
+
+def _docs_stream_dir(sf_dir: str) -> str:
+    """documents-table variant of _as_stream_dir (symlink, no copy)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    stream_dir = os.path.join(
+        "/tmp",
+        "spark_engine_streams",
+        sf_dir.strip("/").replace("/", "_"),
+        "documents",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return stream_dir
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: file-source stream of the documents table (the arriving-crawl
+    shape the incremental gate ingests)."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return spark.readStream.schema(schema).parquet(_docs_stream_dir(sf_dir))
+
+
+def run_incremental_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 + L2: the ingest-time near-dup gate as a REAL streaming query
+    — the declared ``dedup_incremental_gate`` plan with the batch side
+    swapped for a file stream. Projection-only MinHash on the stream
+    (array HOFs — a stream cannot chain an aggregation before a join),
+    two stream-static band equi-joins against the standing corpus index
+    (pair-exact union), exact-Jaccard verify as a projection, and the
+    single per-doc verdict aggregation under a complete-mode memory
+    sink. tests/test_streaming.py asserts the output equals the
+    declared batch query row for row."""
+    from pyspark.sql import functions as SF
+
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        _gate_sig_cols,
+        _raw_tokens_expr,
+        _shingles_expr,
+        gate_score,
+        gate_static_index,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    d = load(spark, sf_dir, "documents")
+    index = gate_static_index(d.filter(SF.col("doc_id") % 4 != 0))
+    # the standing index is static state: materialize it once (in
+    # production it is AT REST on disk, bucketed by band hash) so each
+    # micro-batch joins a settled frame instead of replanning the
+    # corpus-side window cap per trigger
+    index = index.localCheckpoint(eager=True)
+    stream = (
+        documents_stream(spark, sf_dir)
+        .filter(SF.col("doc_id") % 4 == 0)
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(SF.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr().alias("shingles"))
+    )
+    return _run_to_memory(gate_score(_gate_sig_cols(stream), index))

@@ -397,3 +397,24 @@ def test_custom_sessionize_stream_matches_batch_closed_sessions(spark, sf_dir):
     last = batch_pdf.groupby("user_id")["session_idx"].transform("max")
     closed = batch_pdf[batch_pdf["session_idx"] < last].reset_index(drop=True)
     assert_frames_match(stream_pdf, closed, "custom_sessionize_closed")
+
+
+def test_incremental_gate_stream_matches_declared_query(spark, sf_dir):
+    """The streaming ingest gate (stream-static band joins + one
+    complete-mode aggregation) must equal the declared
+    dedup_incremental_gate batch query row for row — the §2.10 twin
+    discipline applied to the L2 ingest pass."""
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.streaming.jobs import (
+        run_incremental_gate_stream,
+    )
+
+    got = {
+        tuple(r)
+        for r in run_incremental_gate_stream(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in all_queries()["dedup_incremental_gate"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
