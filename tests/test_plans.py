@@ -871,3 +871,34 @@ def test_rrf_fuses_pool_sized_tables(spark, sf_dir):
     assert rep["sortmerge_joins"] == 1, rep["plan"]  # the pool fusion only
     assert rep["python_workers"] == 0
     assert rep["plan"].count("WindowGroupLimit") >= 6, rep["plan"]
+
+
+def test_incremental_gate_is_streaming_shaped(spark, sf_dir):
+    """The streamable gate's whole point: both band joins broadcast the
+    batch-sized side (never sort-merge — a stream cannot sort), no
+    cartesian, and the single aggregation combines map-side."""
+    q = all_queries()["dedup_incremental_gate"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 2, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+    assert rep["cartesian"] == 0
+    assert rep["partial_agg"], rep["plan"]
+
+
+def test_decontaminate_library_broadcasts_eval_grams(spark, sf_dir):
+    """The library router must keep the registered query's shape: the
+    eval gram set broadcasts; the train gram stream never sorts."""
+    q = all_queries()["data_decontaminate_library"]
+    rep = audit(q.fn(spark, sf_dir))
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
+    assert rep["sortmerge_joins"] == 0, rep["plan"]
+
+
+def test_ann_library_routers_broadcast_query_side(spark, sf_dir):
+    """ann_topk at both library bandings keeps the corpus shuffle-free:
+    the query side broadcasts into the bucket/cell join and the rerank;
+    no sort-merge join anywhere."""
+    for name in ("sim_ann_library_lsh", "sim_ann_library_srp"):
+        rep = audit(all_queries()[name].fn(spark, sf_dir))
+        assert rep["broadcast_joins"] >= 1, (name, rep["plan"])
+        assert rep["sortmerge_joins"] == 0, (name, rep["plan"])
