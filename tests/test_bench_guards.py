@@ -213,3 +213,16 @@ def test_parse_scaling_reference_stops_at_first_table(tmp_path):
     )
     ref = bench.parse_scaling_reference(str(p))
     assert ref == {"q1": 1.5}, ref
+
+
+def test_parse_scaling_provenance_cell_based_line(tmp_path):
+    """r11: the provenance line now leads with the cell-vs-post drift
+    (the standalone pre-probe is informational) — the parser must pick
+    the REAL drift, not be confused by the extra prose."""
+    p = tmp_path / "SCALING.md"
+    p.write_text(
+        "# t\n\nCanary: table cell 0.178 s, post 0.175 s, drift -1.7% — "
+        "guard-clean (trigger 10%; standalone pre-probe 0.227 s, "
+        "informational).\n"
+    )
+    assert abs(bench.parse_scaling_provenance(str(p)) - (-0.017)) < 1e-12

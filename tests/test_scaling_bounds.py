@@ -199,3 +199,58 @@ def test_substring_spans_coverage_bound(spark, sf_dir):
         assert r.n_tokens == n_tok[r.doc_id], r
         total_covered += r.dup_tokens
     assert total_covered <= sum(n_tok.values())
+
+
+def test_ngram_stage_pair_budget(spark, sf_dir):
+    """r11 SCALING entrant ml_ngram_stage_twin (2.62x under 10x data):
+    linear pipeline — total bigram occurrences (pre-df-cut) are EXACTLY
+    sum over docs of max(len_filtered - 1, 0), recomputed in pure
+    Python, and the declared (df >= 2) output's count mass can never
+    exceed that budget. Any future change introducing real pair
+    amplification trips this instead of drifting in SCALING.md."""
+    import re as _re
+
+    from pyspark_for_ebook_classification_spark.ml.queries import _EN_STOPWORDS
+
+    texts = [
+        r.text for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    stop = set(_EN_STOPWORDS)
+    budget = 0
+    from collections import Counter as _C
+
+    py_counts: _C = _C()
+    for t in texts:
+        f = [w for w in _re.split(r"\W+", t.lower()) if w and w not in stop]
+        budget += max(len(f) - 1, 0)
+        for i in range(len(f) - 1):
+            py_counts[f[i] + " " + f[i + 1]] += 1
+    assert sum(py_counts.values()) == budget  # identity of the recount
+
+    out = QUERIES["ml_ngram_stage_twin"].fn(spark, sf_dir).collect()
+    total_cut = sum(r.cnt for r in out)
+    assert total_cut <= budget, (total_cut, budget)
+    # and the df>=2 output is exactly the pure-Python table's cut
+    py_df: _C = _C()
+    for t in texts:
+        f = [w for w in _re.split(r"\W+", t.lower()) if w and w not in stop]
+        for b in set(f[i] + " " + f[i + 1] for i in range(len(f) - 1)):
+            py_df[b] += 1
+    expect = {b for b, d in py_df.items() if d >= 2}
+    assert {r.bigram for r in out} == expect
+
+
+def test_cv_grid_output_is_grid_bounded(spark, sf_dir):
+    """r11 SCALING entrant ml_cv_grid_relational_twin (2.52x): the
+    output is one row per grid point, each doc is tested exactly once
+    per alpha (n_test identical across alphas and <= corpus size), and
+    exactly one winner is flagged — the structural bounds that make the
+    3x(k-1) token expansion a constant factor, not amplification."""
+    out = QUERIES["ml_cv_grid_relational_twin"].fn(spark, sf_dir).collect()
+    assert len(out) == 3  # |grid| = 3 alphas
+    n_docs = load(spark, sf_dir, "documents").count()
+    tests = {r.n_test for r in out}
+    assert len(tests) == 1 and max(tests) <= n_docs
+    assert sum(1 for r in out if r.is_best) == 1
+    for r in out:
+        assert 0 <= r.n_correct <= r.n_test
