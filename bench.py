@@ -178,6 +178,8 @@ EXTRA = [
     # r11: the streamable ingest near-dup gate (static-side cap,
     # projection-only minhash, one aggregation — the streaming twin's plan)
     "dedup_incremental_gate",
+    # r11: the production per-doc language-ID entry at vocab_k=12
+    "text_lang_id_library",
 ]
 
 

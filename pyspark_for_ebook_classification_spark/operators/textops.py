@@ -3095,3 +3095,131 @@ def text_bpe_library_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_symbols",
         F.concat_ws(" ", "symbols").alias("encoded"),
     )
+
+
+#: text_lang_id_library vocabulary size — NOT the registered confusion
+#: matrix's 20: at k=12 the per-language vocabularies drop their tail
+#: tokens, so votes (and some argmaxes) move and the oracle proves the
+#: vocab_k dial reaches the trainer.
+_LIB_LANGID_K = 12
+
+
+@query(
+    "text_lang_id_library",
+    survey_ref="L4,L6,W4",
+    doc="The production lang_id entry under the hash gate at the "
+    "non-default vocab_k=12: per-doc predicted language + vote count "
+    "from top-k per-language token vocabularies.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+                       AS token
+            FROM documents
+        ),
+        lang_vocab AS (
+            SELECT lang, token
+            FROM (
+                SELECT lang, token, COUNT(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY COUNT(*) DESC, token
+                       ) AS rn
+                FROM tok
+                GROUP BY lang, token
+            )
+            WHERE rn <= {_LIB_LANGID_K}
+        ),
+        overlap AS (
+            SELECT t.doc_id, v.lang AS cand_lang, COUNT(*) AS hits
+            FROM tok t JOIN lang_vocab v ON t.token = v.token
+            GROUP BY t.doc_id, v.lang
+        )
+        SELECT doc_id, cand_lang AS pred_lang, CAST(hits AS BIGINT) AS hits
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hits DESC, cand_lang
+            ) AS rn
+            FROM overlap
+        )
+        WHERE rn = 1
+    """,
+)
+def text_lang_id_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ``lang_id`` path itself under the driver's hash
+    gate (the r11 library-router pattern): the corpus trains per-language
+    top-{_LIB_LANGID_K} token vocabularies (vs the registered confusion
+    matrix's 20 — the tail tokens drop, so votes move and the oracle
+    proves ``vocab_k`` reaches the trainer) and every doc is classified
+    to the language whose vocabulary it overlaps most — the per-DOC form
+    a curation pipeline consumes (route to per-language processing, drop
+    unidentifiable docs), where the registered query emits the
+    model-evaluation confusion grid.
+
+    Scale shape — lang_id's: the vocabulary is (languages × k) rows at
+    any corpus size → BROADCAST; classification is one map-side join
+    over the distinct-token stream + a (doc, lang)-keyed partial agg +
+    one per-doc argmax window."""
+    d = load(spark, sf_dir, "documents")
+    return lang_id(d, d, vocab_k=_LIB_LANGID_K)
+
+
+def lang_id(
+    docs: DataFrame,
+    labeled: DataFrame,
+    *,
+    vocab_k: int = 20,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRODUCTION heuristic language identification over ANY frame pair:
+    train per-language top-``vocab_k`` distinct-token vocabularies from
+    ``labeled`` (id, label, text), then classify every ``docs`` row to
+    the language whose vocabulary it shares the most distinct tokens
+    with (ties → lexicographically first language). Returns one row per
+    classifiable doc: (id_col, pred_{label_col}, hits). Docs sharing NO
+    vocabulary token emit no row — they are unidentifiable under this
+    model (the NB out-of-vocab convention).
+
+    At (vocab_k=20, corpus self-train) the per-doc argmax aggregates to
+    exactly the registered ``text_lang_id_ngram`` confusion matrix
+    (pinned by tests/test_r11_library.py); the declared
+    ``text_lang_id_library`` runs this code path at vocab_k=12 under
+    the driver's hash gate.
+
+    Scale shape: the model is (languages × vocab_k) rows at any corpus
+    size → BROADCAST; scoring is one map-side join over the distinct-
+    token stream, one (doc, lang)-keyed partial agg, one per-doc argmax
+    window. No corpus self-join."""
+    if vocab_k < 1:
+        raise ValueError(f"lang_id: need vocab_k >= 1, got {vocab_k}")
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    )
+    tr = labeled.select(
+        F.col(label_col).alias("lang"), F.explode(toks).alias("token")
+    )
+    w_vocab = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (
+        tr.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_vocab))
+        .filter(F.col("rn") <= vocab_k)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    dt = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    overlap = (
+        dt.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    return (
+        overlap.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("cand_lang").alias(f"pred_{label_col}"),
+            "hits",
+        )
+    )

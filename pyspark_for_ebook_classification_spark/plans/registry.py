@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     # the r1/r2-verified core, now 9-10 rounds stale, resurfaces for
     # re-attestation against today's code per the r10 verdict note).
     # ========== (tier: r11 additions — never verified — lead per policy)
+    "text_lang_id_library",
     "dedup_incremental_gate",
     "data_decontaminate_library",
     "data_tokenize_pack_pipeline",

@@ -119,3 +119,48 @@ def test_tokenize_pack_validation(spark):
     d = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         tokenize_pack(d, seq_len=0)
+
+
+def test_lang_id_default_aggregates_to_registered_confusion(spark, sf_dir):
+    """lang_id at vocab_k=20 (the registered default), self-trained on
+    the corpus, must aggregate per (true, pred) to exactly the
+    text_lang_id_ngram confusion matrix."""
+    from collections import Counter
+
+    from pyspark_for_ebook_classification_spark.operators.textops import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    preds = {r.doc_id: r.pred_lang for r in lang_id(d, d).collect()}
+    truth = {r.doc_id: r.lang for r in d.select("doc_id", "lang").collect()}
+    got = Counter((truth[i], p) for i, p in preds.items())
+    want = {
+        (r.true_lang, r.pred_lang): r.n_docs
+        for r in QUERIES["text_lang_id_ngram"].fn(spark, sf_dir).collect()
+    }
+    assert dict(got) == want and sum(want.values()) > 0
+
+
+def test_lang_id_planted_and_validation(spark):
+    """A doc made of language-A vocabulary classifies to A; a doc with
+    no vocabulary token emits no row; vocab_k must be >= 1."""
+    import pytest as _pytest
+
+    from pyspark_for_ebook_classification_spark.operators.textops import lang_id
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "aa", "alpha beta gamma delta"),
+            (2, "bb", "uno dos tres cuatro"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "beta gamma"), (11, "dos uno uno"), (12, "zzz qqq")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lang_id(docs, labeled, vocab_k=4).collect()}
+    assert out[10].pred_lang == "aa" and out[10].hits == 2
+    assert out[11].pred_lang == "bb" and out[11].hits == 2  # distinct tokens
+    assert 12 not in out
+    with _pytest.raises(ValueError):
+        lang_id(docs, labeled, vocab_k=0)
