@@ -83,23 +83,12 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r11 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r10) — 315/315 verified,
-    # 0 FAILs ever outstanding; pure freshness rotation: the 12 standing
-    # high-risk families first, then oldest-verdict-first round-robin —
-    # the r1/r2-verified core, now 9-10 rounds stale, resurfaces for
-    # re-attestation against today's code per the r10 verdict note).
-    # ========== (tier: r11 additions — never verified — lead per policy)
-    "text_lang_id_library",
-    "dedup_incremental_gate",
-    "data_decontaminate_library",
-    "data_tokenize_pack_pipeline",
-    "data_curation_incremental",
-    "text_bpe_library_apply",
-    "sim_ann_library_lsh",
-    "sim_ann_library_srp",
-    "dedup_semdedup_library",
-    "ml_nb_library_classify",
+    # ========== r12 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r11) — 325/325 verified,
+    # 0 never-verified, 0 FAILs outstanding; pure freshness rotation:
+    # the 12 standing high-risk families first, then oldest-verdict-first
+    # round-robin — the r3-r5-era verdicts resurface for re-attestation
+    # against today's code per the r11 verdict note).
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -114,34 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "data_curriculum_order",
     "data_shuffle_deterministic",
     # ========== (tier: oldest-verdict-first freshness round-robin)
-    "data_mix_weighted_sources",
-    "data_pack_sequences",
-    "data_quality_quantile_filter",
-    "multimodal_row_transport",
-    "multimodal_decode_stub",
-    "stream_tumbling_hourly_twin",
-    "stream_sliding_quarter_twin",
-    "stream_session_window_twin",
-    "stream_dedup_twin",
-    "stream_stateful_runmax_twin",
-    "stream_static_join_twin",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "scan_partitioned_pruned_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_python_datasource",
-    "scan_xml_roundtrip",
-    "join_asof_forward_next_error",
-    "join_null_safe_eq",
-    "fn_map_suite",
-    "fn_null_suite",
-    "fn_posexplode_positions",
-    "fn_struct_suite",
-    "fn_variant_suite",
-    "fn_try_suite",
-    "fn_higher_order_suite",
-    "fn_xml_parse_suite",
-    "fn_explode_outer_preserves_rows",
     "fn_string_suite2",
     "sql_volume_shipping_q7",
     "sql_market_share_q8",
@@ -152,6 +113,34 @@ _PRIORITY: tuple[str, ...] = (
     "sql_min_cost_supplier_q2",
     "sql_product_profit_q9",
     "sql_important_stock_q11",
+    "sql_ship_priority_split_q12",
+    "sql_parts_supplier_cnt_q16",
+    "sql_excess_stock_suppliers_q20",
+    "sql_waiting_suppliers_q21",
+    "agg_robust_median_mad",
+    "agg_geometric_mean_log",
+    "udf_arrow_map_batches",
+    "udf_cogrouped_merge_asof",
+    "udtf_polymorphic_first_tokens",
+    "udf_arrow_grouped_summary",
+    "udtf_table_arg_longest_doc",
+    "dedup_chunk_global",
+    "dedup_cluster_keep_best",
+    "sim_quantize_int8",
+    "sim_label_centroids",
+    "sim_ann_ivf_label_cells",
+    "text_keyword_topk",
+    "text_bpe_pair_stats",
+    "text_inverted_index",
+    "text_bigram_lm_score",
+    "multimodal_frame_sample",
+    "stream_stream_join_twin",
+    "stream_chained_window_twin",
+    "scan_python_ds_pushdown",
+    "join_asof_nearest_click",
+    "agg_skew_kurtosis",
+    "agg_filter_clause_suite",
+    "window_rolling_median",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -219,13 +208,20 @@ _PRIORITY: tuple[str, ...] = (
 #       round-trip, winnow-search floor, BM25/MMR library routers, the
 #       composed curation pipeline) led and went green on first driver
 #       contact; then high-risk 12, then oldest-first freshness.
-#   r11 (this file's front block): ALL 315 names now carry a verdict and
+#   r11 (prior front block): ALL 315 names now carry a verdict and
 #       the r10 additions re-attested in r10 itself, so this is the first
 #       PURE freshness block with no debt tier: high-risk 12, then the
 #       r2/r3-verified streaming/scan/fn/TPC-H core (verdicts 8-9 rounds
 #       old). r11 query additions will be re-pasted to the front per
 #       policy tier (1) when they land. Derived against union(r01..r10);
 #       pinned by the rotation-equality test.
+#   r12 (this file's front block): the 10 r11 additions all went green on
+#       first driver contact in r11 (325/325 covered, 0 never-verified),
+#       so this is again a PURE freshness block: high-risk 12, then the
+#       oldest-verdict-first round-robin (the r3-r5-era TPC-H/fn/udf/
+#       stream/sim/text core, verdicts 7-9 rounds old, resurfaces).
+#       Derived against union(r01..r11); pinned by the rotation-equality
+#       test.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation

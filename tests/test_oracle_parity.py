@@ -116,6 +116,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
 
