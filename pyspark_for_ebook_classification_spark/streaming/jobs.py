@@ -43,6 +43,9 @@ def _as_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
+    # Same dangling-link repair as _docs_stream_dir (r11 ADVICE).
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
     if not os.path.exists(link):
         os.symlink(src, link)
     return stream_dir
@@ -404,6 +407,11 @@ def _docs_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "documents.parquet")
+    # r11 ADVICE: a regenerated testdata tree leaves a dangling (or
+    # stale) link behind — re-point it instead of failing every later
+    # streaming-gate run until /tmp is cleaned by hand.
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
     if not os.path.exists(link):
         os.symlink(src, link)
     return stream_dir

@@ -80,15 +80,16 @@ def main() -> int:
             fails.append(name)
             print(f"{name}: FAIL — {e}")
             traceback.print_exc(limit=3)
-    if only is not None:
+    missing = sorted(only - set(qs)) if only is not None else []
+    if fails:
+        # r11 ADVICE: the machine-readable FAIL summary prints even when
+        # the subset also contained unknown names.
+        print(f"RESULT: {len(fails)} FAIL — {fails}")
+    if missing:
         # r10 ADVICE: a typo in the subset list must not produce a
         # vacuous ALL OK — every requested name has to exist.
-        missing = sorted(only - set(qs))
-        if missing:
-            print(f"RESULT: UNKNOWN QUERY NAMES — {missing}")
-            return 1
-    if fails:
-        print(f"RESULT: {len(fails)} FAIL — {fails}")
+        print(f"RESULT: UNKNOWN QUERY NAMES — {missing}")
+    if fails or missing:
         return 1
     print("RESULT: ALL OK")
     return 0

@@ -100,3 +100,21 @@ def test_incremental_empty_corpus_reduces_to_batch_dedup(spark):
     assert out[1].final_admit is True
     assert out[2].exact_admit is False  # exact dup of 1, keep-first
     assert out[3].final_admit is True
+
+
+def test_incremental_validate_disjoint_rejects_overlap(spark):
+    """ADVICE r11: overlapping batch/corpus ids must fail loudly under
+    the validate flag instead of silently mislabeling the corpus row."""
+    corpus = spark.createDataFrame([(7, _BASE)], "doc_id bigint, text string")
+    batch = spark.createDataFrame(
+        [(7, _FRESH), (9, _PAIR_A)], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        curate_incremental(batch, corpus, validate_disjoint=True)
+    # disjoint ids pass the guard untouched
+    ok = curate_incremental(
+        spark.createDataFrame([(9, _FRESH)], "doc_id bigint, text string"),
+        corpus,
+        validate_disjoint=True,
+    ).collect()
+    assert len(ok) == 1 and ok[0].final_admit is True
