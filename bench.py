@@ -180,6 +180,15 @@ EXTRA = [
     "dedup_incremental_gate",
     # r11: the production per-doc language-ID entry at vocab_k=12
     "text_lang_id_library",
+    # r12 additions: the last five pytest-only library entries routed
+    # through the hash gate at non-default dials (gopher thresholds,
+    # bpe rounds=9, tfidf minDF=4/top2, rrf k=10/top7, kcore-to-fixpoint
+    # on the 19-round nation path+clique graph)
+    "text_gopher_library_gate",
+    "text_bpe_library_train",
+    "ml_tfidf_library_features",
+    "sim_rrf_library_fuse",
+    "graph_kcore_library_converged",
 ]
 
 

@@ -669,7 +669,11 @@ _EN_STOPWORDS = (
 
 _SW_IN = ", ".join("'" + w.replace("'", "''") + "'" for w in _EN_STOPWORDS)
 
-_TFIDF_TWIN_SQL = f"""
+def _tfidf_twin_sql(min_df: int = 2, top_k: int = 3) -> str:
+    """Parameterized oracle for the M1->M5 featurizer — the registered
+    twin fixes (min_df=2, top_k=3); the r12 library router moves both
+    dials, sharing this builder so the two SQL forms cannot drift."""
+    return f"""
     WITH tok AS (
         SELECT doc_id, term FROM (
             SELECT doc_id,
@@ -688,7 +692,7 @@ _TFIDF_TWIN_SQL = f"""
                    AS idf
         FROM tok, n
         GROUP BY term, n.n_docs
-        HAVING COUNT(DISTINCT doc_id) >= 2
+        HAVING COUNT(DISTINCT doc_id) >= {min_df}
     ),
     tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
@@ -702,8 +706,11 @@ _TFIDF_TWIN_SQL = f"""
                ) AS feat_rank
         FROM tf JOIN idf i ON i.term = tf.term
     )
-    WHERE feat_rank <= 3
+    WHERE feat_rank <= {top_k}
 """
+
+
+_TFIDF_TWIN_SQL = _tfidf_twin_sql()
 
 
 @query(
@@ -1347,3 +1354,24 @@ def ml_nb_library_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("bucket") < _NB_CUT)
     test = docs.filter(F.col("bucket") >= _NB_CUT)
     return nb_classify(train, test, alpha=_LIB_NB_ALPHA)
+
+
+@query(
+    "ml_tfidf_library_features",
+    survey_ref="M1,M2,M4,M5,M8,L6",
+    doc="The production tfidf_pipeline_features library entry routed "
+    "through the hash gate at min_df=4 / top_k=2 (the registered twin "
+    "fixes 2/3) — the oracle checks both dials reach the plan.",
+    oracle=_tfidf_twin_sql(min_df=4, top_k=2),
+)
+def ml_tfidf_library_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE ``tfidf_pipeline_features`` call at never-registered dials
+    (r11 verdict task 4): the registered ``ml_tfidf_pipeline_twin``
+    fixes the MLlib-bridged min_df=2 / top-3 workload; THIS query moves
+    BOTH parameters (a stricter df>=4 vocabulary cut and a top-2
+    feature budget), sharing ``_tfidf_twin_sql`` with the twin so the
+    SQL forms cannot drift. Same plan shape: token-keyed partial aggs
+    build the idf table, which BROADCASTS to the tf stream; top-k is a
+    doc-keyed WindowGroupLimit."""
+    d = load(spark, sf_dir, "documents")
+    return tfidf_pipeline_features(d, min_df=4, top_k=2)

@@ -687,3 +687,117 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("jaccard"),
         )
     )
+
+
+# ------------- r12: kcore_converged library router under the hash gate
+
+#: measured h-index fixpoint depth of the nation path+clique graph below
+#: (pure-Python iteration in tests/test_r12_library.py re-derives it):
+#: 19 changing rounds, then one confirming round — kcore_converged runs
+#: 20, the 8-round declared unroll would stop at the WRONG values.
+_KC_CONV_DEPTH = 19
+
+
+def _kcore_conv_oracle(depth: int = _KC_CONV_DEPTH) -> str:
+    """Unrolled h-index oracle over the nation path+clique graph — the
+    same windowed round SQL as _kcore_oracle, unrolled to the graph's
+    MEASURED fixpoint depth instead of the registered 8 (r11 verdict
+    task 4: the convergence loop itself under the hash gate)."""
+    ctes = [
+        """nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        und AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT x.k AS a, y.k AS b FROM nat x JOIN nat y ON y.k = x.k + 1
+                UNION ALL
+                SELECT x.k AS a, y.k AS b FROM nat x JOIN nat y
+                    ON x.k >= 20 AND y.k > x.k
+            )
+        ),
+        bidir AS MATERIALIZED (
+            SELECT a AS node, b AS other FROM und
+            UNION ALL
+            SELECT b AS node, a AS other FROM und
+        ),
+        deg AS (SELECT node, COUNT(*) AS d FROM bidir GROUP BY node),
+        c0 AS (SELECT node, CAST(d AS BIGINT) AS c FROM deg)"""
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"""
+        c{k} AS (
+            SELECT d.node,
+                   COALESCE(MAX(LEAST(x.c, x.r)), 0) AS c
+            FROM deg d
+            LEFT JOIN (
+                SELECT b.node, p.c,
+                       row_number() OVER (
+                           PARTITION BY b.node ORDER BY p.c DESC, b.other
+                       ) AS r
+                FROM bidir b JOIN c{k - 1} p ON p.node = b.other
+            ) x ON x.node = d.node
+            GROUP BY d.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"\n        SELECT node, CAST(c AS BIGINT) AS coreness FROM c{depth}"
+    )
+
+
+@query(
+    "graph_kcore_library_converged",
+    survey_ref="L9,J1,A1",
+    doc="The production kcore_converged library entry routed through "
+    "the hash gate on a 19-round-deep graph (nation-key path + K5 tail "
+    "clique) where the registered 8-round unroll would return WRONG "
+    "values — the oracle unrolls to the measured fixpoint depth.",
+    oracle=_kcore_conv_oracle(),
+)
+def graph_kcore_library_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE ``kcore_converged`` call on a graph engineered to need the
+    convergence loop (r11 verdict task 4): the declared
+    ``graph_kcore_hindex`` fixes 8 h-index rounds, golden-proven
+    sufficient on the supplier backbone — but the h-index sequence
+    needs O(path-length) rounds on path-like topology, which is exactly
+    what the fixed unroll cannot know. THIS query builds, from the
+    nation table (fixed 25 keys at every SF), the 0..24 key PATH plus a
+    K5 clique on keys >= 20: true coreness is 4 inside the clique and 1
+    along the path, and the h-index takes 19 CHANGING rounds to drain
+    the path (pure-Python re-derivation pinned in
+    tests/test_r12_library.py) — stopping at round 8 leaves 11 nodes at
+    the wrong value. ``kcore_converged`` detects the fixpoint with its
+    per-round changed-count scalar; the oracle unrolls the identical
+    windowed round SQL to the measured depth, so the driver's hash gate
+    attests that the CONVERGENCE control flow, not a lucky round count,
+    produced the values.
+
+    Scale shape — kcore_converged's own: per round one hash join + one
+    hash aggregate + one scalar count; state is one bigint per node.
+    The graph here is deliberately tiny (50 edges) because the query's
+    subject is the loop's control flow; the corpus-sized k-core
+    workload is the registered headline query."""
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k")
+    )
+    path = (
+        n.alias("x")
+        .join(n.alias("y"), F.col("y.k") == F.col("x.k") + 1)
+        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+    )
+    cl = n.filter(F.col("k") >= 20)
+    clique = (
+        cl.alias("x")
+        .join(cl.alias("y"), F.col("y.k") > F.col("x.k"))
+        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+    )
+    und = path.unionByName(clique).distinct()
+    bidir = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.other")
+    return kcore_converged(bidir)

@@ -2258,11 +2258,14 @@ from pyspark_for_ebook_classification_spark.operators.textops import (  # noqa: 
 )
 
 
-#: the lexical-pool → vector-pool → RRF-fusion CTE chain, shared verbatim
-#: by sim_rrf_hybrid_fusion's oracle and the full serving-stack
-#: composition's (sim_retrieval_stack_topk) — one source of truth for the
-#: fusion SQL, same reuse discipline as BM25_CTES itself.
-_RRF_FUSED_CTES = f"""
+def _rrf_fused_ctes(k: int = RRF_K) -> str:
+    """The lexical-pool → vector-pool → RRF-fusion CTE chain, shared
+    verbatim by sim_rrf_hybrid_fusion's oracle, the full serving-stack
+    composition's (sim_retrieval_stack_topk), and the r12 rrf_fuse
+    library router (which moves ``k`` off the Cormack constant) — one
+    source of truth for the fusion SQL, same reuse discipline as
+    BM25_CTES itself."""
+    return f"""
         lex AS (
             SELECT query_id, neighbor_id, rn AS r_lex
             FROM (
@@ -2293,13 +2296,16 @@ _RRF_FUSED_CTES = f"""
             SELECT COALESCE(l.query_id, v.query_id) AS query_id,
                    COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
                    l.r_lex, v.r_vec,
-                   COALESCE({_RRF_SCALE} // ({RRF_K} + l.r_lex), 0)
-                   + COALESCE({_RRF_SCALE} // ({RRF_K} + v.r_vec), 0) AS rrf
+                   COALESCE({_RRF_SCALE} // ({k} + l.r_lex), 0)
+                   + COALESCE({_RRF_SCALE} // ({k} + v.r_vec), 0) AS rrf
             FROM lex l
             FULL JOIN vec v
               ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id
         )
 """
+
+
+_RRF_FUSED_CTES = _rrf_fused_ctes()
 
 
 @query(
@@ -2367,24 +2373,39 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark twin of _RRF_FUSED_CTES, shared by sim_rrf_hybrid_fusion
     (top-5 window over it) and sim_retrieval_stack_topk (top-10 pool →
     MMR diversification)."""
-    w_lex = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    lex = (
+    lex = _lex_ranked(spark, sf_dir).withColumnRenamed("rank", "r_lex")
+    vec = _vec_ranked(spark, sf_dir).withColumnRenamed("rank", "r_vec")
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_lex)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_vec)"), F.lit(0))
+    return lex.join(vec, ["query_id", "neighbor_id"], "full").withColumn("rrf", rrf)
+
+
+def _lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rank) — the BM25 lexical modality's
+    RRF_POOL-deep rank list (rank 1 = best), the _RRF_FUSED_CTES ``lex``
+    CTE's Spark twin; shared by _rrf_fused and the r12 rrf_fuse router."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
         bm25_scored(spark, sf_dir)
-        .withColumn("r_lex", F.row_number().over(w_lex))
-        .filter(F.col("r_lex") <= RRF_POOL)
-        .select("query_id", "neighbor_id", "r_lex")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "rank")
     )
 
+
+def _vec_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rank) — the exact-cosine vector
+    modality's RRF_POOL-deep rank list, the ``vec`` CTE's Spark twin;
+    shared by _rrf_fused and the r12 rrf_fuse router."""
     e = _normed(spark, sf_dir)
     vq = e.filter(F.col("vec_id") % BM25_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
     )
-    w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    vec = (
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
         e.crossJoin(F.broadcast(vq))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -2392,15 +2413,10 @@ def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             (spark_dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("cos"),
         )
-        .withColumn("r_vec", F.row_number().over(w_vec))
-        .filter(F.col("r_vec") <= RRF_POOL)
-        .select("query_id", "neighbor_id", "r_vec")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", "rank")
     )
-
-    rrf = F.coalesce(
-        F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_lex)"), F.lit(0)
-    ) + F.coalesce(F.expr(f"{_RRF_SCALE} div ({RRF_K} + r_vec)"), F.lit(0))
-    return lex.join(vec, ["query_id", "neighbor_id"], "full").withColumn("rrf", rrf)
 
 
 def rrf_fuse(
@@ -3411,3 +3427,51 @@ def dedup_semdedup_library(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_cell=_LIB_SEM_TARGET,
         plane_offset=_LIB_SEM_OFFSET,
     )
+
+
+# ------------------- r12: rrf_fuse library router under the hash gate
+
+_LIB_RRF_K = 10  # k moved off the Cormack/Clarke/Buettcher 60
+_LIB_RRF_TOP = 7  # truncation moved off the registered top-5
+
+
+@query(
+    "sim_rrf_library_fuse",
+    survey_ref="L3,L4,J2,W4",
+    doc="The production rrf_fuse library entry routed through the hash "
+    "gate at k=10 / top=7 over genuine per-modality rank frames (the "
+    "registered fusion fixes the Cormack k=60 and top-5) — the oracle "
+    "checks the k and truncation parameters reach the plan.",
+    oracle=f"""
+        WITH {BM25_CTES},
+        {_rrf_fused_ctes(_LIB_RRF_K)}
+        SELECT query_id, neighbor_id,
+               CAST(rrf AS BIGINT) AS rrf_score,
+               rn AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf DESC, neighbor_id ASC
+            ) AS rn
+            FROM fused
+        )
+        WHERE rn <= {_LIB_RRF_TOP}
+    """,
+)
+def sim_rrf_library_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE ``rrf_fuse`` call at never-registered dials (r11 verdict
+    task 4): the registered ``sim_rrf_hybrid_fusion`` computes the
+    fusion inline at the Cormack k=60 / top-5; THIS query hands the
+    SAME two modality rank lists (BM25 lexical + exact-cosine vector,
+    via the shared ``_lex_ranked``/``_vec_ranked`` builders) to the
+    production list-of-rankings entry point with k=10 and top=7 — a
+    smaller k reweights deep ranks hard enough to reorder fusions, so
+    a k that silently failed to reach the reciprocal would hash-diverge
+    immediately. The oracle shares ``_rrf_fused_ctes`` with the
+    registered query (parameterized over k, r12).
+
+    Scale shape — rrf_fuse's own: per-ranking min-rank dedup over the
+    already RRF_POOL-truncated lists, one (query, item)-keyed partial
+    agg, one per-query window; fusion cost independent of corpus size."""
+    lex = _lex_ranked(spark, sf_dir)
+    vec = _vec_ranked(spark, sf_dir)
+    return rrf_fuse([lex, vec], k=_LIB_RRF_K, top=_LIB_RRF_TOP)

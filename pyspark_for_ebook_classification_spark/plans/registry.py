@@ -84,11 +84,17 @@ _LOADED = False
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
     # ========== r12 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r11) — 325/325 verified,
-    # 0 never-verified, 0 FAILs outstanding; pure freshness rotation:
-    # the 12 standing high-risk families first, then oldest-verdict-first
-    # round-robin — the r3-r5-era verdicts resurface for re-attestation
-    # against today's code per the r11 verdict note).
+    # output against union(CORRECTNESS_r01..r11) — 325/325 pre-existing
+    # names verified, 0 FAILs outstanding: the 5 r12 library routers
+    # (never verified by construction) lead per policy, then the 12
+    # standing high-risk families, then oldest-verdict-first round-robin
+    # — the r3-r5-era verdicts resurface for re-attestation).
+    # ========== (tier: r12 additions — never verified — lead per policy)
+    "text_gopher_library_gate",
+    "text_bpe_library_train",
+    "sim_rrf_library_fuse",
+    "graph_kcore_library_converged",
+    "ml_tfidf_library_features",
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",
