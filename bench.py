@@ -64,6 +64,16 @@ HEADLINE = [
     # totals stay comparable via sum(queries) minus later additions;
     # per-query timings compare directly.
     "sim_retrieval_stack_topk",
+    # r12 additions (r11 verdict item 6): the heaviest r11 queries —
+    # the ingest-time curation funnel, the tokenizer-aware packing
+    # pipeline, the fixed-merge-table BPE replay, and the streamable
+    # ingest gate (the worst r11 SCALING ratio) — now tracked
+    # round-over-round. Earlier totals stay comparable via sum(queries)
+    # minus later additions; per-query timings compare directly.
+    "data_curation_incremental",
+    "data_tokenize_pack_pipeline",
+    "text_bpe_library_apply",
+    "dedup_incremental_gate",
 ]
 
 #: round-3 additions measured by scripts/scaling_check.py and plan-dumped
@@ -163,21 +173,16 @@ EXTRA = [
     "data_curation_pipeline",
     # r11 additions: the remaining production library entries routed
     # through the hash gate at non-default parameters (ann_topk lsh +
-    # srp_multiprobe, semdedup, nb_classify, bpe_apply)
+    # srp_multiprobe, semdedup, nb_classify)
     "sim_ann_library_lsh",
     "sim_ann_library_srp",
     "dedup_semdedup_library",
     "ml_nb_library_classify",
-    "text_bpe_library_apply",
-    # r11: the ingest-time curation funnel (gate -> exact-vs-corpus ->
-    # near-dup vs corpus ∪ batch) as one curate_incremental library call
-    "data_curation_incremental",
-    # r11: decontaminate at n=5 + the tokenizer-aware packing pipeline
+    # r11: decontaminate at n=5
     "data_decontaminate_library",
-    "data_tokenize_pack_pipeline",
-    # r11: the streamable ingest near-dup gate (static-side cap,
-    # projection-only minhash, one aggregation — the streaming twin's plan)
-    "dedup_incremental_gate",
+    # (text_bpe_library_apply, data_curation_incremental,
+    # data_tokenize_pack_pipeline and dedup_incremental_gate graduated
+    # to HEADLINE in r12)
     # r11: the production per-doc language-ID entry at vocab_k=12
     "text_lang_id_library",
     # r12 additions: the last five pytest-only library entries routed
@@ -192,12 +197,15 @@ EXTRA = [
 ]
 
 
-#: The PREVIOUS round's headline list — BENCH_r09's 21 queries. The
-#: emitted `comparable` block subtotals the intersection with the current
-#: HEADLINE so round-over-round comparison is self-describing (r9 verdict
-#: finding 2: r9's printed 26.96 s total included the new 21st query;
-#: the honest round-over-round number was the identical-20 subset's
-#: 22.81 s, which only BENCHNOTES.md recorded).
+#: The PREVIOUS round's headline list — BENCH_r11's 21 queries (the
+#: headline set was unchanged r9-r11, so this is also r9/r10's list;
+#: the four r12 HEADLINE promotions are EXCLUDED here by construction,
+#: which is the point). The emitted `comparable` block subtotals the
+#: intersection with the current HEADLINE so round-over-round comparison
+#: is self-describing (r9 verdict finding 2: r9's printed 26.96 s total
+#: included the new 21st query; the honest round-over-round number was
+#: the identical-20 subset's 22.81 s, which only BENCHNOTES.md
+#: recorded).
 PREV_ROUND_HEADLINE = [
     "agg_pricing_summary",
     "scan_parquet_checksum",

@@ -189,6 +189,7 @@ def main() -> None:
     from pyspark_for_ebook_classification_spark.sources.io import TABLES, load
 
     split_rows = []
+    split_drift = None
     hot = [(n, a, b, r) for n, a, b, r in rows if r > 2.5]
     if hot:
         scratch = tempfile.mkdtemp(prefix="spark_graft_splitscan_")
@@ -198,16 +199,35 @@ def main() -> None:
                     "overwrite"
                 ).parquet(os.path.join(scratch, f"{t}.parquet"))
             for name, _a, _b, _r in hot:  # untimed warm pass first
-                queries[name].fn(spark, scratch).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                # r11 ADVICE: a future entrant that reads non-parquet
+                # side files from sf_dir would throw here — record it
+                # as not re-timeable instead of killing the whole run.
+                try:
+                    queries[name].fn(spark, scratch).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:  # noqa: BLE001
+                    pass
+            # This section runs OUTSIDE the main canary bracket, at the
+            # tail of a long session — in r11 that tail produced three
+            # sub-1x junk cells that quiet-host min-of-3 controls could
+            # not reproduce (r12). Bracket it with its own canary so a
+            # noisy tail self-labels.
+            split_pre = _run(spark, queries[CANARY].fn, SFS[1])
             for name, _a, b, r in hot:
-                t_split = _run(spark, queries[name].fn, scratch)
+                try:
+                    t_split = _run(spark, queries[name].fn, scratch)
+                except Exception as e:  # noqa: BLE001
+                    print(f"split-scan {name}: not re-timeable ({e})")
+                    split_rows.append((name, r, b, None, None))
+                    continue
                 split_rows.append((name, r, b, t_split, b / t_split))
                 print(
                     f"split-scan {name}: {b:.3f}s -> {t_split:.3f}s "
                     f"({b / t_split:.2f}x faster)"
                 )
+            split_post = _run(spark, queries[CANARY].fn, SFS[1])
+            split_drift = (split_post - split_pre) / max(split_pre, 1e-9)
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
@@ -267,13 +287,39 @@ def main() -> None:
         "single-row-group measurement artifact — the plan parallelizes "
         "the moment the input can split — and retires the entry as a "
         "scale worry (its analytical-ceiling test remains as a cheap "
-        "conservation invariant). Timed OUTSIDE the canary bracket; "
-        "never used as a guard reference.",
+        "conservation invariant). Never used as a guard reference. "
+        "Since r12 this section carries its OWN canary bracket (below): "
+        "it runs at the tail of a long session, and the r11 table's "
+        "three sub-1× cells (multimodal_cdc_chunk_dedup 0.36×, "
+        "dedup_substring_removal 0.47×, window_rolling_corr 0.66×) did "
+        "NOT reproduce under quiet-host min-of-3 controls — r12 measured "
+        "the same three queries on a fresh 32-file copy at 2.03×, 1.12× "
+        "and 1.06× (with 1-file-reshuffled and 32-file-sorted controls "
+        "ruling out input clustering as a factor), so an isolated sub-1× "
+        "cell under a dirty bracket is tail-of-session noise, not a "
+        "fan-in regression.",
+        "",
+        *(
+            [
+                f"Split-twin canary bracket: drift {100 * split_drift:+.1f}% — "
+                + (
+                    "clean."
+                    if abs(split_drift) <= CANARY_DRIFT_TRIGGER
+                    else "NOISY TAIL — distrust sub-1× cells below."
+                )
+            ]
+            if split_drift is not None
+            else []
+        ),
         "",
         "| query | headline ratio | single-group sf0.1 (s) | split-scan sf0.1 (s) | split speedup |",
         "| --- | --- | --- | --- | --- |",
         *[
-            f"| {n} | {r:.2f}× | {b:.3f} | {s:.3f} | {sp:.2f}× |"
+            (
+                f"| {n} | {r:.2f}× | {b:.3f} | {s:.3f} | {sp:.2f}× |"
+                if s is not None
+                else f"| {n} | {r:.2f}× | {b:.3f} | not re-timeable | — |"
+            )
             for n, r, b, s, sp in split_rows
         ],
         *(

@@ -113,13 +113,28 @@ def test_comparable_subtotal_over_fixture():
     assert bench.comparable_subtotal({}, ["a"]) == ([], 0.0)
 
 
-def test_prev_round_headline_is_r09s_21(tmp_path):
-    # the literal list must be BENCH_r09's exact query set
+def test_prev_round_headline_is_r11s_21(tmp_path):
+    # the literal list must be BENCH_r11's exact query set (unchanged
+    # r9-r11; the driver's BENCH_r11.json tail is truncated, so pin
+    # against the same-code builder artifact AND the r9 driver record)
     import json
 
     r09 = json.load(open(os.path.join(ROOT, "BENCH_r09.json")))
+    r11b = json.load(open(os.path.join(ROOT, "BENCH_r11_builder.json")))
+    assert set(bench.PREV_ROUND_HEADLINE) == set(r11b["queries"])
     assert set(bench.PREV_ROUND_HEADLINE) == set(r09["parsed"]["queries"])
     assert len(bench.PREV_ROUND_HEADLINE) == 21
+    # the four r12 promotions are tracked in HEADLINE but excluded from
+    # the comparable block by construction
+    promoted = {
+        "data_curation_incremental",
+        "data_tokenize_pack_pipeline",
+        "text_bpe_library_apply",
+        "dedup_incremental_gate",
+    }
+    assert promoted <= set(bench.HEADLINE)
+    assert not promoted & set(bench.PREV_ROUND_HEADLINE)
+    assert len(bench.HEADLINE) == 25
 
 
 def test_parse_scaling_reference_locates_column_by_header(tmp_path):
