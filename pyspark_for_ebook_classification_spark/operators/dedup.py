@@ -2354,26 +2354,11 @@ def data_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label-propagation loop over the near-dup SUBGRAPH only. Each
     stage's input is the previous stage's survivor set, so work is
     monotonically non-increasing down the funnel."""
-    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
-
-    d = load(spark, sf_dir, "documents")
-    qk = gopher_gate(d).filter("keep").select("doc_id")
-    surv_q = d.join(qk, "doc_id")
-    ek = exact_dedup(surv_q).filter("keep").select("doc_id")
-    surv_e = surv_q.join(ek, "doc_id")
-    nk = neardup_dedup(surv_e).filter("keep").select("doc_id")
-    return (
-        d.select("doc_id")
-        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
-        .join(ek.withColumn("exact_keep", F.lit(True)), "doc_id", "left")
-        .join(nk.withColumn("final_keep", F.lit(True)), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
-            F.coalesce("exact_keep", F.lit(False)).alias("exact_keep"),
-            F.coalesce("final_keep", F.lit(False)).alias("final_keep"),
-        )
-    )
+    # r12: the declared query IS one ``curate`` call (previously the
+    # stages were composed inline here and the wrapper was pinned by
+    # pytest equality only — the last unrouted composition), so the
+    # wrapper's own plumbing sits under the driver's hash gate.
+    return curate(load(spark, sf_dir, "documents"))
 
 
 def curate(

@@ -95,6 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_rrf_library_fuse",
     "graph_kcore_library_converged",
     "ml_tfidf_library_features",
+    # ========== (tier: pinned known-stale — r12 implementation changes:
+    # the index-at-rest near stage and the curate-wrapper routing)
+    "data_curation_incremental",
+    "data_curation_pipeline",
     # ========== (tier: standing high-risk families)
     "dedup_ngram_jaccard",
     "agg_weighted_median",

@@ -63,6 +63,13 @@ PINNED = (
     ("text_ccnet_perplexity_buckets", 9),
     ("text_winnowing_fingerprints", 9),
     ("text_winnowing_overlap_pairs", 9),
+    # r12 implementation changes (policy tier 1 — the standing verdicts
+    # are KNOWN-STALE): the incremental curation near stage went
+    # index-at-rest (oracle rewritten to match) and the batch curation
+    # pipeline now routes through the `curate` wrapper. Satisfied by
+    # any CORRECTNESS_r12+ verdict.
+    ("data_curation_incremental", 12),
+    ("data_curation_pipeline", 12),
 )
 
 #: standing high-risk families for post-closure freshness rotation

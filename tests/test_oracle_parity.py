@@ -249,8 +249,9 @@ def test_pinned_tier_auto_prunes_after_fresh_verdict():
     verdicts = rp.last_verdicts(root)
     pinned_names = [n for n, _ in rp.PINNED]
     now = rp.front_block(QUERIES, verdicts)
-    # simulate the r9 driver round: every pinned name gets a fresh verdict
-    satisfied = dict(verdicts, **{n: 9 for n in pinned_names})
+    # simulate the satisfying driver round PER PIN: each pinned name
+    # gets a verdict at its own satisfied_round threshold
+    satisfied = dict(verdicts, **{n: r for n, r in rp.PINNED})
     later = rp.front_block(QUERIES, satisfied)
     stale_still_front = [
         n for n in pinned_names if n in later[: len(rp.PINNED) + 10]
@@ -258,6 +259,7 @@ def test_pinned_tier_auto_prunes_after_fresh_verdict():
     assert not stale_still_front, (
         f"satisfied pins still occupy front slots: {stale_still_front}"
     )
-    # and TODAY (verdicts still pre-r9) the pins are all in the block
-    if all(verdicts.get(n, 0) < 9 for n in pinned_names):
-        assert all(n in now for n in pinned_names)
+    # and TODAY (verdicts still pre-threshold) unsatisfied pins are in
+    # the block
+    unsat = [n for n, r in rp.PINNED if verdicts.get(n, 0) < r]
+    assert all(n in now for n in unsat)
