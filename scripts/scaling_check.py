@@ -146,14 +146,31 @@ def main() -> None:
     # like, and bench.py's disagree guard gets a reference that cannot
     # be warm-up-inflated. (Three quiet-host regenerates measured the
     # single-pass bracket at -19.7%, -22.8%, -10.2% — all JIT slope.)
-    merged = []
-    for name, a, b, _r in rows:
-        fn = queries[name].fn
-        a2 = min(a, _run(spark, fn, SFS[0]))
-        b2 = min(b, _run(spark, fn, SFS[1]))
-        merged.append((name, a2, b2, b2 / a2))
-    rows = merged
-    print("second pass merged (min per cell)")
+    # r12 refinement: the merge is a LOOP, not a fixed second pass — two
+    # r12 regenerates measured the canary cell at -22.8%/-18.8% vs post
+    # even after one merge pass (today's JIT slope outlasts pass 2's
+    # early rows), so keep min-merging passes until the canary's own
+    # cell converges onto the post bracket (the run's steady-state
+    # floor) or the pass budget runs out. This is bench.py's own
+    # disagree philosophy: deepen min-of-N exactly while the evidence
+    # says the early cells are not floors yet.
+    for merge_pass in range(1, 4):
+        merged = []
+        for name, a, b, _r in rows:
+            fn = queries[name].fn
+            a2 = min(a, _run(spark, fn, SFS[0]))
+            b2 = min(b, _run(spark, fn, SFS[1]))
+            merged.append((name, a2, b2, b2 / a2))
+        rows = merged
+        cell = next((b for n, _a, b, _r in rows if n == CANARY), None)
+        post_probe = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
+        drift_probe = (post_probe - cell) / max(cell, 1e-9)
+        print(
+            f"merge pass {merge_pass} done (min per cell); canary cell "
+            f"{cell:.3f}s vs probe {post_probe:.3f}s ({100 * drift_probe:+.1f}%)"
+        )
+        if abs(drift_probe) <= CANARY_DRIFT_TRIGGER:
+            break
 
     canary_post = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
     # The trust bracket compares canary_post against the canary's OWN
@@ -234,7 +251,9 @@ def main() -> None:
     out = [
         "# SCALING — headline-query wall time, sf0.01 vs sf0.1 (10× data)",
         "",
-        "Auto-generated by `scripts/scaling_check.py` (min-of-2 per cell, "
+        "Auto-generated by `scripts/scaling_check.py` (min-of-2 per cell "
+        "per pass, min-merged across timed passes until the canary cell "
+        "converges onto the end-of-run floor — r12; "
         "one warm session, noop sink — executor-complete time). Ratios "
         "near 1× mean the query sits on Spark's fixed per-query floor at "
         "this size; ratios should approach the 10× data ratio as per-row "
@@ -297,7 +316,16 @@ def main() -> None:
         "and 1.06× (with 1-file-reshuffled and 32-file-sorted controls "
         "ruling out input clustering as a factor), so an isolated sub-1× "
         "cell under a dirty bracket is tail-of-session noise, not a "
-        "fan-in regression.",
+        "fan-in regression. The remaining honest sub-1× class (clean "
+        "bracket, reproducible): plans whose cost is a fixed job/stage "
+        "floor rather than the scan — window_rolling_corr re-sorts "
+        "everything behind its first exchange (split ≈ 1× by "
+        "construction; 0.8-1.1× across clean runs is jitter around "
+        "that), and ml_cv_grid_relational_twin runs dozens of tiny "
+        "broadcast-join stages whose per-task scheduler overhead grows "
+        "with 32× more input splits (0.75-0.84× across three r12 runs) "
+        "— benign at toy scale and inverted at 100 TB, where splitting "
+        "the scan is precisely what buys parallelism.",
         "",
         *(
             [
