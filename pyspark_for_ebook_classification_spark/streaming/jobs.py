@@ -460,3 +460,30 @@ def run_incremental_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingles_expr().alias("shingles"))
     )
     return _run_to_memory(gate_score(_gate_sig_cols(stream), index))
+
+
+def run_gopher_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + L4: the production quality gate as a REAL streaming query —
+    the declared ``text_gopher_library_gate`` parameters applied by the
+    SAME ``gopher_gate`` library call to a file stream of the documents
+    table. The gate is one stateless projection (every feature is a
+    codegen'd higher-order function over the token array), so it runs
+    under an APPEND-mode sink with zero state — the ingest-time shape a
+    crawler actually deploys (score each arriving doc once, route on
+    ``keep``). tests/test_streaming.py asserts the streamed output
+    equals the declared hash-green query row for row, putting a second
+    S6 runner transitively under the driver's oracle gate (the r11
+    incremental-gate precedent, applied to the quality stage)."""
+    from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
+
+    out = gopher_gate(
+        documents_stream(spark, sf_dir),
+        min_words=30,
+        max_words=85,
+        min_mean_word_len=4.3,
+        max_mean_word_len=4.72,
+        max_symbol_per_word=0.05,
+        min_alpha_word_ratio=0.9,
+        min_distinct_stopwords=2,
+    )
+    return _run_to_memory(out, "append")

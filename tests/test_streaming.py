@@ -418,3 +418,21 @@ def test_incremental_gate_stream_matches_declared_query(spark, sf_dir):
         for r in all_queries()["dedup_incremental_gate"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_gopher_gate_stream_matches_declared_query(spark, sf_dir):
+    """The streaming quality gate (stateless projection, append mode)
+    must equal the declared text_gopher_library_gate batch query row
+    for row — a second S6 runner transitively under the driver's gate."""
+    from pyspark_for_ebook_classification_spark.plans.registry import all_queries
+    from pyspark_for_ebook_classification_spark.streaming.jobs import (
+        run_gopher_gate_stream,
+    )
+
+    got = {tuple(r) for r in run_gopher_gate_stream(spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in all_queries()["text_gopher_library_gate"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    assert any(r[-1] for r in want) and any(not r[-1] for r in want)
