@@ -2979,7 +2979,14 @@ def dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     requirement coinciding."""
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 4 == 0
-    index = gate_static_index(d.filter(~is_batch))
+    # The index is AT REST in production (written once, bucketed by band
+    # hash); materialize it here exactly as the streaming runner does —
+    # without this the two band joins re-plan the corpus scan + sig +
+    # window-cap subtree per side (4 corpus scans, 0 ReusedExchange in
+    # the r12 PLANS dump). Same-session A/B at sf0.1, min-of-6: 1.541 s
+    # recomputed vs 1.491 s materialized — small here because the toy
+    # corpus recomputes cheaply; at scale the subtree IS the corpus pass.
+    index = gate_static_index(d.filter(~is_batch)).localCheckpoint(eager=True)
     batch = (
         d.filter(is_batch)
         .select("doc_id", _raw_tokens_expr().alias("tokens"))

@@ -118,3 +118,35 @@ def test_incremental_validate_disjoint_rejects_overlap(spark):
         validate_disjoint=True,
     ).collect()
     assert len(ok) == 1 and ok[0].final_admit is True
+
+
+def test_incremental_near_stage_is_index_at_rest(spark, sf_dir, monkeypatch):
+    """r11 verdict task 3's Done criterion, pinned structurally: the
+    near stage consumes the corpus through gate_static_index (built on
+    CORPUS rows only) and clusters via neardup_dedup over the BATCH
+    only — no corpus ∪ batch signature pass anywhere. (The plan-text
+    form of this check is AQE/SF-dependent — broadcast reuse at sf0.01
+    duplicates scan subtrees textually — so the dataflow is asserted at
+    the call boundary instead.)"""
+    import pyspark_for_ebook_classification_spark.operators.dedup as dd
+
+    calls = {"index": [], "neardup": []}
+    real_index, real_neardup = dd.gate_static_index, dd.neardup_dedup
+
+    def spy_index(corpus, **kw):
+        calls["index"].append(corpus)
+        return real_index(corpus, **kw)
+
+    def spy_neardup(docs, *a, **kw):
+        calls["neardup"].append(docs)
+        return real_neardup(docs, *a, **kw)
+
+    monkeypatch.setattr(dd, "gate_static_index", spy_index)
+    monkeypatch.setattr(dd, "neardup_dedup", spy_neardup)
+    out = dd.data_curation_incremental(spark, sf_dir)
+    out.collect()
+    assert len(calls["index"]) == 1 and len(calls["neardup"]) == 1
+    idx_ids = {r[0] for r in calls["index"][0].select("doc_id").collect()}
+    nd_ids = {r[0] for r in calls["neardup"][0].select("doc_id").collect()}
+    assert idx_ids and all(i % 4 != 0 for i in idx_ids), "index saw batch rows"
+    assert nd_ids and all(i % 4 == 0 for i in nd_ids), "neardup saw corpus rows"
