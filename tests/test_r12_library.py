@@ -186,3 +186,103 @@ def test_bpe_library_train_extends_registered_trajectory(spark, sf_dir):
     assert as_tuples(nine)[:6] == as_tuples(six)
     counts = [r.pair_count for r in nine]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+# ----------------------- generalized gate helpers at non-default banding
+
+
+def test_gate_sig_cols_matches_explode_form_at_3_bands(spark, sf_dir):
+    """The r12 generalization of the projection-only MinHash must stay
+    bit-identical to the explode+groupBy form at a banding the defaults
+    never exercise (12 hashes / 3 bands of 4 rows)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        _bands,
+        _gate_sig_cols,
+        _minhash_signature,
+        _raw_tokens_expr,
+        _shingles_expr_k,
+    )
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    proj = _gate_sig_cols(
+        d.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr_k(3).alias("shingles")),
+        num_hashes=12,
+        bands=3,
+    )
+    got = {
+        (r.doc_id, b): r[f"b{b}"]
+        for r in proj.collect()
+        for b in range(3)
+    }
+    want = {
+        (r.doc_id, r.band_id): r.band_hash
+        for r in _bands(
+            _minhash_signature(d.select("doc_id", "text")), n_bands=3, band_rows=4
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_gate_score_pairs_exact_at_3_bands(spark):
+    """gate_score's generalized n-band join union must be PAIR-EXACT
+    (each colliding pair scored once) and candidate-complete vs a
+    brute-force banding replica at bands=3 on a planted fixture."""
+    from pyspark.sql import functions as F
+
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        _gate_sig_cols,
+        _raw_tokens_expr,
+        _shingles_expr_k,
+        gate_score,
+        gate_static_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while the farmer walks "
+        "to the old market and buys fresh bread with butter and honey"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + " today"), (3, "totally unrelated words about rivers boats and calm morning lakes")],
+        "doc_id bigint, text string",
+    )
+    # " again" is a measured 3x4-band COLLISION with both corpus docs
+    # (" tonight", the 2x6 fixture's measured miss, also misses here)
+    batch = spark.createDataFrame(
+        [(100, base + " again"), (104, "another unrelated thing entirely about mountains and snow peaks")],
+        "doc_id bigint, text string",
+    )
+    index = gate_static_index(corpus, num_hashes=12, bands=3)
+    bsig = _gate_sig_cols(
+        batch.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        .filter(F.size("tokens") >= 1)
+        .select("doc_id", _shingles_expr_k(3).alias("shingles")),
+        num_hashes=12,
+        bands=3,
+    )
+    out = {r.doc_id: r for r in gate_score(bsig, index, bands=3).collect()}
+    # brute-force replica: pairs collide iff ANY of the 3 band hashes match
+    idx = {r.doc_id: r for r in index.collect()}
+    sig = {r.doc_id: r for r in bsig.collect()}
+    expected_cands = {}
+    for nid, n in sig.items():
+        hits = [
+            oid
+            for oid, o in idx.items()
+            if any(
+                n[f"b{b}"] is not None and n[f"b{b}"] == o[f"b{b}"]
+                for b in range(3)
+            )
+        ]
+        if hits:
+            expected_cands[nid] = len(hits)
+    assert {k: v.n_cands for k, v in out.items()} == expected_cands
+    # the near-copy collides with its corpus source; the unrelated doc
+    # either has no row or a sub-threshold best
+    assert 100 in out and out[100].best_match in (1, 2) and out[100].admit is False
+    if 104 in out:
+        assert out[104].admit is True
