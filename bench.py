@@ -194,6 +194,8 @@ EXTRA = [
     "ml_tfidf_library_features",
     "sim_rrf_library_fuse",
     "graph_kcore_library_converged",
+    # r12: Spark-4 SQL session variables + EXECUTE IMMEDIATE
+    "fn_sql_variables_suite",
 ]
 
 

@@ -1005,3 +1005,71 @@ def sql_returned_items_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic). The returns-audit classic."""
     _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
     return spark.sql(_Q10_SQL)
+
+
+# --------------------------- r12: Spark-4 SQL surface — session variables
+
+#: SQL session variables + EXECUTE IMMEDIATE (F3/classics): the
+#: parameterized-script shape ETL jobs use — compute a corpus statistic
+#: once into a variable, then drive a dependent query through the
+#: variable (EXECUTE IMMEDIATE ... USING). Variables are session-scoped;
+#: DECLARE OR REPLACE keeps the query idempotent under re-runs in one
+#: session (the drive_entry/pytest reuse pattern).
+_VARIABLES_FINAL_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / ?, 6) AS total_over_avg
+    FROM orders
+    WHERE o_totalprice > ?
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "fn_sql_variables_suite",
+    survey_ref="F3,A1,P3",
+    doc="Spark 4 SQL session variables: DECLARE/SET VARIABLE from a "
+    "scalar subquery, then EXECUTE IMMEDIATE a parameterized aggregate "
+    "USING the variable twice (filter threshold + normalizer).",
+    oracle="""
+        WITH avgp AS (
+            SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS a
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / (SELECT a FROM avgp), 6) AS total_over_avg
+        FROM orders, avgp
+        WHERE o_totalprice > a
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def fn_sql_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (SPARK-44444) + EXECUTE IMMEDIATE
+    (SPARK-44838): the parameterized-ETL shape — DECLARE a variable,
+    SET it from a scalar subquery over the data (the mean order price,
+    computed ONCE), then EXECUTE IMMEDIATE a dependent aggregate that
+    binds the variable twice via USING (as the filter threshold and as
+    the normalizer). The oracle inlines the same scalar through a CTE.
+    Scale shape: the statistic is one partial-agg scan reduced to a
+    SCALAR on the driver (exactly what a session variable is for — no
+    re-evaluation per consumer, no broadcast join for a 1-row frame),
+    then one filtered hash aggregate."""
+    _views(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE spark_graft_avg_price DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VARIABLE spark_graft_avg_price = "
+        "(SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+        "FROM orders)"
+    )
+    return spark.sql(
+        f"EXECUTE IMMEDIATE '{_VARIABLES_FINAL_SQL}' "
+        "USING spark_graft_avg_price, spark_graft_avg_price"
+    )

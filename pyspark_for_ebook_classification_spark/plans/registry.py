@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_rrf_library_fuse",
     "graph_kcore_library_converged",
     "ml_tfidf_library_features",
+    "fn_sql_variables_suite",
     # ========== (tier: pinned known-stale — r12 implementation changes:
     # the index-at-rest near stage and the curate-wrapper routing)
     "data_curation_incremental",
