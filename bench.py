@@ -194,8 +194,10 @@ EXTRA = [
     "ml_tfidf_library_features",
     "sim_rrf_library_fuse",
     "graph_kcore_library_converged",
-    # r12: Spark-4 SQL session variables + EXECUTE IMMEDIATE
+    # r12: Spark-4 SQL session variables + EXECUTE IMMEDIATE, and the
+    # |> pipe-syntax dataflow flagship
     "fn_sql_variables_suite",
+    "sql_pipe_syntax_flagship",
 ]
 
 

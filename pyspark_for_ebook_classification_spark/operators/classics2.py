@@ -1073,3 +1073,68 @@ def fn_sql_variables_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"EXECUTE IMMEDIATE '{_VARIABLES_FINAL_SQL}' "
         "USING spark_graft_avg_price, spark_graft_avg_price"
     )
+
+
+# --------------------------------- r12: Spark-4 SQL pipe syntax (|>)
+
+#: SQL pipe syntax (SPARK-49555, new in Spark 4.0): linear dataflow
+#: SQL — each |> stage consumes the previous one top-to-bottom, the
+#: composition order a DataFrame user already thinks in. The pipe form
+#: parses to the IDENTICAL logical plan as nested standard SQL, so
+#: Catalyst optimizations (pushdown, partial agg) apply unchanged — the
+#: oracle below is the standard-SQL spelling of the same query.
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1996-01-01' AND l_discount > 0.02
+    |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+    |> EXTEND CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END
+              AS order_class
+    |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                     AS sum_qty,
+                 CAST(SUM(CAST(disc_price AS DECIMAL(28,6))) AS DOUBLE)
+                     AS revenue
+       GROUP BY l_returnflag, order_class
+    |> ORDER BY l_returnflag, order_class
+"""
+
+
+@query(
+    "sql_pipe_syntax_flagship",
+    survey_ref="F3,A1,P3,O1,§3-EP1",
+    doc="Spark 4 SQL pipe syntax: filter -> EXTEND computed columns -> "
+    "AGGREGATE ... GROUP BY -> ORDER BY as a linear |> dataflow; "
+    "decimal-stabilized revenue, standard-SQL oracle.",
+    oracle="""
+        SELECT l_returnflag, order_class,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(disc_price AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM (
+            SELECT l_returnflag, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS disc_price,
+                   CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END
+                       AS order_class
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01' AND l_discount > 0.02
+        )
+        GROUP BY l_returnflag, order_class
+        ORDER BY l_returnflag, order_class
+    """,
+)
+def sql_pipe_syntax_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (SPARK-49555, Spark 4.0): the filter → derive →
+    aggregate → order dataflow written as |> stages in execution order
+    — the SQL surface for users who think in DataFrame chains. Pipe
+    stages parse into the same logical operators as the nested-SELECT
+    oracle, so this query ALSO asserts the two syntaxes are
+    plan-equivalent where it matters: the shipdate/discount predicates
+    reach the parquet scan as PushedFilters and the AGGREGATE stage
+    partial-aggregates map-side exactly as the standard form does
+    (same Catalyst plan → same physical plan). Revenue follows the dsum
+    discipline (decimal cast of the double product BEFORE the sum) so
+    the value is order-independent and bit-identical across engines."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_PIPE_SQL)

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_kcore_library_converged",
     "ml_tfidf_library_features",
     "fn_sql_variables_suite",
+    "sql_pipe_syntax_flagship",
     # ========== (tier: pinned known-stale — r12 implementation changes:
     # the index-at-rest near stage and the curate-wrapper routing)
     "data_curation_incremental",
