@@ -321,9 +321,10 @@ def main() -> None:
         "floor rather than the scan — window_rolling_corr re-sorts "
         "everything behind its first exchange (split ≈ 1× by "
         "construction; 0.8-1.1× across clean runs is jitter around "
-        "that), and ml_cv_grid_relational_twin runs dozens of tiny "
-        "broadcast-join stages whose per-task scheduler overhead grows "
-        "with 32× more input splits (0.75-0.84× across three r12 runs) "
+        "that), and ml_cv_grid_relational_twin / agg_basket_affinity run "
+        "dozens of tiny broadcast-join/pair-agg stages whose per-task "
+        "scheduler overhead grows with 32× more input splits (0.75-0.84× "
+        "across four r12 runs) "
         "— benign at toy scale and inverted at 100 TB, where splitting "
         "the scan is precisely what buys parallelism.",
         "",
