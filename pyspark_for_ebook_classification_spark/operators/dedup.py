@@ -2662,11 +2662,13 @@ def curate_incremental(
     b = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     c = corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if validate_disjoint:
-        overlap = b.select("doc_id").join(c.select("doc_id"), "doc_id").limit(1)
-        if overlap.count() > 0:
+        # One Spark action: collect the limit(1) frame directly instead of
+        # count()-then-collect(), which paid the semi-join twice (r12 ADVICE).
+        rows = b.select("doc_id").join(c.select("doc_id"), "doc_id").limit(1).collect()
+        if rows:
             raise ValueError(
                 "curate_incremental: batch and corpus ids overlap "
-                f"(e.g. {overlap.collect()[0][0]!r}) — admission stats would "
+                f"(e.g. {rows[0][0]!r}) — admission stats would "
                 "silently mislabel the corpus row as a batch member"
             )
 
@@ -2800,7 +2802,20 @@ def _gate_sig_cols(
     _minhash_signature's explode+groupBy form (same md5/LCG math; the
     min over an array equals the min over grouped rows). Defaults
     reproduce the registered 12-hash / 2-band layout; the parameters
-    exist for ``curate_incremental``'s pass-through banding."""
+    exist for ``curate_incremental``'s pass-through banding.
+
+    Validation mirrors neardup_dedup's (r12 ADVICE): a non-divisible
+    (num_hashes, bands) pair would silently drop the trailing hash rows
+    from every band, so standalone gate callers (gate_static_index,
+    dedup_incremental_gate) mis-band without an error — raise instead."""
+    if num_hashes < 1 or bands < 1:
+        raise ValueError(
+            f"_gate_sig_cols: need num_hashes >= 1 and bands >= 1, got ({num_hashes}, {bands})"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"_gate_sig_cols: bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     band_rows = num_hashes // bands
     lcg_a, lcg_b = _lcg_seeds(num_hashes)
     out = df.withColumn(
@@ -2986,7 +3001,13 @@ def dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r12 PLANS dump). Same-session A/B at sf0.1, min-of-6: 1.541 s
     # recomputed vs 1.491 s materialized — small here because the toy
     # corpus recomputes cheaply; at scale the subtree IS the corpus pass.
-    index = gate_static_index(d.filter(~is_batch)).localCheckpoint(eager=True)
+    # eager=False (r12 ADVICE): localCheckpoint persists partitions on
+    # first computation either way, so both band joins still read the
+    # written-once index in any timed run, but plan-only consumers
+    # (explain / PLANS dumps / registry sweeps) no longer trigger a
+    # real Spark job per invocation. The streaming runner keeps
+    # eager=True — its static side must exist before the stream starts.
+    index = gate_static_index(d.filter(~is_batch)).localCheckpoint(eager=False)
     batch = (
         d.filter(is_batch)
         .select("doc_id", _raw_tokens_expr().alias("tokens"))

@@ -83,25 +83,13 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r12 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r11) — 325/325 pre-existing
-    # names verified, 0 FAILs outstanding: the 5 r12 library routers
-    # (never verified by construction) lead per policy, then the 12
-    # standing high-risk families, then oldest-verdict-first round-robin
-    # — the r3-r5-era verdicts resurface for re-attestation).
-    # ========== (tier: r12 additions — never verified — lead per policy)
-    "text_gopher_library_gate",
-    "text_bpe_library_train",
-    "sim_rrf_library_fuse",
-    "graph_kcore_library_converged",
-    "ml_tfidf_library_features",
-    "fn_sql_variables_suite",
-    "sql_pipe_syntax_flagship",
-    # ========== (tier: pinned known-stale — r12 implementation changes:
-    # the index-at-rest near stage and the curate-wrapper routing)
-    "data_curation_incremental",
-    "data_curation_pipeline",
-    # ========== (tier: standing high-risk families)
+    # ========== r13 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r12) — 332/332 registered
+    # names verified, 0 FAILs outstanding, 0 never-verified: the one
+    # pinned known-stale name (dedup_incremental_gate, r13 eager=False
+    # flip) leads, then pure oldest-verdict-first freshness round-robin
+    # — the stalest r3-r5-era verdicts drain first).
+    "dedup_incremental_gate",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -114,36 +102,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    # ========== (tier: oldest-verdict-first freshness round-robin)
-    "fn_string_suite2",
-    "sql_volume_shipping_q7",
-    "sql_market_share_q8",
-    "sql_top_supplier_q15",
-    "sql_small_qty_revenue_q17",
-    "sql_customer_distribution_q13",
-    "sql_sales_opportunity_q22",
-    "sql_min_cost_supplier_q2",
-    "sql_product_profit_q9",
-    "sql_important_stock_q11",
-    "sql_ship_priority_split_q12",
-    "sql_parts_supplier_cnt_q16",
-    "sql_excess_stock_suppliers_q20",
-    "sql_waiting_suppliers_q21",
-    "agg_robust_median_mad",
-    "agg_geometric_mean_log",
-    "udf_arrow_map_batches",
-    "udf_cogrouped_merge_asof",
-    "udtf_polymorphic_first_tokens",
-    "udf_arrow_grouped_summary",
-    "udtf_table_arg_longest_doc",
-    "dedup_chunk_global",
-    "dedup_cluster_keep_best",
-    "sim_quantize_int8",
-    "sim_label_centroids",
-    "sim_ann_ivf_label_cells",
-    "text_keyword_topk",
-    "text_bpe_pair_stats",
-    "text_inverted_index",
     "text_bigram_lm_score",
     "multimodal_frame_sample",
     "stream_stream_join_twin",
@@ -153,6 +111,34 @@ _PRIORITY: tuple[str, ...] = (
     "agg_skew_kurtosis",
     "agg_filter_clause_suite",
     "window_rolling_median",
+    "window_ewma_quantity",
+    "window_interpolate_linear",
+    "fn_map_hof_suite",
+    "window_order_gap_stats",
+    "dedup_incremental_exact",
+    "dedup_cluster_size_distribution",
+    "sim_gram_matrix_block",
+    "sim_random_projection_reduce",
+    "sim_product_quantization",
+    "sim_pq_adc_topk",
+    "text_zipf_slope",
+    "text_vocab_overlap_sources",
+    "data_decontaminate_ngram",
+    "data_train_valid_split",
+    "data_interleave_sources",
+    "data_e2e_prep_pipeline",
+    "data_mixture_budget_plan",
+    "data_reservoir_per_source",
+    "data_contrastive_pairs",
+    "sketch_bloom_semijoin",
+    "sketch_countmin_topk",
+    "sketch_kmv_distinct",
+    "sketch_theta_set_overlap",
+    "sketch_histogram_quantiles",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_pagerank_fixedpoint",
+    "graph_triangle_count",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -70,6 +70,11 @@ PINNED = (
     # any CORRECTNESS_r12+ verdict.
     ("data_curation_incremental", 12),
     ("data_curation_pipeline", 12),
+    # r13 implementation change: dedup_incremental_gate's standing index
+    # materialization flipped eager=True -> eager=False (r12 ADVICE —
+    # plan-only consumers stop paying a real job; timed runs identical).
+    # Satisfied by any CORRECTNESS_r13+ verdict.
+    ("dedup_incremental_gate", 13),
 )
 
 #: standing high-risk families for post-closure freshness rotation

@@ -163,6 +163,15 @@ def main() -> None:
             merged.append((name, a2, b2, b2 / a2))
         rows = merged
         cell = next((b for n, _a, b, _r in rows if n == CANARY), None)
+        if cell is None:
+            # r12 ADVICE: if CANARY ever leaves the headline set the
+            # convergence probe has no reference cell — degrade to a
+            # single merge pass with a loud note instead of a TypeError.
+            print(
+                f"merge pass {merge_pass}: canary {CANARY!r} not in the "
+                "timed table — skipping convergence probe (fix CANARY)"
+            )
+            break
         post_probe = min(_run(spark, queries[CANARY].fn, SFS[1]) for _ in range(3))
         drift_probe = (post_probe - cell) / max(cell, 1e-9)
         print(

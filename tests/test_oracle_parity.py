@@ -117,6 +117,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
+    "CORRECTNESS_r12.json",
 )
 
 
