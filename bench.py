@@ -198,6 +198,9 @@ EXTRA = [
     # |> pipe-syntax dataflow flagship
     "fn_sql_variables_suite",
     "sql_pipe_syntax_flagship",
+    # r13: Spark-4 SQL scripting (BEGIN...END compound statement) — the
+    # WHILE-iterated tail-mean threshold with an unrolled-CTE oracle
+    "sql_scripting_compound",
 ]
 
 

@@ -1138,3 +1138,100 @@ def sql_pipe_syntax_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value is order-independent and bit-identical across engines."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_PIPE_SQL)
+
+
+# ------------------------------ r13: Spark-4 SQL scripting (SPARK-48338)
+
+#: SQL scripting (BEGIN...END compound statements, new in Spark 4.0):
+#: procedural SQL — local variables, WHILE loops, IF/ELSE — executed by
+#: the engine one statement at a time, each statement a full Catalyst
+#: plan. The natural fit is an ITERATED SCALAR the declarative layer
+#: cannot express without unrolling: here the 3-step "iterated mean"
+#: fixpoint (mean -> mean of the above-mean tail -> mean of THAT tail),
+#: a classic heavy-tail threshold estimator. Each loop iteration is ONE
+#: aggregation scan reduced to a driver-side scalar (exactly what a
+#: scripting variable is for — the 100 TB shape is K sequential
+#: partial-agg passes, no join, no re-evaluation per consumer), then a
+#: single filtered hash aggregate consumes the converged threshold. The
+#: oracle unrolls the identical three iterations as nested CTEs with
+#: the same decimal-sum/count-divide expression, so the double is
+#: bit-identical across engines at every step.
+_SCRIPTING_SQL = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 0.0;
+  DECLARE i INT DEFAULT 0;
+  DECLARE tier STRING;
+  WHILE i < 3 DO
+    SET thr = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)
+               FROM orders WHERE o_totalprice > thr);
+    SET i = i + 1;
+  END WHILE;
+  IF thr > 100000.0 THEN
+    SET tier = 'high';
+  ELSE
+    SET tier = 'low';
+  END IF;
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+         round(thr, 6) AS threshold,
+         tier AS tier
+  FROM orders
+  WHERE o_totalprice > thr
+  GROUP BY o_orderpriority
+  ORDER BY o_orderpriority;
+END
+"""
+
+
+@query(
+    "sql_scripting_compound",
+    survey_ref="F3,A1,P3,O1,§3-EP1",
+    doc="Spark 4 SQL scripting (BEGIN...END, SPARK-48338): DECLARE + "
+    "WHILE loop iterating a scalar threshold from the data + IF/ELSE "
+    "tiering + a final filtered aggregate; oracle unrolls the loop as "
+    "nested CTEs.",
+    oracle="""
+        WITH t1 AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+            FROM orders WHERE o_totalprice > 0.0
+        ), t2 AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+            FROM orders, t1 WHERE o_totalprice > t1.a
+        ), t3 AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+            FROM orders, t2 WHERE o_totalprice > t2.a
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_price,
+               round(t3.a, 6) AS threshold,
+               CASE WHEN t3.a > 100000.0 THEN 'high' ELSE 'low' END AS tier
+        FROM orders, t3 WHERE o_totalprice > t3.a
+        GROUP BY o_orderpriority, t3.a
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_scripting_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (SPARK-48338, compound BEGIN...END): the
+    engine executes DECLARE / SET / WHILE / IF statements sequentially,
+    re-planning each enclosed query with the current variable bindings
+    — probed green on this 4.1.2 build (r12 verdict task 3). The WHILE
+    body SETs a local variable from a scalar subquery that READS the
+    variable it updates (the iterated-mean tail threshold), which no
+    single declarative query can express without manual unrolling; the
+    IF/ELSE tiers the converged scalar. Scale shape: each iteration is
+    one partial-aggregated scan -> one scalar on the driver (K=3 scans
+    total, sequential by construction), and the final statement is one
+    filtered hash aggregate with the threshold folded in as a literal —
+    no join, no broadcast, no per-row Python. The oracle unrolls the
+    identical iterations as nested CTEs sharing the decimal-sum /
+    count-divide expression, so the threshold double is bit-identical
+    in both engines and the > comparison admits identical rows."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SCRIPTING_SQL)

@@ -84,11 +84,13 @@ _LOADED = False
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
     # ========== r13 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r12) — 332/332 registered
-    # names verified, 0 FAILs outstanding, 0 never-verified: the one
-    # pinned known-stale name (dedup_incremental_gate, r13 eager=False
-    # flip) leads, then pure oldest-verdict-first freshness round-robin
-    # — the stalest r3-r5-era verdicts drain first).
+    # output against union(CORRECTNESS_r01..r12) — 332/332 pre-existing
+    # names verified, 0 FAILs outstanding: the r13 addition
+    # (sql_scripting_compound, never verified by construction) leads per
+    # policy, then the pinned known-stale name (dedup_incremental_gate,
+    # r13 eager=False flip), then pure oldest-verdict-first freshness
+    # round-robin — the stalest r3-r5-era verdicts drain first).
+    "sql_scripting_compound",
     "dedup_incremental_gate",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -138,7 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_registers",
     "sketch_hll_estimate",
     "graph_pagerank_fixedpoint",
-    "graph_triangle_count",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
