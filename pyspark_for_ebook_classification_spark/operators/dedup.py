@@ -2617,6 +2617,7 @@ def curate_incremental(
     text_col: str = "text",
     gopher_params: dict | None = None,
     validate_disjoint: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """PRODUCTION incremental curation — ``curate``'s ingest-time
     sibling: admit an arriving ``batch`` against a standing ``corpus``
@@ -2643,6 +2644,15 @@ def curate_incremental(
     a first corpus vertex, so cluster contamination ≡ some batch-side
     cluster member having a DIRECT verified corpus edge, and
     uncontaminated union-clusters contain batch docs only.
+
+    ``materialize=True`` (default) localCheckpoints the two SHARED
+    batch-side frames — the gopher survivors and the exact-admitted
+    survivors — once each (eager=False: persisted on first computation,
+    free for plan-only consumers), so the exact stage, both near-stage
+    signature paths, and the final verdict join all read the written-
+    once frames instead of re-planning the upstream batch subtree per
+    consumer. Pass ``materialize=False`` to keep the plan fully lazy
+    (e.g. when the caller checkpoints at its own boundaries).
 
     Returns one row per batch doc: (id_col, quality_keep, exact_admit,
     final_admit), monotone — ``filter("final_admit")`` is the admitted
@@ -2674,6 +2684,13 @@ def curate_incremental(
 
     qk = gopher_gate(b, **(gopher_params or {})).filter("keep").select("doc_id")
     surv_q = b.join(qk, "doc_id")
+    # Shared batch-side materialization (r12 verdict task 4): surv_q is
+    # consumed by the exact stage AND as surv_e's base, surv_e by BOTH
+    # near-stage signature paths — without a cut point every consumer
+    # re-plans the gopher-gate subtree. eager=False: partitions persist
+    # on first computation, plan-only consumers pay nothing.
+    if materialize:
+        surv_q = surv_q.localCheckpoint(eager=False)
 
     eb = exact_dedup(surv_q)  # (doc_id, content_hash, keep) within-batch
     corpus_hashes = c.select(F.sha2(F.col("text").cast("string"), 256).alias("content_hash"))
@@ -2683,6 +2700,8 @@ def curate_incremental(
         .select("doc_id")
     )
     surv_e = surv_q.join(ek, "doc_id")
+    if materialize:
+        surv_e = surv_e.localCheckpoint(eager=False)
 
     # Near stage, index-at-rest: corpus contact via the streamable gate
     # against the standing banded index (static-side cap — production
@@ -2721,10 +2740,22 @@ def curate_incremental(
         .join(contam, "cluster_id", "left_anti")
         .select("doc_id")
     )
+    # Final assembly reads the survivor id slices off the (materialized)
+    # shared frames instead of qk/ek directly — surv_q's ids ARE qk's
+    # (b ⋈ qk on unique ids) and surv_e's ARE ek's, so the gopher-gate
+    # and exact-stage subtrees are never re-planned for the verdict join.
     return (
         b.select("doc_id")
-        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
-        .join(ek.withColumn("exact_admit", F.lit(True)), "doc_id", "left")
+        .join(
+            surv_q.select("doc_id").withColumn("quality_keep", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            surv_e.select("doc_id").withColumn("exact_admit", F.lit(True)),
+            "doc_id",
+            "left",
+        )
         .join(nk.withColumn("final_admit", F.lit(True)), "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),

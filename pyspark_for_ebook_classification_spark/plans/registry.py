@@ -87,10 +87,13 @@ _PRIORITY: tuple[str, ...] = (
     # output against union(CORRECTNESS_r01..r12) — 332/332 pre-existing
     # names verified, 0 FAILs outstanding: the r13 addition
     # (sql_scripting_compound, never verified by construction) leads per
-    # policy, then the pinned known-stale name (dedup_incremental_gate,
-    # r13 eager=False flip), then pure oldest-verdict-first freshness
-    # round-robin — the stalest r3-r5-era verdicts drain first).
+    # policy, then the two pinned known-stale names (r13 implementation
+    # changes: dedup_incremental_gate eager=False flip,
+    # data_curation_incremental shared batch-side materialization), then
+    # pure oldest-verdict-first freshness round-robin — the stalest
+    # r3-r5-era verdicts drain first).
     "sql_scripting_compound",
+    "data_curation_incremental",
     "dedup_incremental_gate",
     "dedup_ngram_jaccard",
     "agg_weighted_median",
@@ -139,7 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_histogram_quantiles",
     "sketch_hll_registers",
     "sketch_hll_estimate",
-    "graph_pagerank_fixedpoint",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -3,7 +3,12 @@
 the BENCHNOTES bisection discipline, automated (r11 verdict task 2:
 settle a driver-artifact swing by measurement, not narrative).
 
-    python scripts/ab_retime.py /tmp/ab_r10 /tmp/ab_r11 [sf_dir]
+    python scripts/ab_retime.py /tmp/ab_r10 /tmp/ab_r11 [sf_dir] [q1,q2,...]
+
+The optional 4th arg narrows the timed set to a comma-separated query
+list (r13: targeted A/B of a single changed query without paying the
+full 21-query protocol); the scan canary is always appended for the
+drift bracket.
 
 Protocol: ONE Spark session and ONE Python process host both trees'
 query functions (imported sequentially with a sys.modules purge between
@@ -59,7 +64,7 @@ COMPARABLE = [
 CANARY = "scan_parquet_checksum"
 
 
-def load_tree(path: str) -> dict:
+def load_tree(path: str, names: list[str]) -> dict:
     """Import ``path``'s registry and snapshot its query fns; the
     snapshot stays valid after the module purge (function objects
     outlive their sys.modules entries)."""
@@ -69,7 +74,7 @@ def load_tree(path: str) -> dict:
     try:
         reg = importlib.import_module(f"{PKG}.plans.registry")
         qs = reg.all_queries()
-        return {n: qs[n].fn for n in COMPARABLE}
+        return {n: qs[n].fn for n in names}
     finally:
         sys.path.remove(path)
 
@@ -77,8 +82,13 @@ def load_tree(path: str) -> dict:
 def main() -> int:
     tree_a, tree_b = sys.argv[1], sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    names = list(COMPARABLE)
+    if len(sys.argv) > 4:
+        names = [n for n in sys.argv[4].split(",") if n]
+        if CANARY not in names:
+            names.append(CANARY)
 
-    fns = {"A": load_tree(tree_a), "B": load_tree(tree_b)}
+    fns = {"A": load_tree(tree_a, names), "B": load_tree(tree_b, names)}
 
     # the session helper is identical in both trees; take B's (current)
     sys.path.insert(0, tree_b)
@@ -97,14 +107,14 @@ def main() -> int:
     ).groupBy("l_returnflag").agg({"l_quantity": "sum"}).collect()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for side in ("A", "B"):
-        for name in COMPARABLE:
+        for name in names:
             run_once(side, name)
 
     canary_pre = min(run_once("B", CANARY) for _ in range(3))
     t: dict[str, dict[str, float]] = {"A": {}, "B": {}}
     for rep in range(3):
         for side in ("A", "B"):
-            for name in COMPARABLE:
+            for name in names:
                 v = run_once(side, name)
                 cur = t[side].get(name)
                 t[side][name] = v if cur is None else min(cur, v)
@@ -119,7 +129,7 @@ def main() -> int:
         "totals": {s: round(sum(t[s].values()), 3) for s in ("A", "B")},
         "queries": {
             n: {"A": round(t["A"][n], 3), "B": round(t["B"][n], 3)}
-            for n in COMPARABLE
+            for n in names
         },
         "canary": {
             "pre_sec": round(canary_pre, 3),

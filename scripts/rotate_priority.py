@@ -68,7 +68,10 @@ PINNED = (
     # index-at-rest (oracle rewritten to match) and the batch curation
     # pipeline now routes through the `curate` wrapper. Satisfied by
     # any CORRECTNESS_r12+ verdict.
-    ("data_curation_incremental", 12),
+    # r13: curate_incremental gained the shared batch-side
+    # materialization + survivor-slice final joins (verdict task 4) —
+    # known-stale again until a CORRECTNESS_r13+ verdict lands.
+    ("data_curation_incremental", 13),
     ("data_curation_pipeline", 12),
     # r13 implementation change: dedup_incremental_gate's standing index
     # materialization flipped eager=True -> eager=False (r12 ADVICE —
