@@ -201,6 +201,9 @@ EXTRA = [
     # r13: Spark-4 SQL scripting (BEGIN...END compound statement) — the
     # WHILE-iterated tail-mean threshold with an unrolled-CTE oracle
     "sql_scripting_compound",
+    # r13: ST4 watermark semantics as a batch query (micro-batch arrival
+    # log replay — drop + closed-window emission, stream-equal by test)
+    "stream_watermark_close_twin",
 ]
 
 

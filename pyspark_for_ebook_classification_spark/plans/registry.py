@@ -85,14 +85,16 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # ========== r13 front block (mechanical; scripts/rotate_priority.py
     # output against union(CORRECTNESS_r01..r12) — 332/332 pre-existing
-    # names verified, 0 FAILs outstanding: the r13 addition
-    # (sql_scripting_compound, never verified by construction) leads per
-    # policy, then the two pinned known-stale names (r13 implementation
-    # changes: dedup_incremental_gate eager=False flip,
-    # data_curation_incremental shared batch-side materialization), then
-    # pure oldest-verdict-first freshness round-robin — the stalest
+    # names verified, 0 FAILs outstanding: the r13 additions
+    # (sql_scripting_compound, stream_watermark_close_twin — never
+    # verified by construction) lead per policy, then the two pinned
+    # known-stale names (r13 implementation changes:
+    # data_curation_incremental shared batch-side materialization,
+    # dedup_incremental_gate eager=False flip), then pure
+    # oldest-verdict-first freshness round-robin — the stalest
     # r3-r5-era verdicts drain first).
     "sql_scripting_compound",
+    "stream_watermark_close_twin",
     "data_curation_incremental",
     "dedup_incremental_gate",
     "dedup_ngram_jaccard",
@@ -141,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_theta_set_overlap",
     "sketch_histogram_quantiles",
     "sketch_hll_registers",
-    "sketch_hll_estimate",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

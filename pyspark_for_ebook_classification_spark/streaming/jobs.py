@@ -487,3 +487,61 @@ def run_gopher_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_distinct_stopwords=2,
     )
     return _run_to_memory(out, "append")
+
+
+def run_watermark_close_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 as a REAL streaming query with DETERMINISTIC micro-batches:
+    write the arrival log (twins.watermark_batched — bulk near-order +
+    rare 7-day stragglers) as one parquet file per micro-batch with
+    strictly increasing mod-times, then stream it back with
+    ``maxFilesPerTrigger=1`` + ``withWatermark`` + tumbling hourly
+    aggregation under an APPEND-mode sink. Because the batch sequence
+    is deterministic, the watermark trajectory — including the
+    one-batch propagation lag and the final no-data emission batch —
+    is a pure function of the data, and the declared hash-green
+    ``stream_watermark_close_twin`` computes exactly it;
+    tests/test_streaming.py asserts the two are row-identical, putting
+    ST4's late-drop + closed-window-emission semantics transitively
+    under the driver's oracle gate (the S6 runner precedent, applied to
+    the last behavioral-only §2 row). The staging writes are fixture
+    plumbing: production's micro-batches arrive pre-sequenced from the
+    ingest layer."""
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark_for_ebook_classification_spark.sources.io import load
+
+    ev = twins.watermark_batched(load(spark, sf_dir, "events"))
+    d = tempfile.mkdtemp(prefix="spark_graft_wm_stream_")
+    base = int(_time.time()) - 10 * twins.WM_BATCHES
+    for b in range(1, twins.WM_BATCHES + 1):
+        stage = os.path.join(d, f"_stage{b}")
+        (
+            ev.filter(F.col("batch_id") == b)
+            .select("event_id", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"b{b:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (base + b, base + b))
+
+    from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withWatermark("ts", f"{twins.WM_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    out = _run_to_memory(stream, "append")
+    shutil.rmtree(d, ignore_errors=True)  # memory sink holds the rows
+    return out

@@ -454,3 +454,162 @@ def stream_hourly_topk_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_types_per_hour(
         hourly_type_counts(load(spark, sf_dir, "events"))
     )
+
+
+# ----------------------- r13: watermark late-drop semantics (ST4) twin
+
+#: Deterministic micro-batch fixture for the ST4 watermark twin: events
+#: "arrive" mostly in event-time order with a small per-event jitter
+#: (event_id % 240 minutes), except every 50th event is a 7-DAY
+#: straggler — the production late-data shape (bulk in-order ingest +
+#: rare stragglers from a delayed upstream partition). Arrival order is
+#: cut into WM_BATCHES contiguous micro-batches by ntile.
+WM_BATCHES = 6
+WM_DELAY_MIN = 120
+WM_DELAY_MS = WM_DELAY_MIN * 60 * 1000
+
+#: arrival-time expression, shared verbatim between the twin and the
+#: streaming runner's batch writer (jobs.run_watermark_close_stream).
+_WM_ARRIVAL = (
+    "timestampadd(MINUTE, CAST(CASE WHEN event_id % 50 = 0 THEN 10080 "
+    "ELSE 0 END + event_id % 240 AS INT), ts)"
+)
+
+
+def watermark_batched(events: DataFrame) -> DataFrame:
+    """(event_id, ts, value, arrival_ts, batch_id): the deterministic
+    arrival log. The global ntile is FIXTURE plumbing — it simulates the
+    ingest layer's file sequence, which production gets for free from
+    the object-store listing; nothing here runs against corpus-scale
+    data (the twin's per-batch stats reduce to WM_BATCHES rows)."""
+    order = Window.orderBy("arrival_ts", "event_id")
+    return (
+        events.select("event_id", "ts", "value")
+        .withColumn("arrival_ts", F.expr(_WM_ARRIVAL))
+        .withColumn("batch_id", F.ntile(WM_BATCHES).over(order))
+    )
+
+
+@query(
+    "stream_watermark_close_twin",
+    survey_ref="ST4,ST1,A1",
+    doc="ST4 watermark semantics as a BATCH query: deterministic "
+    "micro-batch arrival log, per-batch max-event-time stats, the "
+    "one-batch-lag watermark (verified on 4.1.2), late-row drop, and "
+    "append-mode emission of closed windows only — proven row-identical "
+    "to a real maxFilesPerTrigger=1 streaming run by "
+    "tests/test_streaming.py.",
+    oracle=f"""
+        WITH batched AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   ntile({WM_BATCHES}) OVER (
+                       ORDER BY CAST(ts AS TIMESTAMP)
+                                + INTERVAL ((CASE WHEN event_id % 50 = 0
+                                             THEN 10080 ELSE 0 END
+                                             + event_id % 240)) MINUTE,
+                                event_id
+                   ) AS batch_id
+            FROM events
+        ), stats AS (
+            SELECT batch_id, max(ts) AS m FROM batched GROUP BY batch_id
+        ), runs AS (
+            SELECT batch_id,
+                   max(m) OVER (ORDER BY batch_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS runmax
+            FROM stats
+        ), wm AS (
+            SELECT batch_id,
+                   (epoch_us(lag(runmax, 2) OVER (ORDER BY batch_id))
+                    // 1000 - {WM_DELAY_MS}) * 1000 AS wm_us
+            FROM runs
+        ), final_wm AS (
+            SELECT (epoch_us(max(m)) // 1000 - {WM_DELAY_MS}) * 1000 AS fw_us
+            FROM stats
+        ), kept AS (
+            SELECT b.value,
+                   date_trunc('hour', b.ts) AS window_start,
+                   epoch_us(date_trunc('hour', b.ts)) + 3600000000 AS wend_us
+            FROM batched b JOIN wm w USING (batch_id)
+            WHERE w.wm_us IS NULL OR
+                  epoch_us(date_trunc('hour', b.ts)) + 3600000000 > w.wm_us
+        )
+        SELECT window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value', 'sum_value')}
+        FROM kept
+        GROUP BY window_start
+        HAVING max(wend_us) <= (SELECT fw_us FROM final_wm)
+    """,
+)
+def stream_watermark_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 — watermark/late-data semantics, BATCH-expressible and
+    therefore oracle-checkable: replay the deterministic arrival log
+    micro-batch by micro-batch exactly as Structured Streaming's
+    event-time watermark does on this 4.1.2 build.
+
+    Semantics encoded (each verified empirically by the row-identical
+    streaming run in tests/test_streaming.py):
+      * per-batch event-time stats: M_i = max(ts) over micro-batch i,
+        floored to MILLISECONDS (Spark tracks event-time stats in ms);
+      * one-batch propagation lag: the watermark FILTERING batch N is
+        max(M_1..M_{{N-2}}) - delay — stats commit after a batch and
+        take effect one batch later (tests/test_streaming.py's
+        long-standing ST4 drop test pins this lag);
+      * late-row drop: a row in batch N is dropped iff its hour-window
+        END <= that batch's watermark;
+      * append-mode emission: availableNow runs a final no-data batch
+        with watermark max(M_1..M_K) - delay, so exactly the windows
+        whose end <= that final watermark are in the sink when the
+        query terminates — later windows are withheld open state.
+
+    Scale shape: the arrival-log ntile is fixture plumbing (production
+    reads arrival order off the ingest file sequence); everything else
+    is one groupBy to WM_BATCHES stats rows, a broadcast of those rows
+    back onto the events, one filter, and one hash aggregate — the same
+    single-pass shape at any corpus size. Non-vacuous at both gate SFs:
+    6/1000 rows dropped and 3 windows withheld at sf0.001; 51/10000 and
+    3 at sf0.01."""
+    ev = watermark_batched(load(spark, sf_dir, "events"))
+    stats = ev.groupBy("batch_id").agg(F.max("ts").alias("m"))
+    orderb = Window.orderBy("batch_id")
+    runs = stats.withColumn(
+        "runmax",
+        F.max("m").over(orderb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wm = runs.withColumn(
+        "wm_us",
+        (
+            F.floor(F.unix_micros(F.lag("runmax", 2).over(orderb)) / 1000)
+            - F.lit(WM_DELAY_MS)
+        )
+        * 1000,
+    ).select("batch_id", "wm_us")
+    fw = stats.agg(
+        (
+            (F.floor(F.unix_micros(F.max("m")) / 1000) - F.lit(WM_DELAY_MS))
+            * 1000
+        ).alias("fw_us")
+    )
+    win_start = F.date_trunc("hour", F.col("ts"))
+    tagged = (
+        ev.join(F.broadcast(wm), "batch_id")
+        .withColumn("window_start", win_start)
+        .withColumn(
+            "wend_us", F.unix_micros(win_start) + F.lit(3_600_000_000)
+        )
+    )
+    kept = tagged.filter(
+        F.col("wm_us").isNull() | (F.col("wend_us") > F.col("wm_us"))
+    )
+    return (
+        kept.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.max("wend_us").alias("wend_us"),
+        )
+        .crossJoin(F.broadcast(fw))
+        .filter(F.col("wend_us") <= F.col("fw_us"))
+        .select("window_start", "n_events", "sum_value")
+    )

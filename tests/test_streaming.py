@@ -436,3 +436,35 @@ def test_gopher_gate_stream_matches_declared_query(spark, sf_dir):
     }
     assert got == want and len(want) > 0
     assert any(r[-1] for r in want) and any(not r[-1] for r in want)
+
+
+def test_watermark_close_stream_equals_twin(spark, sf_dir):
+    """ST4 transitively under the driver's oracle gate (r13; the S6
+    runner precedent): a REAL maxFilesPerTrigger=1 streaming run over
+    the deterministic arrival log — one-batch watermark propagation
+    lag, late-row drops, append-mode closed-window emission and all —
+    must equal the declared hash-green stream_watermark_close_twin
+    row for row. Plus non-vacuity: the fixture's 7-day stragglers
+    must actually be dropped, and the tail windows actually withheld
+    (an all-kept / all-emitted run would attest nothing)."""
+    stream_pdf = (
+        jobs.run_watermark_close_stream(spark, sf_dir)
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    twin_pdf = (
+        twins.stream_watermark_close_twin(spark, sf_dir)
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert_frames_match(stream_pdf, twin_pdf, "watermark_close_semantics")
+
+    import pyspark.sql.functions as F
+
+    ev = load(spark, sf_dir, "events")
+    total_events = ev.count()
+    total_windows = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert int(twin_pdf["n_events"].sum()) < total_events  # rows were dropped
+    assert len(twin_pdf) < total_windows  # tail windows withheld (open state)
