@@ -92,3 +92,28 @@ def test_scripting_iterated_threshold_monotone(spark, sf_dir):
     assert sum(r["n_orders"] for r in out) == n_above  # conservation
     assert n_above < o.filter(F.col("o_totalprice") > t1).count()
     assert {r["tier"] for r in out} <= {"high", "low"}
+
+
+def test_curate_incremental_materialize_knob_is_plan_only(spark, sf_dir):
+    """r13: curate_incremental's shared batch-side materialization
+    (localCheckpoint of the gopher survivors + exact-admitted survivors)
+    is a PLAN optimization — the admitted verdicts must be identical
+    with and without it."""
+    from pyspark_for_ebook_classification_spark.operators.dedup import (
+        curate_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    on = {
+        r["doc_id"]: (r["quality_keep"], r["exact_admit"], r["final_admit"])
+        for r in curate_incremental(batch, corpus, materialize=True).collect()
+    }
+    off = {
+        r["doc_id"]: (r["quality_keep"], r["exact_admit"], r["final_admit"])
+        for r in curate_incremental(batch, corpus, materialize=False).collect()
+    }
+    assert on == off
+    assert any(v[2] for v in on.values())  # non-vacuous: some admits
+    assert not all(v[2] for v in on.values())  # ... and some rejections
