@@ -202,8 +202,10 @@ EXTRA = [
     # WHILE-iterated tail-mean threshold with an unrolled-CTE oracle
     "sql_scripting_compound",
     # r13: ST4 watermark semantics as a batch query (micro-batch arrival
-    # log replay — drop + closed-window emission, stream-equal by test)
+    # log replay — drop + closed-window emission, stream-equal by test),
+    # plus the watermark_replay library router at non-default dials
     "stream_watermark_close_twin",
+    "stream_watermark_library_replay",
 ]
 
 

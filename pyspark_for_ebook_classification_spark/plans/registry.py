@@ -86,15 +86,16 @@ _PRIORITY: tuple[str, ...] = (
     # ========== r13 front block (mechanical; scripts/rotate_priority.py
     # output against union(CORRECTNESS_r01..r12) — 332/332 pre-existing
     # names verified, 0 FAILs outstanding: the r13 additions
-    # (sql_scripting_compound, stream_watermark_close_twin — never
-    # verified by construction) lead per policy, then the two pinned
-    # known-stale names (r13 implementation changes:
-    # data_curation_incremental shared batch-side materialization,
-    # dedup_incremental_gate eager=False flip), then pure
-    # oldest-verdict-first freshness round-robin — the stalest
-    # r3-r5-era verdicts drain first).
+    # (sql_scripting_compound, stream_watermark_close_twin,
+    # stream_watermark_library_replay — never verified by construction)
+    # lead per policy, then the two pinned known-stale names (r13
+    # implementation changes: data_curation_incremental shared
+    # batch-side materialization, dedup_incremental_gate eager=False
+    # flip), then pure oldest-verdict-first freshness round-robin — the
+    # stalest r3-r5-era verdicts drain first).
     "sql_scripting_compound",
     "stream_watermark_close_twin",
+    "stream_watermark_library_replay",
     "data_curation_incremental",
     "dedup_incremental_gate",
     "dedup_ngram_jaccard",
@@ -142,7 +143,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "sketch_theta_set_overlap",
     "sketch_histogram_quantiles",
-    "sketch_hll_registers",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -489,7 +489,16 @@ def run_gopher_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "append")
 
 
-def run_watermark_close_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_watermark_close_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    batches: int = twins.WM_BATCHES,
+    delay_min: int = twins.WM_DELAY_MIN,
+    straggler_every: int = twins.WM_STRAGGLER_EVERY,
+    straggler_min: int = twins.WM_STRAGGLER_MIN,
+    jitter_mod: int = twins.WM_JITTER_MOD,
+) -> DataFrame:
     """ST4 as a REAL streaming query with DETERMINISTIC micro-batches:
     write the arrival log (twins.watermark_batched — bulk near-order +
     rare 7-day stragglers) as one parquet file per micro-batch with
@@ -503,7 +512,9 @@ def run_watermark_close_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py asserts the two are row-identical, putting
     ST4's late-drop + closed-window-emission semantics transitively
     under the driver's oracle gate (the S6 runner precedent, applied to
-    the last behavioral-only §2 row). The staging writes are fixture
+    the last behavioral-only §2 row). The dial kwargs mirror
+    twins.watermark_replay's, so the equality test also runs at the
+    library router's non-default dials. The staging writes are fixture
     plumbing: production's micro-batches arrive pre-sequenced from the
     ingest layer."""
     import glob
@@ -513,10 +524,16 @@ def run_watermark_close_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_for_ebook_classification_spark.sources.io import load
 
-    ev = twins.watermark_batched(load(spark, sf_dir, "events"))
+    ev = twins.watermark_batched(
+        load(spark, sf_dir, "events"),
+        batches=batches,
+        straggler_every=straggler_every,
+        straggler_min=straggler_min,
+        jitter_mod=jitter_mod,
+    )
     d = tempfile.mkdtemp(prefix="spark_graft_wm_stream_")
-    base = int(_time.time()) - 10 * twins.WM_BATCHES
-    for b in range(1, twins.WM_BATCHES + 1):
+    base = int(_time.time()) - 10 * batches
+    for b in range(1, batches + 1):
         stage = os.path.join(d, f"_stage{b}")
         (
             ev.filter(F.col("batch_id") == b)
@@ -537,7 +554,7 @@ def run_watermark_close_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("event_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
-        .withWatermark("ts", f"{twins.WM_DELAY_MIN} minutes")
+        .withWatermark("ts", f"{delay_min} minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")

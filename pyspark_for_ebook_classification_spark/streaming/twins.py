@@ -459,54 +459,166 @@ def stream_hourly_topk_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------- r13: watermark late-drop semantics (ST4) twin
 
 #: Deterministic micro-batch fixture for the ST4 watermark twin: events
-#: "arrive" mostly in event-time order with a small per-event jitter
-#: (event_id % 240 minutes), except every 50th event is a 7-DAY
-#: straggler — the production late-data shape (bulk in-order ingest +
-#: rare stragglers from a delayed upstream partition). Arrival order is
-#: cut into WM_BATCHES contiguous micro-batches by ntile.
+#: "arrive" mostly in event-time order with a small per-event jitter,
+#: except every STRAGGLER_EVERY-th event is a multi-day straggler — the
+#: production late-data shape (bulk in-order ingest + rare stragglers
+#: from a delayed upstream partition). Arrival order is cut into
+#: contiguous micro-batches by ntile. Registered-twin defaults:
 WM_BATCHES = 6
 WM_DELAY_MIN = 120
-WM_DELAY_MS = WM_DELAY_MIN * 60 * 1000
-
-#: arrival-time expression, shared verbatim between the twin and the
-#: streaming runner's batch writer (jobs.run_watermark_close_stream).
-_WM_ARRIVAL = (
-    "timestampadd(MINUTE, CAST(CASE WHEN event_id % 50 = 0 THEN 10080 "
-    "ELSE 0 END + event_id % 240 AS INT), ts)"
-)
+WM_STRAGGLER_EVERY = 50
+WM_STRAGGLER_MIN = 10080  # 7 days
+WM_JITTER_MOD = 240
 
 
-def watermark_batched(events: DataFrame) -> DataFrame:
+def _wm_arrival_expr(
+    straggler_every: int, straggler_min: int, jitter_mod: int
+) -> str:
+    """Arrival-time expression, shared verbatim between the twin's
+    batcher and the streaming runner's batch writer."""
+    return (
+        f"timestampadd(MINUTE, CAST(CASE WHEN event_id % {straggler_every}"
+        f" = 0 THEN {straggler_min} ELSE 0 END + event_id % {jitter_mod}"
+        " AS INT), ts)"
+    )
+
+
+def watermark_batched(
+    events: DataFrame,
+    *,
+    batches: int = WM_BATCHES,
+    straggler_every: int = WM_STRAGGLER_EVERY,
+    straggler_min: int = WM_STRAGGLER_MIN,
+    jitter_mod: int = WM_JITTER_MOD,
+) -> DataFrame:
     """(event_id, ts, value, arrival_ts, batch_id): the deterministic
     arrival log. The global ntile is FIXTURE plumbing — it simulates the
     ingest layer's file sequence, which production gets for free from
     the object-store listing; nothing here runs against corpus-scale
-    data (the twin's per-batch stats reduce to WM_BATCHES rows)."""
+    data (the twin's per-batch stats reduce to ``batches`` rows)."""
+    if batches < 3:
+        raise ValueError(
+            f"watermark_batched: need batches >= 3 for the one-batch "
+            f"propagation lag to ever take effect, got {batches}"
+        )
+    if straggler_every < 1 or jitter_mod < 1 or straggler_min < 0:
+        raise ValueError(
+            "watermark_batched: straggler_every/jitter_mod must be >= 1 "
+            f"and straggler_min >= 0, got ({straggler_every}, "
+            f"{jitter_mod}, {straggler_min})"
+        )
     order = Window.orderBy("arrival_ts", "event_id")
     return (
         events.select("event_id", "ts", "value")
-        .withColumn("arrival_ts", F.expr(_WM_ARRIVAL))
-        .withColumn("batch_id", F.ntile(WM_BATCHES).over(order))
+        .withColumn(
+            "arrival_ts",
+            F.expr(_wm_arrival_expr(straggler_every, straggler_min, jitter_mod)),
+        )
+        .withColumn("batch_id", F.ntile(batches).over(order))
     )
 
 
-@query(
-    "stream_watermark_close_twin",
-    survey_ref="ST4,ST1,A1",
-    doc="ST4 watermark semantics as a BATCH query: deterministic "
-    "micro-batch arrival log, per-batch max-event-time stats, the "
-    "one-batch-lag watermark (verified on 4.1.2), late-row drop, and "
-    "append-mode emission of closed windows only — proven row-identical "
-    "to a real maxFilesPerTrigger=1 streaming run by "
-    "tests/test_streaming.py.",
-    oracle=f"""
+def watermark_replay(
+    events: DataFrame,
+    *,
+    batches: int = WM_BATCHES,
+    delay_min: int = WM_DELAY_MIN,
+    straggler_every: int = WM_STRAGGLER_EVERY,
+    straggler_min: int = WM_STRAGGLER_MIN,
+    jitter_mod: int = WM_JITTER_MOD,
+) -> DataFrame:
+    """PRODUCTION entry — Structured Streaming's watermark semantics as
+    a BATCH replay of the deterministic arrival log (ST4, r13): exactly
+    what a `withWatermark(ts, delay) + tumbling-hour agg + APPEND sink`
+    stream emits over these micro-batches on this 4.1.2 build. Encodes
+    (and tests/test_streaming.py verifies against a REAL
+    maxFilesPerTrigger=1 run, at the registered dials AND at the
+    library router's non-default dials):
+      * per-batch event-time stats M_i = max(ts), floored to
+        MILLISECONDS (Spark tracks event-time stats in ms);
+      * ONE-BATCH propagation lag — the watermark filtering batch N is
+        max(M_1..M_{N-2}) - delay;
+      * late-row drop iff the row's hour-window END <= that batch's
+        watermark;
+      * availableNow's final no-data batch emits exactly the windows
+        whose end <= max(M_1..M_K) - delay; later windows stay open.
+
+    Scale shape: one groupBy to ``batches`` stats rows, a broadcast of
+    those rows back onto the events, one filter, one hash aggregate —
+    a single-pass shape at any corpus size (the arrival-log ntile is
+    fixture plumbing; production reads arrival order off the ingest
+    file sequence)."""
+    if delay_min < 0:
+        raise ValueError(f"watermark_replay: need delay_min >= 0, got {delay_min}")
+    delay_ms = delay_min * 60 * 1000
+    ev = watermark_batched(
+        events,
+        batches=batches,
+        straggler_every=straggler_every,
+        straggler_min=straggler_min,
+        jitter_mod=jitter_mod,
+    )
+    stats = ev.groupBy("batch_id").agg(F.max("ts").alias("m"))
+    orderb = Window.orderBy("batch_id")
+    runs = stats.withColumn(
+        "runmax",
+        F.max("m").over(orderb.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wm = runs.withColumn(
+        "wm_us",
+        (
+            F.floor(F.unix_micros(F.lag("runmax", 2).over(orderb)) / 1000)
+            - F.lit(delay_ms)
+        )
+        * 1000,
+    ).select("batch_id", "wm_us")
+    fw = stats.agg(
+        (
+            (F.floor(F.unix_micros(F.max("m")) / 1000) - F.lit(delay_ms)) * 1000
+        ).alias("fw_us")
+    )
+    win_start = F.date_trunc("hour", F.col("ts"))
+    tagged = (
+        ev.join(F.broadcast(wm), "batch_id")
+        .withColumn("window_start", win_start)
+        .withColumn("wend_us", F.unix_micros(win_start) + F.lit(3_600_000_000))
+    )
+    kept = tagged.filter(
+        F.col("wm_us").isNull() | (F.col("wend_us") > F.col("wm_us"))
+    )
+    return (
+        kept.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.max("wend_us").alias("wend_us"),
+        )
+        .crossJoin(F.broadcast(fw))
+        .filter(F.col("wend_us") <= F.col("fw_us"))
+        .select("window_start", "n_events", "sum_value")
+    )
+
+
+def _wm_replay_sql(
+    batches: int,
+    delay_min: int,
+    straggler_every: int,
+    straggler_min: int,
+    jitter_mod: int,
+) -> str:
+    """DuckDB oracle for :func:`watermark_replay` at the given dials —
+    one shared builder so the registered twin and the library router
+    check the SAME semantics at different parameters (the _nb_ctes
+    precedent)."""
+    delay_ms = delay_min * 60 * 1000
+    return f"""
         WITH batched AS (
             SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-                   ntile({WM_BATCHES}) OVER (
+                   ntile({batches}) OVER (
                        ORDER BY CAST(ts AS TIMESTAMP)
-                                + INTERVAL ((CASE WHEN event_id % 50 = 0
-                                             THEN 10080 ELSE 0 END
-                                             + event_id % 240)) MINUTE,
+                                + INTERVAL ((CASE WHEN event_id % {straggler_every} = 0
+                                             THEN {straggler_min} ELSE 0 END
+                                             + event_id % {jitter_mod})) MINUTE,
                                 event_id
                    ) AS batch_id
             FROM events
@@ -521,10 +633,10 @@ def watermark_batched(events: DataFrame) -> DataFrame:
         ), wm AS (
             SELECT batch_id,
                    (epoch_us(lag(runmax, 2) OVER (ORDER BY batch_id))
-                    // 1000 - {WM_DELAY_MS}) * 1000 AS wm_us
+                    // 1000 - {delay_ms}) * 1000 AS wm_us
             FROM runs
         ), final_wm AS (
-            SELECT (epoch_us(max(m)) // 1000 - {WM_DELAY_MS}) * 1000 AS fw_us
+            SELECT (epoch_us(max(m)) // 1000 - {delay_ms}) * 1000 AS fw_us
             FROM stats
         ), kept AS (
             SELECT b.value,
@@ -540,76 +652,56 @@ def watermark_batched(events: DataFrame) -> DataFrame:
         FROM kept
         GROUP BY window_start
         HAVING max(wend_us) <= (SELECT fw_us FROM final_wm)
-    """,
+    """
+
+
+@query(
+    "stream_watermark_close_twin",
+    survey_ref="ST4,ST1,A1",
+    doc="ST4 watermark semantics as a BATCH query: deterministic "
+    "micro-batch arrival log, per-batch max-event-time stats, the "
+    "one-batch-lag watermark (verified on 4.1.2), late-row drop, and "
+    "append-mode emission of closed windows only — proven row-identical "
+    "to a real maxFilesPerTrigger=1 streaming run by "
+    "tests/test_streaming.py.",
+    oracle=_wm_replay_sql(
+        WM_BATCHES, WM_DELAY_MIN, WM_STRAGGLER_EVERY, WM_STRAGGLER_MIN,
+        WM_JITTER_MOD,
+    ),
 )
 def stream_watermark_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4 — watermark/late-data semantics, BATCH-expressible and
-    therefore oracle-checkable: replay the deterministic arrival log
-    micro-batch by micro-batch exactly as Structured Streaming's
-    event-time watermark does on this 4.1.2 build.
+    """ST4 at the registered dials — one :func:`watermark_replay` call
+    (6 batches, 120-min delay, every-50th-event 7-day stragglers,
+    240-min jitter). Non-vacuous at both gate SFs: 6/1000 rows dropped
+    and 3 windows withheld at sf0.001; 51/10000 and 3 at sf0.01."""
+    return watermark_replay(load(spark, sf_dir, "events"))
 
-    Semantics encoded (each verified empirically by the row-identical
-    streaming run in tests/test_streaming.py):
-      * per-batch event-time stats: M_i = max(ts) over micro-batch i,
-        floored to MILLISECONDS (Spark tracks event-time stats in ms);
-      * one-batch propagation lag: the watermark FILTERING batch N is
-        max(M_1..M_{{N-2}}) - delay — stats commit after a batch and
-        take effect one batch later (tests/test_streaming.py's
-        long-standing ST4 drop test pins this lag);
-      * late-row drop: a row in batch N is dropped iff its hour-window
-        END <= that batch's watermark;
-      * append-mode emission: availableNow runs a final no-data batch
-        with watermark max(M_1..M_K) - delay, so exactly the windows
-        whose end <= that final watermark are in the sink when the
-        query terminates — later windows are withheld open state.
 
-    Scale shape: the arrival-log ntile is fixture plumbing (production
-    reads arrival order off the ingest file sequence); everything else
-    is one groupBy to WM_BATCHES stats rows, a broadcast of those rows
-    back onto the events, one filter, and one hash aggregate — the same
-    single-pass shape at any corpus size. Non-vacuous at both gate SFs:
-    6/1000 rows dropped and 3 windows withheld at sf0.001; 51/10000 and
-    3 at sf0.01."""
-    ev = watermark_batched(load(spark, sf_dir, "events"))
-    stats = ev.groupBy("batch_id").agg(F.max("ts").alias("m"))
-    orderb = Window.orderBy("batch_id")
-    runs = stats.withColumn(
-        "runmax",
-        F.max("m").over(orderb.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    wm = runs.withColumn(
-        "wm_us",
-        (
-            F.floor(F.unix_micros(F.lag("runmax", 2).over(orderb)) / 1000)
-            - F.lit(WM_DELAY_MS)
-        )
-        * 1000,
-    ).select("batch_id", "wm_us")
-    fw = stats.agg(
-        (
-            (F.floor(F.unix_micros(F.max("m")) / 1000) - F.lit(WM_DELAY_MS))
-            * 1000
-        ).alias("fw_us")
-    )
-    win_start = F.date_trunc("hour", F.col("ts"))
-    tagged = (
-        ev.join(F.broadcast(wm), "batch_id")
-        .withColumn("window_start", win_start)
-        .withColumn(
-            "wend_us", F.unix_micros(win_start) + F.lit(3_600_000_000)
-        )
-    )
-    kept = tagged.filter(
-        F.col("wm_us").isNull() | (F.col("wend_us") > F.col("wm_us"))
-    )
-    return (
-        kept.groupBy("window_start")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value", "sum_value"),
-            F.max("wend_us").alias("wend_us"),
-        )
-        .crossJoin(F.broadcast(fw))
-        .filter(F.col("wend_us") <= F.col("fw_us"))
-        .select("window_start", "n_events", "sum_value")
+@query(
+    "stream_watermark_library_replay",
+    survey_ref="ST4,ST1,A1",
+    doc="watermark_replay routed at NON-DEFAULT dials (9 batches, "
+    "45-min delay, every-37th-event 9-day stragglers, 180-min jitter) "
+    "— the oracle checks the parameter plumbing end to end; the same "
+    "dials also run through the REAL stream in tests/test_streaming.py.",
+    oracle=_wm_replay_sql(9, 45, 37, 12960, 180),
+)
+def stream_watermark_library_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST4 library router (r13; the r10 MMR-lambda precedent): ONE
+    production :func:`watermark_replay` call at dials the registered
+    twin does not use — a faster 45-min watermark over 9 micro-batches
+    with more frequent (every 37th) and later (9-day) stragglers — so
+    the driver's hash attests the dial plumbing (batch count, delay
+    arithmetic, straggler/jitter arrival shape), not just the default
+    path. Non-vacuous at both gate SFs: 22/1000 dropped, 2 withheld at
+    sf0.001; 212/10000 dropped, 1 withheld at sf0.01."""
+    return watermark_replay(
+        load(spark, sf_dir, "events"),
+        batches=9,
+        delay_min=45,
+        straggler_every=37,
+        straggler_min=12960,
+        jitter_mod=180,
     )

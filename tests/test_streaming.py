@@ -468,3 +468,34 @@ def test_watermark_close_stream_equals_twin(spark, sf_dir):
     total_windows = ev.select(F.date_trunc("hour", "ts")).distinct().count()
     assert int(twin_pdf["n_events"].sum()) < total_events  # rows were dropped
     assert len(twin_pdf) < total_windows  # tail windows withheld (open state)
+
+
+def test_watermark_library_replay_stream_equal_at_router_dials(spark, sf_dir):
+    """The ST4 library router's dials (9 batches, 45-min delay,
+    every-37th-event 9-day stragglers, 180-min jitter) through the REAL
+    stream must equal the declared stream_watermark_library_replay —
+    the oracle checks the dial plumbing, this test checks the dials
+    against the engine itself."""
+    stream_pdf = (
+        jobs.run_watermark_close_stream(
+            spark,
+            sf_dir,
+            batches=9,
+            delay_min=45,
+            straggler_every=37,
+            straggler_min=12960,
+            jitter_mod=180,
+        )
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    twin_pdf = (
+        twins.stream_watermark_library_replay(spark, sf_dir)
+        .toPandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert_frames_match(stream_pdf, twin_pdf, "watermark_router_dials")
+    ev = load(spark, sf_dir, "events")
+    assert int(twin_pdf["n_events"].sum()) < ev.count()  # drops happened
