@@ -335,13 +335,14 @@ def main() -> None:
         "scheduler overhead grows with 32× more input splits (0.75-0.84× "
         "across four r12 runs) "
         "— benign at toy scale and inverted at 100 TB, where splitting "
-        "the scan is precisely what buys parallelism. As of r13 every "
-        ">2.5× entrant carries its own analytical-ceiling/conservation "
-        "test (the last holdout, `sql_pipe_syntax_flagship`, is pinned "
-        "by tests/test_r13_semantics.py: key-space output bound + "
-        "line/quantity-mass conservation through the EXTEND stages), so "
-        "no entry on this table is a standing watch item — a regression "
-        "would fail the invariant before the timing table moved.",
+        "the scan is precisely what buys parallelism. The r12 verdict's "
+        "last standing watch item, `sql_pipe_syntax_flagship`, gained "
+        "its analytical-ceiling test in r13 (tests/test_r13_semantics.py: "
+        "key-space output bound + line/quantity-mass conservation "
+        "through the EXTEND stages), so the watch list is empty; "
+        "entrants retired by this section keep their "
+        "ceiling/conservation tests as cheap invariants that would fail "
+        "before the timing table moved.",
         "",
         *(
             [
