@@ -83,21 +83,12 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r13 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r12) — 332/332 pre-existing
-    # names verified, 0 FAILs outstanding: the r13 additions
-    # (sql_scripting_compound, stream_watermark_close_twin,
-    # stream_watermark_library_replay — never verified by construction)
-    # lead per policy, then the two pinned known-stale names (r13
-    # implementation changes: data_curation_incremental shared
-    # batch-side materialization, dedup_incremental_gate eager=False
-    # flip), then pure oldest-verdict-first freshness round-robin — the
-    # stalest r3-r5-era verdicts drain first).
-    "sql_scripting_compound",
-    "stream_watermark_close_twin",
-    "stream_watermark_library_replay",
-    "data_curation_incremental",
-    "dedup_incremental_gate",
+    # ========== r14 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r13) — 335/335 registered
+    # names verified, 0 never-verified, 0 active pins (every PINNED entry
+    # auto-pruned by its r13 verdict): pure freshness rotation — the
+    # standing HIGH_RISK families in cycle order, then oldest-verdict-
+    # first round-robin (the stalest r5-r6-era verdicts drain first).
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -110,39 +101,44 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    "text_bigram_lm_score",
-    "multimodal_frame_sample",
-    "stream_stream_join_twin",
-    "stream_chained_window_twin",
-    "scan_python_ds_pushdown",
-    "join_asof_nearest_click",
-    "agg_skew_kurtosis",
-    "agg_filter_clause_suite",
-    "window_rolling_median",
-    "window_ewma_quantity",
-    "window_interpolate_linear",
-    "fn_map_hof_suite",
-    "window_order_gap_stats",
-    "dedup_incremental_exact",
-    "dedup_cluster_size_distribution",
-    "sim_gram_matrix_block",
-    "sim_random_projection_reduce",
-    "sim_product_quantization",
-    "sim_pq_adc_topk",
-    "text_zipf_slope",
-    "text_vocab_overlap_sources",
-    "data_decontaminate_ngram",
-    "data_train_valid_split",
-    "data_interleave_sources",
-    "data_e2e_prep_pipeline",
-    "data_mixture_budget_plan",
-    "data_reservoir_per_source",
-    "data_contrastive_pairs",
-    "sketch_bloom_semijoin",
-    "sketch_countmin_topk",
-    "sketch_kmv_distinct",
-    "sketch_theta_set_overlap",
-    "sketch_histogram_quantiles",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_pagerank_fixedpoint",
+    "graph_triangle_count",
+    "text_token_entropy",
+    "data_dataset_card_stats",
+    "data_quality_model_score",
+    "data_snapshot_diff",
+    "data_curation_funnel",
+    "stream_countmin_grid_twin",
+    "stream_hourly_topk_twin",
+    "merge_upsert_emulation",
+    "join_pit_scd2_state",
+    "join_basket_part_pairs",
+    "join_fuzzy_supplier_names",
+    "join_time_band_pairs",
+    "agg_min_max_by",
+    "agg_corr_regr",
+    "agg_mode_deterministic",
+    "window_nth_value_frames",
+    "window_cohort_retention",
+    "window_gapfill_daily",
+    "window_scd2_intervals",
+    "window_anomaly_zscore",
+    "window_streak_islands",
+    "window_sessionize_gap",
+    "window_sliding_distinct_users_7d",
+    "window_interval_range_frame",
+    "window_user_paths",
+    "window_funnel_strict_order",
+    "fn_bitwise_suite",
+    "fn_binary_string_suite",
+    "fn_date_suite2",
+    "fn_time_suite",
+    "fn_url_suite",
+    "fn_sql_udf_suite",
+    "sql_parameterized_markers",
+    "fn_collation_suite",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from
@@ -217,13 +213,25 @@ _PRIORITY: tuple[str, ...] = (
 #       old). r11 query additions will be re-pasted to the front per
 #       policy tier (1) when they land. Derived against union(r01..r10);
 #       pinned by the rotation-equality test.
-#   r12 (this file's front block): the 10 r11 additions all went green on
+#   r12 (prior front block): the 10 r11 additions all went green on
 #       first driver contact in r11 (325/325 covered, 0 never-verified),
 #       so this is again a PURE freshness block: high-risk 12, then the
 #       oldest-verdict-first round-robin (the r3-r5-era TPC-H/fn/udf/
 #       stream/sim/text core, verdicts 7-9 rounds old, resurfaces).
 #       Derived against union(r01..r11); pinned by the rotation-equality
 #       test.
+#   r13 (prior front block): the 3 r13 additions (scripting compound, the
+#       two watermark ST4 conversions) led per policy, then the two pinned
+#       known-stale names (curate_incremental restructure, gate eager flip),
+#       then high-risk 12 + oldest-first. All 50 went green (CORRECTNESS_r13).
+#   r14 (this file's front block): 335/335 verified, 0 never-verified, 0
+#       active pins (every PINNED entry auto-pruned by its r13 verdict) —
+#       PURE freshness: high-risk 12, then oldest-verdict-first (the
+#       r5-r6-era sketch/graph/datapipe/window/fn core resurfaces).
+#       Derived against union(r01..r13); pinned by the rotation-equality
+#       test. r14 is an OPTIMIZATION round: implementations touched this
+#       round keep their semantics (oracle hash must stay identical), so
+#       policy tier (1) re-attestation happens naturally via this block.
 #   r8+ (post-closure rotation policy): once union(CORRECTNESS) covers every
 #       registered name, repurpose the 50-slot budget as a freshness
 #       rotation — front, in order: (1) any query whose implementation

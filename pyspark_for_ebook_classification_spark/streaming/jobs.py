@@ -532,33 +532,34 @@ def run_watermark_close_stream(
         jitter_mod=jitter_mod,
     )
     d = tempfile.mkdtemp(prefix="spark_graft_wm_stream_")
-    base = int(_time.time()) - 10 * batches
-    for b in range(1, batches + 1):
-        stage = os.path.join(d, f"_stage{b}")
-        (
-            ev.filter(F.col("batch_id") == b)
-            .select("event_id", "ts", "value")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
+    try:
+        base = int(_time.time()) - 10 * batches
+        for b in range(1, batches + 1):
+            stage = os.path.join(d, f"_stage{b}")
+            (
+                ev.filter(F.col("batch_id") == b)
+                .select("event_id", "ts", "value")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"b{b:02d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base + b, base + b))
+
+        from pyspark_for_ebook_classification_spark.functions.numeric import dsum
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withWatermark("ts", f"{delay_min} minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
         )
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(d, f"b{b:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (base + b, base + b))
-
-    from pyspark_for_ebook_classification_spark.functions.numeric import dsum
-
-    stream = (
-        spark.readStream.schema("event_id long, ts timestamp, value double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-        .withWatermark("ts", f"{delay_min} minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
-    )
-    out = _run_to_memory(stream, "append")
-    shutil.rmtree(d, ignore_errors=True)  # memory sink holds the rows
-    return out
+        return _run_to_memory(stream, "append")  # memory sink holds the rows
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

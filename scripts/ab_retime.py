@@ -74,7 +74,8 @@ def load_tree(path: str, names: list[str]) -> dict:
     try:
         reg = importlib.import_module(f"{PKG}.plans.registry")
         qs = reg.all_queries()
-        return {n: qs[n].fn for n in names}
+        # unknown names are reported by the caller with a usable message
+        return {n: qs[n].fn for n in names if n in qs}
     finally:
         sys.path.remove(path)
 
@@ -89,6 +90,11 @@ def main() -> int:
             names.append(CANARY)
 
     fns = {"A": load_tree(tree_a, names), "B": load_tree(tree_b, names)}
+    for label, tree in fns.items():
+        unknown = sorted(set(names) - set(tree))
+        if unknown:
+            print(f"unknown query names in tree {label}: {', '.join(unknown)}")
+            return 2
 
     # the session helper is identical in both trees; take B's (current)
     sys.path.insert(0, tree_b)

@@ -118,6 +118,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
+    "CORRECTNESS_r13.json",
 )
 
 
