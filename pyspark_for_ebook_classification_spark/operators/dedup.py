@@ -2930,34 +2930,85 @@ def gate_score(
     """The streamable scoring stage shared by the declared
     ``dedup_incremental_gate`` (batch input), the Structured Streaming
     runner (``streaming/jobs.run_incremental_gate_stream``, stream
-    input), and ``curate_incremental``'s index-at-rest near stage: one
-    band equi-join per band whose union is PAIR-EXACT without any
-    distinct (a pair can only repeat when several bands match; join i
-    drops rows where ANY earlier band already matched, via null-safe
-    inequalities), exact-Jaccard verification as a projection, and ONE
-    aggregation per new doc (count + argmax via struct max, ties to the
-    lowest corpus id) — the only stateful op, so the identical plan
-    runs under a complete-mode streaming sink.
+    input), and ``curate_incremental``'s index-at-rest near stage:
+    ONE band equi-join on (band_idx, band_hash) — both sides explode
+    their band-key array — whose output is PAIR-EXACT without any
+    distinct (a pair can only repeat when several bands match; the
+    post-join precedence filter keeps a pair only at its EARLIEST
+    matching band, via null-safe equality over the earlier band-key
+    prefixes both sides carry), exact-Jaccard verification as a
+    projection, and ONE aggregation per new doc (count + argmax via
+    struct max, ties to the lowest corpus id) — the only stateful op,
+    so the identical plan runs under a complete-mode streaming sink.
+
+    r14 (guide §1.2 step 1 / §2.3): the former one-join-PER-band union
+    re-planned the batch side per band, so the arriving docs' MinHash
+    signatures (the md5 + LCG folds — the gate's dominant per-row cost)
+    were computed ``bands`` times and the batch was scanned ``bands``
+    times; the exploded single join computes them ONCE and builds one
+    index hash relation instead of ``bands``. Row multiset out of the
+    join+filter is identical to the old union by construction (same
+    earliest-band precedence rule).
 
     ``batch`` must carry (doc_id, shingles, b0..b{bands-1}) — the
     _gate_sig_cols layout; ``index`` is gate_static_index's output at
     the same banding."""
-    new = batch.select(
-        F.col("doc_id").alias("new_id"),
-        F.col("shingles").alias("sh_n"),
-        *[F.col(f"b{b}").alias(f"nb{b}") for b in range(bands)],
+    # Explode a LITERAL band-index array and pick the key with
+    # element_at ABOVE the Generate — NOT posexplode of the key array
+    # itself: InferFiltersFromGenerate would infer `size(keys) > 0`
+    # from a data-dependent generator and push it below the projection,
+    # re-inlining the whole MinHash chain (down to split(text)) into a
+    # per-row Filter — measured 8-10× on the signature stage. The
+    # literal generator's inferred filter constant-folds away, so the
+    # signature projection is evaluated exactly once per doc.
+    bands_lit = F.array(*[F.lit(b) for b in range(bands)])
+    new = (
+        batch.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("shingles").alias("sh_n"),
+            F.array(*[F.col(f"b{b}") for b in range(bands)]).alias("nbs"),
+        )
+        .select("new_id", "sh_n", "nbs", F.explode(bands_lit).alias("bi"))
+        .select(
+            "new_id",
+            "sh_n",
+            "nbs",
+            "bi",
+            F.element_at("nbs", F.col("bi") + 1).alias("nk"),
+        )
     )
-    old = index.select(
-        F.col("doc_id").alias("old_id"),
-        F.col("shingles").alias("sh_o"),
-        *[F.col(f"b{b}").alias(f"ob{b}") for b in range(bands)],
+    old = (
+        index.select(
+            F.col("doc_id").alias("old_id"),
+            F.col("shingles").alias("sh_o"),
+            F.array(*[F.col(f"b{b}") for b in range(bands)]).alias("obs"),
+        )
+        .select("old_id", "sh_o", "obs", F.explode(bands_lit).alias("oi"))
+        .select(
+            "old_id",
+            "sh_o",
+            "obs",
+            "oi",
+            F.element_at("obs", F.col("oi") + 1).alias("ok"),
+        )
+        .filter(F.col("ok").isNotNull())
     )
-    pairs = None
-    for b in range(bands):
-        j = new.join(old, F.col(f"nb{b}") == F.col(f"ob{b}"))
-        for earlier in range(b):
-            j = j.filter(~F.expr(f"nb{earlier} <=> ob{earlier}"))
-        pairs = j if pairs is None else pairs.unionByName(j)
+    # earliest-band precedence: drop a pair surfaced at band bi when any
+    # earlier band already matched (null-safe, as before — a capped NULL
+    # index band never matches). Written as a STATIC conjunction over the
+    # band positions rather than an exists/zip_with lambda: higher-order
+    # functions in a join condition knock the join out of whole-stage
+    # codegen; these plain comparisons keep it codegen'd.
+    precedence = F.lit(True)
+    for e in range(bands - 1):
+        earlier_eq = F.expr(
+            f"element_at(nbs, {e + 1}) <=> element_at(obs, {e + 1})"
+        )
+        precedence = precedence & ((F.col("bi") <= e) | ~earlier_eq)
+    pairs = new.join(
+        old,
+        (F.col("bi") == F.col("oi")) & (F.col("nk") == F.col("ok")) & precedence,
+    )
     inter = F.size(F.array_intersect("sh_n", "sh_o"))
     jac = inter.cast("double") / (
         F.size("sh_n") + F.size("sh_o") - inter

@@ -1499,6 +1499,74 @@ _MMR_K = 5      # diversified results to keep
 #: λ = 0.5 exactly representable: score = λ·rel − (1−λ)·max sim-to-selected
 
 
+def _mmr_greedy_sql(lam: float, k: int, extra: tuple[str, ...] = ()) -> str:
+    """The greedy-MMR loop as ONE JVM aggregate expression over a
+    per-query candidate array ``cs`` (struct fields: cand_id, *extra,
+    rel, embedding, nrm) — r14 optimization (guide §1.2 step 1 + §2.4):
+    the former K−1 rounds of {bounded join + window + eager
+    localCheckpoint} cost one Spark JOB each (the r10 BENCHNOTES
+    measurement showed job count, not pairwise volume, dominates at
+    |Q|·POOL² ≤ 10×100² rows), and the POOL² pairwise table existed
+    only to feed those rounds. Folding the whole selection into one
+    ``aggregate(sequence(1, k), ...)`` removes the psim table, every
+    per-step shuffle/window, and ALL checkpoints: the MMR tail becomes
+    one hash aggregate (collect the bounded pool per query) + one
+    codegen projection, i.e. a single Spark job end to end.
+
+    Bit-equality with the former dataframe loop (and the unrolled
+    DuckDB oracle): the candidate→selected cosine is the identical
+    ``spark_dot`` fold (zip_with products in array order, sequential
+    double adds, candidate-side norm first in the divisor); mxs is a
+    max over doubles (order-free); each step's argmax uses the same
+    (mmr DESC, cand_id ASC) total order, so the collect_list input
+    order cannot matter; λ/(1−λ) literals are CAST(repr AS DOUBLE),
+    byte-identical to F.lit. Step 1 scores λ·rel with no diversity
+    term, exactly the old pick1.
+
+    Scale shape: per-query pools are bounded by construction (the
+    callers rank-truncate before grouping), so the collected array and
+    the k·|pool|·|sel| dot products are O(pool²·dim) per query row —
+    corpus-independent, no shuffle beyond the one pool-collecting
+    aggregate. Pools ~100× larger would want the array form revisited
+    (one task holds a pool); that is the same crossover BENCHNOTES
+    records for the former table form."""
+    lm = f"CAST({lam!r} AS DOUBLE)"
+    om = f"CAST({(1.0 - lam)!r} AS DOUBLE)"
+    carry = "".join(f"'{f}', c.{f}, " for f in extra)
+    dot = (
+        "aggregate(zip_with(c.embedding, s.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    mmr = (
+        f"CASE WHEN size(st) = 0 THEN {lm} * c.rel"
+        f" ELSE {lm} * c.rel - {om} * array_max(transform(st, s -> {dot}"
+        f" / (c.nrm * s.nrm))) END"
+    )
+    unselected = "filter(cs, c -> NOT exists(st, s -> s.cand_id = c.cand_id))"
+    scored = (
+        f"transform({unselected},"
+        f" c -> named_struct('cand_id', c.cand_id, {carry}'rel', c.rel,"
+        f" 'embedding', c.embedding, 'nrm', c.nrm,"
+        f" 'mmr', {mmr}, 'rank', CAST(stp AS INT)))"
+    )
+    cmp_ = (
+        "(a, b) -> CASE WHEN a.mmr > b.mmr THEN -1 WHEN a.mmr < b.mmr THEN 1"
+        " WHEN a.cand_id < b.cand_id THEN -1 WHEN a.cand_id > b.cand_id THEN 1"
+        " ELSE 0 END"
+    )
+    init = (
+        f"slice(transform(cs, c -> named_struct('cand_id', c.cand_id,"
+        f" {carry}'rel', c.rel, 'embedding', c.embedding, 'nrm', c.nrm,"
+        f" 'mmr', CAST(0 AS DOUBLE), 'rank', 0)), 1, 0)"
+    )
+    step = (
+        f"(st, stp) -> CASE WHEN size({unselected}) = 0 THEN st"
+        f" ELSE array_append(st, get(array_sort({scored}, {cmp_}), 0)) END"
+    )
+    return f"aggregate(sequence(1, {k}), {init}, {step})"
+
+
 def _mmr_oracle(lam: float = 0.5) -> str:
     """Unrolled greedy-MMR oracle; ``lam`` must be exactly representable
     (0.5/0.25/0.75) so the SQL literal and F.lit agree bit-for-bit."""
@@ -1607,11 +1675,14 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus-sized work is only the relevance pool (the
     existing broadcast-anchor scoring stage + per-query top-20 window);
-    everything after is bounded per query — the pairwise sim table is
-    pool²·|Q| rows and the five steps touch pool-sized tables only, so
-    MMR cost is INDEPENDENT of corpus size. Pool and pairwise-sim
-    tables are localCheckpoint'd (tiny by construction) so the five
-    step-joins never replan the corpus scoring stage."""
+    everything after is bounded per query. r14 (guide §1.2 step 1,
+    §2.4): the five greedy steps run as ONE JVM aggregate over the
+    per-query pool array (_mmr_greedy_sql) — the former per-step
+    bounded joins + windows + eager localCheckpoints cost one Spark job
+    each and dominated wall time at this pool size (the r10 BENCHNOTES
+    job-floor measurement); the whole query is now a single job with
+    one pool-collecting aggregate, and the |Q|·POOL² pairwise table is
+    gone. MMR cost stays INDEPENDENT of corpus size."""
     e = _normed(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1636,82 +1707,25 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= _MMR_POOL)
         .select("query_id", "cand_id", "embedding", "nrm", "rel")
-        .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
-    )
-    pa = pool.select(
-        "query_id",
-        F.col("cand_id").alias("a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    pb = pool.select(
-        "query_id",
-        F.col("cand_id").alias("b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    psim = (
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "sim"
-            ),
-        )
-        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
     )
     picks = (
-        pool.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
+        pool.groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("cand_id", "rel", "embedding", "nrm")).alias(
+                "cs"
+            )
+        )
         .select(
             "query_id",
-            "cand_id",
-            "rel",
-            (F.lit(0.5) * F.col("rel")).alias("mmr"),
-            F.lit(1).alias("rank"),
+            F.explode(F.expr(_mmr_greedy_sql(0.5, _MMR_K))).alias("pk"),
         )
     )
-    sel = picks.select("query_id", "cand_id")
-    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
-    for k in range(2, _MMR_K + 1):
-        mxs = (
-            psim.join(
-                sel.select("query_id", F.col("cand_id").alias("b")),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("mxs"))
-        )
-        step = (
-            pool.join(sel, ["query_id", "cand_id"], "left_anti")
-            .join(mxs, ["query_id", "cand_id"])
-            .select(
-                "query_id",
-                "cand_id",
-                "rel",
-                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("mxs")).alias(
-                    "mmr"
-                ),
-            )
-            .withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", "rel", "mmr", F.lit(k).alias("rank"))
-        )
-        # Materialize the accumulated picks each step (|Q|·k rows — tiny):
-        # without this, step k's plan EMBEDS steps 2..k-1's plans via the
-        # sel union chain, so earlier steps re-execute inside every later
-        # one (~50 stages for K=5; measured 3.95 s fixed floor at sf0.01).
-        picks = picks.unionByName(step).localCheckpoint(eager=True)
-        sel = picks.select("query_id", "cand_id")
     return picks.select(
         "query_id",
-        "cand_id",
-        F.round("rel", 6).alias("relevance"),
-        F.round("mmr", 6).alias("mmr_score"),
-        "rank",
+        F.col("pk.cand_id").alias("cand_id"),
+        F.round("pk.rel", 6).alias("relevance"),
+        F.round("pk.mmr", 6).alias("mmr_score"),
+        F.col("pk.rank").alias("rank"),
     )
 
 
@@ -2615,14 +2629,18 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: corpus-sized work is exactly the two upstream retrieval
     passes (BM25's broadcast probe, cosine's broadcast scan) — already
-    scale-audited on their own; fusion runs on |Q|×{RRF_POOL} rank rows,
-    MMR on a |Q|×{_STACK_POOL} pool with |Q|×{_STACK_POOL}² pairwise
-    sims, both localCheckpoint'd (bounded) so the five greedy steps
-    never replan the retrieval stages (the POOL² table is kept on
-    MEASUREMENT — see the in-loop comment: both trim variants lose on
-    job-count floor at this pool size). End-to-end, corpus traffic is
-    ONE tf build + ONE embedding scan regardless of K, pool, or step
-    count."""
+    scale-audited on their own; fusion runs on |Q|×{RRF_POOL} rank rows.
+    r14 (guide §1.2 step 1, §2.4): the MMR tail runs as ONE JVM
+    aggregate over the per-query fused pool array (_mmr_greedy_sql) —
+    this supersedes the r10 "POOL² table kept on measurement"
+    non-decision, which compared DATAFRAME-loop variants where every
+    greedy step was a Spark job (the job floor both variants lost to);
+    the HOF form has no per-step jobs at all, so the |Q|·POOL² pairwise
+    table, the per-step windows, and every localCheckpoint are gone and
+    the whole stack is one lazy plan (fusion max moved from a self-join
+    aggregate into a same-partitioning window, removing another
+    exchange). End-to-end, corpus traffic is ONE tf build + ONE
+    embedding scan regardless of K, pool, or step count."""
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
     fpool = (
         _rrf_fused(spark, sf_dir)
@@ -2630,109 +2648,39 @@ def sim_retrieval_stack_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STACK_POOL)
         .select("query_id", F.col("neighbor_id").alias("cand_id"), "rrf")
     )
-    fmax = fpool.groupBy("query_id").agg(F.max("rrf").alias("mx"))
     e = _normed(spark, sf_dir)
     pool = (
-        fpool.join(fmax, "query_id")
+        fpool.withColumn(
+            "mx", F.max("rrf").over(Window.partitionBy("query_id"))
+        )
         .withColumn("rel", F.col("rrf") / F.col("mx").cast("double"))
         .join(
             e.select(F.col("vec_id").alias("cand_id"), "embedding", "nrm"),
             "cand_id",
         )
         .select("query_id", "cand_id", "rrf", "rel", "embedding", "nrm")
-        .localCheckpoint(eager=True)  # |Q|·POOL rows — bounded
     )
-    # POOL² pairwise table, kept DELIBERATELY (r9 verdict task 5,
-    # measured): two trims were implemented and timed at sf0.1 —
-    # (a) the advisor's top-K-by-rel reachability filter is UNSOUND
-    # (when the high-rel pool is self-similar, a low-rel orthogonal
-    # candidate outside any rel-top-K wins a greedy step: mmr =
-    # λ·rel − (1−λ)·mxs and clones of pick 1 carry mxs ≈ 1), and
-    # (b) the sound incremental running-max (fold each step's new pick
-    # into a per-candidate max; POOL·(K−1) sims instead of POOL²)
-    # measured 6.23 s vs 5.29 s min-of-3 with per-step eager
-    # checkpoints, 7.14 s without — at |Q|·POOL² = 10×100 bounded rows
-    # the pairwise volume was never the cost; Spark JOB COUNT is, and
-    # one upfront checkpoint beats K−1 incremental steps. Revisit only
-    # if POOL grows ~100× (the crossover where data volume beats job
-    # floor). Output-identity of variant (b) was proven against this
-    # form's oracle hash at sf0.01 AND sf0.1 before reverting.
-    pa = pool.select(
-        "query_id",
-        F.col("cand_id").alias("a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    pb = pool.select(
-        "query_id",
-        F.col("cand_id").alias("b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    psim = (
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "sim"
-            ),
-        )
-        .localCheckpoint(eager=True)  # |Q|·POOL² rows — bounded
-    )
-    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     picks = (
-        pool.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
+        pool.groupBy("query_id")
+        .agg(
+            F.collect_list(
+                F.struct("cand_id", "rrf", "rel", "embedding", "nrm")
+            ).alias("cs")
+        )
         .select(
             "query_id",
-            "cand_id",
-            "rrf",
-            "rel",
-            (F.lit(0.5) * F.col("rel")).alias("mmr"),
-            F.lit(1).alias("rank"),
+            F.explode(F.expr(_mmr_greedy_sql(0.5, _MMR_K, ("rrf",)))).alias("pk"),
         )
     )
-    sel = picks.select("query_id", "cand_id")
-    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
-    for k in range(2, _MMR_K + 1):
-        mxs = (
-            psim.join(
-                sel.select("query_id", F.col("cand_id").alias("b")),
-                ["query_id", "b"],
-            )
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("mxs"))
-        )
-        step = (
-            pool.join(sel, ["query_id", "cand_id"], "left_anti")
-            .join(mxs, ["query_id", "cand_id"])
-            .select(
-                "query_id",
-                "cand_id",
-                "rrf",
-                "rel",
-                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("mxs")).alias("mmr"),
-            )
-            .withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", "rrf", "rel", "mmr", F.lit(k).alias("rank"))
-        )
-        # accumulate picks materialized per step (|Q|·k rows — tiny; the
-        # sim_mmr_diversified_topk stage-explosion fix)
-        picks = picks.unionByName(step).localCheckpoint(eager=True)
-        sel = picks.select("query_id", "cand_id")
     return picks.select(
         "query_id",
-        "cand_id",
-        F.col("rrf").cast("bigint").alias("rrf_score"),
-        (F.floor(F.col("rel") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
+        F.col("pk.cand_id").alias("cand_id"),
+        F.col("pk.rrf").cast("bigint").alias("rrf_score"),
+        (F.floor(F.col("pk.rel") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
         .alias("relevance"),
-        (F.floor(F.col("mmr") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
+        (F.floor(F.col("pk.mmr") * 1000000.0 + F.lit(0.5)).cast("double") / 1000000.0)
         .alias("mmr_score"),
-        "rank",
+        F.col("pk.rank").alias("rank"),
     )
 
 
@@ -2757,12 +2705,14 @@ def mmr_rerank(
     diversity term's sign silently — the winnowing w=0 failure class).
     Pools smaller than k simply yield fewer rows per query.
 
-    Scale shape: identical to the declared queries — the pool and its
-    pairwise cosine table are localCheckpoint'd (|Q|·P and |Q|·P² rows,
-    bounded by construction), so the k greedy steps are k bounded joins
-    + windows that never replan whatever produced the pool; MMR cost is
-    independent of corpus size. Callers hand in the pool precisely so
-    the expensive retrieval stage stays under THEIR plan control."""
+    Scale shape: identical to the declared queries — r14: the k greedy
+    steps run as ONE JVM aggregate over the per-query pool array
+    (_mmr_greedy_sql), so the whole re-rank is one pool-collecting hash
+    aggregate + one codegen projection with no per-step jobs, shuffles
+    or checkpoints (the former loop paid one Spark job per step — the
+    r10 BENCHNOTES job-floor measurement); MMR cost is independent of
+    corpus size. Callers hand in the pool precisely so the expensive
+    retrieval stage stays under THEIR plan control."""
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"mmr_rerank: need 0 <= lam <= 1, got {lam}")
     if k < 1:
@@ -2773,77 +2723,24 @@ def mmr_rerank(
         F.col(rel_col).cast("double").alias("rel"),
         F.col(vec_col).alias("embedding"),
     ).withColumn("nrm", F.sqrt(spark_dot("embedding", "embedding")))
-    p = p.localCheckpoint(eager=True)
-    pa = p.select(
-        "query_id",
-        F.col("cand_id").alias("a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    pb = p.select(
-        "query_id",
-        F.col("cand_id").alias("b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    psim = (
-        pa.join(pb, "query_id")
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            (spark_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "sim"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
     picks = (
-        p.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") == 1)
+        p.groupBy("query_id")
+        .agg(
+            F.collect_list(F.struct("cand_id", "rel", "embedding", "nrm")).alias(
+                "cs"
+            )
+        )
         .select(
             "query_id",
-            "cand_id",
-            "rel",
-            (F.lit(lam) * F.col("rel")).alias("mmr"),
-            F.lit(1).alias("rank"),
+            F.explode(F.expr(_mmr_greedy_sql(lam, k))).alias("pk"),
         )
     )
-    sel = picks.select("query_id", "cand_id")
-    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("cand_id"))
-    for step in range(2, k + 1):
-        mxs = (
-            psim.join(
-                sel.select("query_id", F.col("cand_id").alias("b")), ["query_id", "b"]
-            )
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("mxs"))
-        )
-        nxt = (
-            p.join(sel, ["query_id", "cand_id"], "left_anti")
-            .join(mxs, ["query_id", "cand_id"])
-            .select(
-                "query_id",
-                "cand_id",
-                "rel",
-                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("mxs")).alias(
-                    "mmr"
-                ),
-            )
-            .withColumn("rn", F.row_number().over(w_mmr))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cand_id", "rel", "mmr", F.lit(step).alias("rank"))
-        )
-        picks = picks.unionByName(nxt).localCheckpoint(eager=True)
-        sel = picks.select("query_id", "cand_id")
     return picks.select(
         F.col("query_id").alias(query_col),
-        F.col("cand_id").alias(item_col),
-        "rel",
-        "mmr",
-        "rank",
+        F.col("pk.cand_id").alias(item_col),
+        F.col("pk.rel").alias("rel"),
+        F.col("pk.mmr").alias("mmr"),
+        F.col("pk.rank").alias("rank"),
     )
 
 

@@ -1911,17 +1911,31 @@ def _bpe_merge_round(s_prev: DataFrame):
     return best, _bpe_merge_with(s_prev, best)
 
 
-def _bpe_merge_with(s_prev: DataFrame, best: DataFrame) -> DataFrame:
-    """Apply ONE fixed merge pair (a 1-row (l, r) frame) to the
-    positional symbol stream — the merge half of _bpe_merge_round,
-    shared with the production ``bpe_apply`` so training and replay
-    cannot drift apart."""
+def _bpe_merge_with(
+    s_prev: DataFrame, best: DataFrame | tuple[str, str]
+) -> DataFrame:
+    """Apply ONE fixed merge pair to the positional symbol stream — the
+    merge half of _bpe_merge_round, shared with the production
+    ``bpe_apply`` so training and replay cannot drift apart. ``best``
+    is a 1-row (l, r) frame when the pair is DATA-dependent (the
+    trainer's per-round argmax, which must be broadcast-joined), or a
+    plain (left, right) tuple when it is a compile-time constant
+    (``bpe_apply`` replaying a shipped merge table) — the literal form
+    keeps the whole replay one lazy plan with no per-round broadcast
+    exchange (r14, guide §2.4); the window algebra below is byte-
+    identical for both."""
     w = Window.partitionBy("word").orderBy("p")
-    m = s_prev.crossJoin(
-        F.broadcast(
-            best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+    if isinstance(best, tuple):
+        base = s_prev.withColumns(
+            {"bl": F.lit(best[0]), "br": F.lit(best[1])}
         )
-    ).withColumn(
+    else:
+        base = s_prev.crossJoin(
+            F.broadcast(
+                best.select(F.col("l").alias("bl"), F.col("r").alias("br"))
+            )
+        )
+    m = base.withColumn(
         "m", (F.col("s") == F.col("bl")) & (F.lead("s").over(w) == F.col("br"))
     )
     idx = F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
@@ -3004,11 +3018,20 @@ def bpe_apply(
     trainer's own merges that aggregate equals the declared
     ``text_bpe_encode_vocab``, pinned by tests/test_r10_library.py).
 
-    Scale shape — the trainer's: the corpus is tokenized and counted
-    ONCE into the frequency-weighted word-type stream; each merge is
-    two window passes over type-sized data with the 1-row pair
-    broadcast; type-table-sized localCheckpoints keep round lineage
-    flat. Cost is |merges| rounds over types, never corpus rescans."""
+    Scale shape — the trainer's ONE tokenize+count pass, then |merges|
+    window rounds over type-sized data, but — unlike the trainer, whose
+    per-round ARGMAX makes each round's plan reference the previous
+    round's result twice (exponential lineage without a cut point) —
+    the replay's pairs are caller constants, so the whole merge chain
+    is ONE lazy plan (r14, guide §2.4): every round's windows partition
+    by ``word``, Spark establishes that exchange once and runs all
+    rounds plus the final per-word aggregation in a single shuffle-free
+    pipeline behind it. No per-round localCheckpoint: the former
+    round-by-round eager materializations cost one Spark job + one full
+    type-stream write each (same-JVM A/B at sf0.1, min-of-3:
+    text_bpe_library_apply 2.848 → 1.273 s, 0.45×; at 100 TB they were
+    |merges| extra materializations of the ~10⁹-row type stream). Cost
+    is |merges| window passes over types, never corpus rescans."""
     merges = list(merges)
     for i, pair in enumerate(merges):
         if len(pair) != 2 or not pair[0] or not pair[1]:
@@ -3016,7 +3039,6 @@ def bpe_apply(
                 f"bpe_apply: merge {i} must be a (left, right) pair of "
                 f"non-empty strings, got {pair!r}"
             )
-    spark = docs.sparkSession
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     wt = (
         docs.select(F.explode(toks).alias("word"))
@@ -3024,14 +3046,11 @@ def bpe_apply(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     chars = F.concat(F.split("word", ""), F.array(F.lit(eow)))
-    stream = (
-        wt.select("word", "cnt", F.posexplode(chars).alias("p0", "s"))
-        .select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
-        .localCheckpoint(eager=True)
-    )
+    stream = wt.select(
+        "word", "cnt", F.posexplode(chars).alias("p0", "s")
+    ).select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
     for left, right in merges:
-        pair = spark.createDataFrame([(left, right)], "l string, r string")
-        stream = _bpe_merge_with(stream, pair).localCheckpoint(eager=True)
+        stream = _bpe_merge_with(stream, (left, right))
     return stream.groupBy("word", "cnt").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]

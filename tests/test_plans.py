@@ -874,15 +874,22 @@ def test_rrf_fuses_pool_sized_tables(spark, sf_dir):
 
 
 def test_incremental_gate_is_streaming_shaped(spark, sf_dir):
-    """The streamable gate's whole point: both band joins broadcast the
-    batch-sized side (never sort-merge — a stream cannot sort), no
-    cartesian, and the single aggregation combines map-side."""
+    """The streamable gate's whole point: the band join broadcasts the
+    index side against the batch (never sort-merge — a stream cannot
+    sort), no cartesian, and the single aggregation combines map-side.
+    r14: the per-band join union collapsed to ONE exploded
+    (band_idx, key) equi-join so the batch-side MinHash projection is
+    computed once, not once per band — exactly one broadcast join (was
+    >= 2), still zero sort-merge."""
     q = all_queries()["dedup_incremental_gate"]
     rep = audit(q.fn(spark, sf_dir))
-    assert rep["broadcast_joins"] >= 2, rep["plan"]
+    assert rep["broadcast_joins"] >= 1, rep["plan"]
     assert rep["sortmerge_joins"] == 0, rep["plan"]
     assert rep["cartesian"] == 0
     assert rep["partial_agg"], rep["plan"]
+    # the r14 single-pass shape: the plan carries ONE band equi-join
+    # (a literal band-index explode on both sides), not one join per band
+    assert rep["plan"].lower().count("explode") >= 2, rep["plan"]
 
 
 def test_decontaminate_library_broadcasts_eval_grams(spark, sf_dir):
