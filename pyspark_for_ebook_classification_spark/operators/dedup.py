@@ -2134,6 +2134,26 @@ def neardup_dedup(
     cand = _lsh_candidate_pairs(
         _bands(sig, n_bands=bands, band_rows=band_rows), max_bucket=max_bucket
     )
+    return _neardup_cluster(
+        d.select("doc_id"), shingled, cand, threshold, id_col=id_col
+    )
+
+
+def _neardup_cluster(
+    ids: DataFrame,
+    shingled: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """neardup_dedup's verify + cluster + keep tail over precomputed
+    inputs: ``ids`` (doc_id — every input doc, shingled or not),
+    ``shingled`` (doc_id, shingles), ``cand`` ((doc_a < doc_b) candidate
+    pairs). Split out in r14 so ``curate_incremental`` can reuse ONE
+    batch signature pass for both the corpus-gate probe and the
+    within-batch clustering instead of computing the md5 MinHash chain
+    twice; ``neardup_dedup`` routes through here unchanged."""
     ta = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     tb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -2154,12 +2174,19 @@ def neardup_dedup(
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.localCheckpoint(eager=True)
+    # eager=False throughout the loop (r14, guide §1.2 step 1): the
+    # convergence count BELOW is the action that materializes each
+    # checkpoint, so every round costs ONE Spark job instead of two
+    # (eager checkpoint job + count-over-cache job) — on the shallow
+    # near-dup subgraphs this loop runs on, the per-round job floor WAS
+    # the loop's cost. Lineage is still cut identically: partitions
+    # persist on first computation.
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     while True:
         prop = (
@@ -2177,15 +2204,14 @@ def neardup_dedup(
                     "component_id"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("component_id") != F.col("prev_id")).count()
         labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
             break
 
-    ids = d.select("doc_id")
-    out = ids.join(labels, "doc_id", "left").select(
+    out = ids.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("component_id", "doc_id").alias("cluster_id")
     )
     return out.select(
@@ -2635,8 +2661,11 @@ def curate_incremental(
     contact comes from ``gate_score`` against ``gate_static_index`` —
     the corpus's banded signatures are built once with the static-side
     bucket cap, exactly the artifact production keeps at rest — and
-    within-batch clusters come from ``neardup_dedup`` over the
-    exact-admitted batch ONLY (batch-sized cap). A batch doc is
+    within-batch clusters run ``neardup_dedup``'s verify+cluster tail
+    (``_neardup_cluster``) over the SAME batch signature pass the gate
+    probe uses (r14: one MinHash chain over the batch, not two; the
+    shared band hashes are bit-identical to ``_bands``', so candidate
+    pairs are unchanged), batch-sized cap as before. A batch doc is
     admitted iff no member of its within-batch cluster has a verified
     corpus contact and it is the cluster's minimum member (corpus wins;
     keep-first within the batch). Equivalent to connected components
@@ -2645,12 +2674,13 @@ def curate_incremental(
     cluster member having a DIRECT verified corpus edge, and
     uncontaminated union-clusters contain batch docs only.
 
-    ``materialize=True`` (default) localCheckpoints the two SHARED
-    batch-side frames — the gopher survivors and the exact-admitted
-    survivors — once each (eager=False: persisted on first computation,
-    free for plan-only consumers), so the exact stage, both near-stage
-    signature paths, and the final verdict join all read the written-
-    once frames instead of re-planning the upstream batch subtree per
+    ``materialize=True`` (default) localCheckpoints the three SHARED
+    batch-side frames — the gopher survivors, the exact-admitted
+    survivors, and (r14) the batch signature table — once each
+    (eager=False: persisted on first computation, free for plan-only
+    consumers), so the exact stage, both near-stage consumers of the
+    signatures, and the final verdict join all read the written-once
+    frames instead of re-planning the upstream batch subtree per
     consumer. Pass ``materialize=False`` to keep the plan fully lazy
     (e.g. when the caller checkpoints at its own boundaries).
 
@@ -2705,8 +2735,16 @@ def curate_incremental(
 
     # Near stage, index-at-rest: corpus contact via the streamable gate
     # against the standing banded index (static-side cap — production
-    # builds this once), within-batch clusters via neardup_dedup over
-    # the exact-admitted batch only.
+    # builds this once). r14 (guide §2.3 — compute the proxy once): the
+    # batch's MinHash signatures are computed ONE time (_gate_sig_cols,
+    # repartitioned before the ~50× shingle/hash amplification exactly
+    # like _minhash_signature) and shared by BOTH near-stage paths — the
+    # gate probe, and the within-batch clustering, whose band hashes are
+    # the identical concat_ws('|') strings _bands would produce (pinned
+    # bit-identical in _gate_sig_cols' docstring), so the candidate
+    # pairs are unchanged and neardup_dedup's verify+cluster tail runs
+    # as-is via _neardup_cluster. Previously neardup_dedup recomputed
+    # the whole tokenize→shingle→md5 chain on the same batch.
     index = gate_static_index(
         c,
         num_hashes=num_hashes,
@@ -2715,24 +2753,37 @@ def curate_incremental(
         shingle_k=shingle_k,
     )
     bsig = _gate_sig_cols(
-        surv_e.select("doc_id", _raw_tokens_expr().alias("tokens"))
+        surv_e.repartition(32, "doc_id")
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
         .select("doc_id", _shingles_expr_k(shingle_k).alias("shingles")),
         num_hashes=num_hashes,
         bands=bands,
     )
+    if materialize:
+        bsig = bsig.localCheckpoint(eager=False)
     hit = (
         gate_score(bsig, index, threshold=neardup_threshold, bands=bands)
         .filter(~F.col("admit"))
         .select("doc_id")
     )
-    clusters = neardup_dedup(
-        surv_e,
-        threshold=neardup_threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-        max_bucket=max_bucket,
-        shingle_k=shingle_k,
+    band_frames = [
+        bsig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"b{b}").alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_frames[0]
+    for extra in band_frames[1:]:
+        banded = banded.unionByName(extra)
+    cand = _lsh_candidate_pairs(banded, max_bucket=max_bucket)
+    clusters = _neardup_cluster(
+        surv_e.select("doc_id"),
+        bsig.select("doc_id", "shingles"),
+        cand,
+        neardup_threshold,
     ).select("doc_id", "cluster_id", "keep")
     contam = clusters.join(hit, "doc_id").select("cluster_id").distinct()
     nk = (

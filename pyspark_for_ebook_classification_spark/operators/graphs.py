@@ -196,7 +196,7 @@ def _sparse_strongtie_und(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("node", "other").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -451,7 +451,7 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
             )
         ).alias("e")
-    ).select("e.node", "e.other").localCheckpoint(eager=True)
+    ).select("e.node", "e.other").localCheckpoint(eager=False)
     # deg is consumed by EVERY round's null-coalescing join; without a
     # checkpoint each round re-aggregates it from the bidir lineage —
     # one redundant corpus-pass hash aggregate per round (measured at
@@ -460,13 +460,13 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (
         bidir.groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c = deg.select("node", F.col("d").cast("bigint").alias("c"))
     for k in range(_KC_ITERS):
         c = _hindex_round(bidir, deg, c)
         if k % 3 == 2:
-            c = c.localCheckpoint(eager=True)
+            c = c.localCheckpoint(eager=False)
     return c.select("node", F.col("c").alias("coreness"))
 
 
@@ -559,7 +559,7 @@ def kcore_converged(
     scalar count. State between rounds is one bigint per node — at
     100 TB the per-round shuffle is O(edges), the driver holds one
     number."""
-    bidir = bidir.select("node", "other").localCheckpoint(eager=True)
+    bidir = bidir.select("node", "other").localCheckpoint(eager=False)
     # deg is consumed by EVERY round's null-coalescing join; without a
     # checkpoint each round re-aggregates it from the bidir lineage —
     # one redundant corpus-pass hash aggregate per round (measured at
@@ -568,14 +568,14 @@ def kcore_converged(
     deg = (
         bidir.groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
-        eager=True
+        eager=False
     )
     step = _hindex_round_windowed if hub_safe else _hindex_round
     for _ in range(max_rounds):
-        new_c = step(bidir, deg, c).localCheckpoint(eager=True)
+        new_c = step(bidir, deg, c).localCheckpoint(eager=False)
         changed = (
             new_c.alias("n")
             .join(c.alias("o"), "node")

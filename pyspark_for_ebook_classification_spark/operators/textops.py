@@ -1572,13 +1572,21 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
     )
+    # dl rides THROUGH the tf aggregation (min over the per-doc constant)
+    # instead of a separate corpus branch joined back on doc_id — r14,
+    # guide §2.4: removes one corpus pass and one doc_id-keyed join from
+    # every BM25 consumer for +8 bytes per (doc, term) shuffle row.
+    # Values identical: min(dl) within a (doc_id, token) group IS dl.
     tf = (
-        toks.select("doc_id", F.explode("tokens").alias("token"))
+        toks.select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("dl"),
+            F.explode("tokens").alias("token"),
+        )
         .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
     w_q = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("token"))
     w_cum = w_q.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     qt = (
@@ -1609,7 +1617,6 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(qt), "token")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", F.col("doc_id").alias("neighbor_id"), contrib.alias("c"))
         .groupBy("query_id", "neighbor_id")
@@ -1723,13 +1730,18 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
     )
+    # dl rides through the tf aggregation — same r14 rewrite as
+    # bm25_scored (one fewer corpus pass + doc_id join; identical values)
     tf = (
-        toks.select("doc_id", F.explode("tokens").alias("token"))
+        toks.select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("dl"),
+            F.explode("tokens").alias("token"),
+        )
         .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    dl = toks.select("doc_id", F.size("tokens").cast("bigint").alias("dl"))
     qterms = spark.createDataFrame(
         [(q, t) for q in queries for t in dict.fromkeys(w for w in q.split(" ") if w)],
         "query string, token string",
@@ -1755,7 +1767,6 @@ def bm25_search(
     )
     scored = (
         tf.join(F.broadcast(qt), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query", "doc_id", contrib.alias("c"))
         .groupBy("query", "doc_id")

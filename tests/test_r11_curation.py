@@ -130,23 +130,33 @@ def test_incremental_near_stage_is_index_at_rest(spark, sf_dir, monkeypatch):
     the call boundary instead.)"""
     import pyspark_for_ebook_classification_spark.operators.dedup as dd
 
-    calls = {"index": [], "neardup": []}
-    real_index, real_neardup = dd.gate_static_index, dd.neardup_dedup
+    # r14: within-batch clustering runs neardup_dedup's tail
+    # (_neardup_cluster) over the SHARED batch signature pass, so the
+    # spied boundary is the tail call — the invariant is unchanged:
+    # the index is built on CORPUS rows only, the clustering input is
+    # BATCH rows only, no corpus ∪ batch signature pass anywhere.
+    calls = {"index": [], "cluster_ids": [], "cluster_sh": []}
+    real_index, real_cluster = dd.gate_static_index, dd._neardup_cluster
 
     def spy_index(corpus, **kw):
         calls["index"].append(corpus)
         return real_index(corpus, **kw)
 
-    def spy_neardup(docs, *a, **kw):
-        calls["neardup"].append(docs)
-        return real_neardup(docs, *a, **kw)
+    def spy_cluster(ids, shingled, cand, threshold, **kw):
+        calls["cluster_ids"].append(ids)
+        calls["cluster_sh"].append(shingled)
+        return real_cluster(ids, shingled, cand, threshold, **kw)
 
     monkeypatch.setattr(dd, "gate_static_index", spy_index)
-    monkeypatch.setattr(dd, "neardup_dedup", spy_neardup)
+    monkeypatch.setattr(dd, "_neardup_cluster", spy_cluster)
     out = dd.data_curation_incremental(spark, sf_dir)
     out.collect()
-    assert len(calls["index"]) == 1 and len(calls["neardup"]) == 1
+    assert len(calls["index"]) == 1 and len(calls["cluster_ids"]) == 1
     idx_ids = {r[0] for r in calls["index"][0].select("doc_id").collect()}
-    nd_ids = {r[0] for r in calls["neardup"][0].select("doc_id").collect()}
+    nd_ids = {r[0] for r in calls["cluster_ids"][0].select("doc_id").collect()}
+    sh_ids = {r[0] for r in calls["cluster_sh"][0].select("doc_id").collect()}
     assert idx_ids and all(i % 4 != 0 for i in idx_ids), "index saw batch rows"
-    assert nd_ids and all(i % 4 == 0 for i in nd_ids), "neardup saw corpus rows"
+    assert nd_ids and all(i % 4 == 0 for i in nd_ids), "cluster saw corpus rows"
+    assert sh_ids and all(i % 4 == 0 for i in sh_ids), (
+        "shared signature pass saw corpus rows"
+    )
