@@ -592,7 +592,13 @@ def ml_eval_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|-row table to one row. The MLlib evaluator
     (ml_eval_metrics) stays rows-only — this pins the same math
     relationally."""
-    preds = ml_nb_relational_twin(spark, sf_dir)
+    # Materialize the held-out predictions once (eager=False: persisted
+    # on first computation) — r14: the class spine, the per-class count
+    # pass and the totals aggregate are three independent consumers, and
+    # without a cut point each re-planned the WHOLE NB scoring pipeline
+    # (34 shuffles in the r13 PLANS dump; 3 scoring passes at scale).
+    # Production evaluates metrics over written-out predictions anyway.
+    preds = ml_nb_relational_twin(spark, sf_dir).localCheckpoint(eager=False)
     spine = preds.select(F.col("true_lang").alias("lang")).distinct()
     tp = F.count_if(
         (F.col("true_lang") == F.col("lang")) & (F.col("pred_lang") == F.col("lang"))

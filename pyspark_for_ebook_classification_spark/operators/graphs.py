@@ -452,25 +452,19 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.node", "e.other").localCheckpoint(eager=False)
-    # deg is consumed by EVERY round's null-coalescing join; without a
-    # checkpoint each round re-aggregates it from the bidir lineage —
-    # one redundant corpus-pass hash aggregate per round (measured at
-    # sf0.1, min-of-3, values identical: 3.44 -> 2.84 s for the 8-round
-    # declared query). Node-sized, so the materialization is cheap.
-    deg = (
-        bidir.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
-    )
+    # deg's only remaining consumer is the c0 initialization (r14: the
+    # per-round null-coalescing deg join was vacuous and is gone — see
+    # _hindex_round), so it needs no checkpoint of its own.
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     c = deg.select("node", F.col("d").cast("bigint").alias("c"))
     for k in range(_KC_ITERS):
-        c = _hindex_round(bidir, deg, c)
+        c = _hindex_round(bidir, c)
         if k % 3 == 2:
             c = c.localCheckpoint(eager=False)
     return c.select("node", F.col("c").alias("coreness"))
 
 
-def _hindex_round(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
+def _hindex_round(bidir: DataFrame, c: DataFrame) -> DataFrame:
     """One h-index update c' (node, c) ← H({c(u) : u ~ node}).
 
     Formulation: collect the neighbor values per node (bounded by the
@@ -483,9 +477,17 @@ def _hindex_round(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
     and ~30% of the local per-round stage cost (the query runs 8 such
     rounds — it is the slowest headline entry). The oracle keeps the
     windowed form, which pins the two formulations against each other
-    corpus-wide on every parity run."""
+    corpus-wide on every parity run.
+
+    r14 (guide §2.4): the former per-round deg left-join + coalesce(h, 0)
+    was vacuous — ``bidir`` carries BOTH directions of every edge, so
+    every node in it has ≥ 1 neighbor, ``c`` covers the full node set by
+    induction (c₀ = deg), and the gather therefore yields a value for
+    every node; the join re-added nodes that cannot be missing, at one
+    node-keyed join + exchange per round (8 of each in the declared
+    query). h IS the round's output."""
     nb = bidir.join(c.select(F.col("node").alias("other"), "c"), "other")
-    h = (
+    return (
         nb.groupBy("node")
         .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
         .select(
@@ -493,15 +495,12 @@ def _hindex_round(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
             F.expr(
                 "array_max(zip_with(vals, sequence(1, size(vals)),"
                 " (x, r) -> least(x, CAST(r AS BIGINT))))"
-            ).alias("h"),
+            ).alias("c"),
         )
     )
-    return deg.join(h, "node", "left").select(
-        "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
-    )
 
 
-def _hindex_round_windowed(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> DataFrame:
+def _hindex_round_windowed(bidir: DataFrame, c: DataFrame) -> DataFrame:
     """The hub-safe h-index update: identical value to _hindex_round (the
     h-index depends only on the sorted neighbor-value multiset) but
     computed as a row_number window + max(least(c, r)) aggregate, so a
@@ -511,13 +510,10 @@ def _hindex_round_windowed(bidir: DataFrame, deg: DataFrame, c: DataFrame) -> Da
     price of unbounded degrees (r7 ADVICE on graphs._hindex_round)."""
     nb = bidir.join(c.select(F.col("node").alias("other"), "c"), "other")
     w = Window.partitionBy("node").orderBy(F.desc("c"))
-    h = (
+    return (
         nb.select("node", "c", F.row_number().over(w).alias("r"))
         .groupBy("node")
-        .agg(F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("h"))
-    )
-    return deg.join(h, "node", "left").select(
-        "node", F.coalesce("h", F.lit(0).cast("bigint")).alias("c")
+        .agg(F.max(F.least(F.col("c"), F.col("r").cast("bigint"))).alias("c"))
     )
 
 
@@ -565,17 +561,13 @@ def kcore_converged(
     # one redundant corpus-pass hash aggregate per round (measured at
     # sf0.1, min-of-3, values identical: 3.44 -> 2.84 s for the 8-round
     # declared query). Node-sized, so the materialization is cheap.
-    deg = (
-        bidir.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
-    )
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
         eager=False
     )
     step = _hindex_round_windowed if hub_safe else _hindex_round
     for _ in range(max_rounds):
-        new_c = step(bidir, deg, c).localCheckpoint(eager=False)
+        new_c = step(bidir, c).localCheckpoint(eager=False)
         changed = (
             new_c.alias("n")
             .join(c.alias("o"), "node")
