@@ -1090,7 +1090,11 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs = load(spark, sf_dir, "documents").join(members, "doc_id", "left_semi")
-    sig = _minhash_signature(docs)
+    # One signature pass (r14): the doc_a/doc_b sides rename the h
+    # columns differently, so their broadcast subtrees are not
+    # canonically identical and ReuseExchange cannot dedupe them — each
+    # side re-ran the scan→shingle→md5 pipeline. Pair-member-sized.
+    sig = _minhash_signature(docs).localCheckpoint(eager=False)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)]
     )
