@@ -1578,11 +1578,8 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every BM25 consumer for +8 bytes per (doc, term) shuffle row.
     # Values identical: min(dl) within a (doc_id, token) group IS dl.
     tf = (
-        toks.select(
-            "doc_id",
-            F.size("tokens").cast("bigint").alias("dl"),
-            F.explode("tokens").alias("token"),
-        )
+        toks.withColumn("dl", F.size("tokens").cast("bigint"))
+        .select("doc_id", "dl", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
@@ -1733,11 +1730,8 @@ def bm25_search(
     # dl rides through the tf aggregation — same r14 rewrite as
     # bm25_scored (one fewer corpus pass + doc_id join; identical values)
     tf = (
-        toks.select(
-            "doc_id",
-            F.size("tokens").cast("bigint").alias("dl"),
-            F.explode("tokens").alias("token"),
-        )
+        toks.withColumn("dl", F.size("tokens").cast("bigint"))
+        .select("doc_id", "dl", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
