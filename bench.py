@@ -9,6 +9,17 @@ Each query is fully materialized through the noop sink (no driver-side
 collect — executor-complete wall time, the number that scales). One shared
 SparkSession for the whole run: JVM startup would otherwise dominate at
 sf0.1.
+
+The stdout JSON line is kept COMPACT (r14 verdict item 1): the driver
+captures a bounded tail of the run's output, and the old ~3 KB line
+(verbose guard strings + both comparable query lists) outran it twice —
+BENCH_r12/r13 recorded ``parsed: null`` and PERF_r14 could compute no
+round-over-round table. The full self-describing record (verbose
+second-pass reasons, both comparable lists) is written to BENCH.json
+next to this script instead; stdout carries the contract fields plus
+compact summaries, including PROOF of the core count the run actually
+used (``parallelism``: resolved master + defaultParallelism — r14's
+``suspect_cpus_ignored`` false-positived for lack of exactly this).
 """
 
 from __future__ import annotations
@@ -359,6 +370,24 @@ def second_pass_reasons(
     return reasons
 
 
+def compact_payload(full: dict) -> dict:
+    """The stdout form of the bench record: contract fields intact
+    (metric/value/unit/queries/sf), bulky evidence summarized by count.
+    Pure so tests/test_bench_guards.py can pin both halves: the driver
+    tail-captures stdout (r12/r13's verbose line outran the capture and
+    parsed as null), while the verbose original goes to BENCH.json."""
+    out = dict(full)
+    comp = full["comparable"]
+    out["comparable"] = {
+        "total": comp["total"],
+        "n_shared": len(comp["shared_queries"]),
+    }
+    guards = dict(full["guards"])
+    guards["second_pass_reason_count"] = len(guards.pop("second_pass_reasons"))
+    out["guards"] = guards
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -461,46 +490,62 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     comp_names, comp_total = comparable_subtotal(timings, PREV_ROUND_HEADLINE)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # round-over-round comparison, self-describing (r9 verdict
-                # finding 2): the subtotal over the PREVIOUS round's
-                # headline list, plus both lists, so a reader never
-                # recomputes the comparable number from the tail.
-                "comparable": {
-                    "prev_round_queries": PREV_ROUND_HEADLINE,
-                    "shared_queries": comp_names,
-                    "total": comp_total,
-                },
-                "canary": {
-                    "query": CANARY,
-                    "pre_sec": round(canary_pre, 3),
-                    "post_sec": round(canary_post, 3),
-                    "drift_pct": round(100 * drift, 1),
-                    "first_pass_drift_pct": round(100 * first_pass_drift, 1),
-                },
-                "guards": {
-                    "canary_trigger_pct": round(100 * CANARY_DRIFT_TRIGGER, 1),
-                    "scaling_disagree_trigger_pct": round(
-                        100 * SCALING_DISAGREE_TRIGGER, 1
-                    ),
-                    "scaling_reference_trusted": scaling_trusted,
-                    "scaling_reference_drift_pct": (
-                        None
-                        if scaling_drift is None
-                        else round(100 * scaling_drift, 1)
-                    ),
-                    "second_pass_reasons": reasons,
-                },
-            }
-        )
+    sc = spark.sparkContext
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # proof of the parallelism the run ACTUALLY used (r14 verdict
+        # item 1/2: session.py honors $SPARK_GRAFT_CPUS, but with no
+        # evidence in the payload the driver's scaling heuristic
+        # false-positived `suspect_cpus_ignored`).
+        "parallelism": {
+            "master": sc.master,
+            "default_parallelism": sc.defaultParallelism,
+            "shuffle_partitions": int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            ),
+            "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        },
+        # round-over-round comparison, self-describing (r9 verdict
+        # finding 2): the subtotal over the PREVIOUS round's
+        # headline list, plus both lists, so a reader never
+        # recomputes the comparable number from the tail.
+        "comparable": {
+            "prev_round_queries": PREV_ROUND_HEADLINE,
+            "shared_queries": comp_names,
+            "total": comp_total,
+        },
+        "canary": {
+            "query": CANARY,
+            "pre_sec": round(canary_pre, 3),
+            "post_sec": round(canary_post, 3),
+            "drift_pct": round(100 * drift, 1),
+            "first_pass_drift_pct": round(100 * first_pass_drift, 1),
+        },
+        "guards": {
+            "canary_trigger_pct": round(100 * CANARY_DRIFT_TRIGGER, 1),
+            "scaling_disagree_trigger_pct": round(
+                100 * SCALING_DISAGREE_TRIGGER, 1
+            ),
+            "scaling_reference_trusted": scaling_trusted,
+            "scaling_reference_drift_pct": (
+                None if scaling_drift is None else round(100 * scaling_drift, 1)
+            ),
+            "second_pass_reasons": reasons,
+        },
+    }
+    # full record to disk (survives any stdout truncation), compact
+    # contract line to stdout (fits the driver's tail capture).
+    bench_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
+    with open(bench_json, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(compact_payload(full)))
 
 
 if __name__ == "__main__":

@@ -556,11 +556,12 @@ def kcore_converged(
     100 TB the per-round shuffle is O(edges), the driver holds one
     number."""
     bidir = bidir.select("node", "other").localCheckpoint(eager=False)
-    # deg is consumed by EVERY round's null-coalescing join; without a
-    # checkpoint each round re-aggregates it from the bidir lineage —
-    # one redundant corpus-pass hash aggregate per round (measured at
-    # sf0.1, min-of-3, values identical: 3.44 -> 2.84 s for the 8-round
-    # declared query). Node-sized, so the materialization is cheap.
+    # deg's only remaining consumer is the c0 initialization (r14: the
+    # per-round null-coalescing deg join was vacuous and is gone — see
+    # _hindex_round), so deg itself needs no checkpoint. c0 keeps a lazy
+    # one: round 1 references it TWICE (the gather join and the
+    # changed-count join), and the checkpoint stops the deg aggregate
+    # from running twice in that first action. Node-sized, cheap.
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     c = deg.select("node", F.col("d").cast("bigint").alias("c")).localCheckpoint(
         eager=False

@@ -83,12 +83,12 @@ _LOADED = False
 #: keep registration order after the listed ones (they were verified in a
 #: prior round; local pytest parity still covers them every run).
 _PRIORITY: tuple[str, ...] = (
-    # ========== r14 front block (mechanical; scripts/rotate_priority.py
-    # output against union(CORRECTNESS_r01..r13) — 335/335 registered
-    # names verified, 0 never-verified, 0 active pins (every PINNED entry
-    # auto-pruned by its r13 verdict): pure freshness rotation — the
-    # standing HIGH_RISK families in cycle order, then oldest-verdict-
-    # first round-robin (the stalest r5-r6-era verdicts drain first).
+    # ========== r15 front block (mechanical; scripts/rotate_priority.py
+    # output against union(CORRECTNESS_r01..r14) — 335/335 registered
+    # names verified, 0 never-verified, 0 active pins: pure freshness
+    # rotation — the standing HIGH_RISK families in cycle order, then
+    # oldest-verdict-first round-robin (the stalest surviving verdicts
+    # drain first).
     "dedup_ngram_jaccard",
     "agg_weighted_median",
     "agg_ols_two_features",
@@ -101,44 +101,44 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_width_bucket",
     "data_curriculum_order",
     "data_shuffle_deterministic",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "graph_pagerank_fixedpoint",
-    "graph_triangle_count",
-    "text_token_entropy",
-    "data_dataset_card_stats",
-    "data_quality_model_score",
-    "data_snapshot_diff",
-    "data_curation_funnel",
-    "stream_countmin_grid_twin",
-    "stream_hourly_topk_twin",
-    "merge_upsert_emulation",
-    "join_pit_scd2_state",
-    "join_basket_part_pairs",
-    "join_fuzzy_supplier_names",
-    "join_time_band_pairs",
-    "agg_min_max_by",
-    "agg_corr_regr",
-    "agg_mode_deterministic",
-    "window_nth_value_frames",
-    "window_cohort_retention",
-    "window_gapfill_daily",
-    "window_scd2_intervals",
-    "window_anomaly_zscore",
-    "window_streak_islands",
-    "window_sessionize_gap",
-    "window_sliding_distinct_users_7d",
-    "window_interval_range_frame",
-    "window_user_paths",
-    "window_funnel_strict_order",
-    "fn_bitwise_suite",
-    "fn_binary_string_suite",
-    "fn_date_suite2",
-    "fn_time_suite",
-    "fn_url_suite",
-    "fn_sql_udf_suite",
-    "sql_parameterized_markers",
-    "fn_collation_suite",
+    "join_lateral_topn_per_nation",
+    "agg_group_by_all",
+    "agg_bool_count_if",
+    "window_yoy_revenue_growth",
+    "window_pct_of_total_share",
+    "window_share_within_region",
+    "window_cumulative_distinct_users",
+    "join_interval_overlap_windows",
+    "window_minmax_normalize",
+    "sql_recursive_month_spine",
+    "sql_pivot_clause",
+    "dedup_boilerplate_segments",
+    "dedup_incremental_neardup",
+    "sim_hard_negative_mining",
+    "dedup_semantic_embedding",
+    "sim_ann_grid_multiprobe",
+    "sim_grid_recall_report",
+    "text_pii_scrub",
+    "text_repetition_ratio",
+    "text_normalize_clean",
+    "text_gopher_quality_rules",
+    "multimodal_cdc_chunk_dedup",
+    "scan_schema_evolution_merge",
+    "agg_hll_mergeable_sketch",  # rows-only
+    "agg_approx_percentile",  # rows-only
+    "agg_basket_affinity",
+    "agg_gini_revenue",
+    "window_rolling_corr",
+    "window_peak_concurrency",
+    "window_event_transitions",
+    "window_cusum_alarm",
+    "window_funnel_time_to_convert",
+    "sql_order_priority_q4",
+    "sql_returned_items_q10",
+    "dedup_substring_spans",
+    "dedup_substring_removal",
+    "dedup_banding_sweep",
+    "sim_mmr_diversified_topk",
 )
 
 # Rotation bookkeeping (authoritative — recomputed each round from

@@ -241,3 +241,64 @@ def test_parse_scaling_provenance_cell_based_line(tmp_path):
         "informational).\n"
     )
     assert abs(bench.parse_scaling_provenance(str(p)) - (-0.017)) < 1e-12
+
+
+def test_compact_payload_fits_driver_tail():
+    """r14 verdict item 1: BENCH_r12/r13 parsed as null because the
+    stdout JSON line (~3 KB of verbose guard strings + both comparable
+    lists) outran the driver's tail capture. The stdout form must keep
+    the contract fields byte-identical, summarize the bulky blocks by
+    count, carry the parallelism proof, and stay well under the old
+    line's size even with a 25-query table."""
+    queries = {f"query_name_{i:02d}_long_enough": 1.234 for i in range(25)}
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": 30.85,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "parallelism": {
+            "master": "local[32]",
+            "default_parallelism": 32,
+            "shuffle_partitions": 32,
+            "cpus_env": "32",
+        },
+        "comparable": {
+            "prev_round_queries": [f"q{i}" for i in range(21)],
+            "shared_queries": [f"q{i}" for i in range(21)],
+            "total": 24.75,
+        },
+        "canary": {
+            "query": "scan_parquet_checksum",
+            "pre_sec": 0.31,
+            "post_sec": 0.27,
+            "drift_pct": -13.6,
+            "first_pass_drift_pct": -25.8,
+        },
+        "guards": {
+            "canary_trigger_pct": 10.0,
+            "scaling_disagree_trigger_pct": 25.0,
+            "scaling_reference_trusted": True,
+            "scaling_reference_drift_pct": -1.5,
+            "second_pass_reasons": [
+                "query_name %ds exceeds SCALING reference by %d%%" % (i, i)
+                for i in range(16)
+            ],
+        },
+    }
+    import json as _json
+
+    compact = bench.compact_payload(full)
+    # contract fields byte-identical
+    for key in ("metric", "value", "unit", "queries", "sf", "parallelism"):
+        assert compact[key] == full[key]
+    # bulky blocks summarized, not dropped silently
+    assert compact["comparable"] == {"total": 24.75, "n_shared": 21}
+    assert compact["guards"]["second_pass_reason_count"] == 16
+    assert "second_pass_reasons" not in compact["guards"]
+    # the full record is NOT mutated (it goes to BENCH.json verbatim)
+    assert len(full["guards"]["second_pass_reasons"]) == 16
+    assert "shared_queries" in full["comparable"]
+    # size budget: the r12/r13 failures were ~3 KB lines; stay under 2 KB
+    line = _json.dumps(compact)
+    assert len(line) < 2000, len(line)

@@ -119,6 +119,7 @@ _ROTATION_BASIS = (
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
     "CORRECTNESS_r13.json",
+    "CORRECTNESS_r14.json",
 )
 
 
