@@ -1534,6 +1534,52 @@ BM25_CTES = f"""
 """
 
 
+def _bm25_tf_stats(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tf, stats) for BM25 from ONE corpus pass (r15; guide §2.3/§2.4,
+    the r14-carried stats-merge item). ``toks`` is (doc_id, tokens).
+
+    Before: tf, the df table, the probe side and BOTH stats broadcasts
+    each re-planned the scan→tokenize→explode→aggregate chain — five
+    corpus FileScans in text_bm25_topk's plan. Now the (doc_id, token,
+    tf, dl) table is built once and localCheckpoint'd (eager=False: the
+    first consuming action materializes it), and every consumer — df
+    counts, the query-term build, the probe, and the corpus stats —
+    reads the materialized table. At 100 TB that trades one
+    (doc, term)-sized local write for four full corpus passes, each of
+    which previously ALSO shuffled its own tf-sized aggregate.
+
+    The stats fold (the blocker that kept this a two-pass shape in r14)
+    is handled by ``explode_outer``: a zero-token document keeps one
+    (doc_id, NULL) row, so the doc-level regroup sees EVERY document —
+    n_docs counts all docs and Σdl sums the same size(tokens) values
+    the old separate corpus pass summed (dl is computed before the
+    explode, min(dl) within a group IS dl). NULL-token rows are inert
+    everywhere else: every downstream consumer reaches tf through an
+    equi-join on ``token`` (df counts are only read via such joins),
+    and NULL never equi-matches, so scores are bit-identical."""
+    tf = (
+        toks.withColumn("dl", F.size("tokens").cast("bigint"))
+        .select("doc_id", "dl", F.explode_outer("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_tokens"),
+        )
+        # one row; both broadcast consumers (the query-term idf build and
+        # the scoring crossJoin) would otherwise each re-aggregate the
+        # full tf table — prune-divergent subtrees, so ReuseExchange
+        # cannot dedupe them.
+        .localCheckpoint(eager=False)
+    )
+    return tf, stats
+
+
 def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, score) — BM25 score of every candidate doc
     sharing at least one query term, for every query doc. Shared by
@@ -1557,32 +1603,26 @@ def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(28,6) (functions/numeric.py discipline) so partial-
     aggregation order can't move the result.
 
-    Measured non-decision (r7, same-session A/B at sf0.1, min-of-4):
-    localCheckpoint'ing the per-doc token arrays (the corpus.py
-    discipline) is 3.21 s vs 3.00 s plain — the four corpus branches
-    (stats/tf/dl/probe) re-tokenize cheaply here, there is no explode of
-    a DERIVED array (the Generate-recompute hazard the checkpoint rule
-    exists for), and at 100 TB the checkpoint would trade 3 extra scan
-    passes for a corpus-sized local-disk write — not clearly favorable.
-    Left un-checkpointed deliberately; the wall is stage-count floor,
-    not tokenization (tokenize+explode alone: 0.28 s of the 3.0)."""
+    Checkpoint placement (r15, revising the r7 non-decision): the r7
+    A/B rejected checkpointing the per-doc token ARRAYS — corpus-sized,
+    saving only a cheap re-tokenize. What IS checkpointed now is the
+    AGGREGATED (doc, token, tf, dl) table via _bm25_tf_stats: that cut
+    point removes four full scan→tokenize→explode→aggregate corpus
+    passes (five FileScans → one in the declared plan), each of which
+    also shuffled its own tf-sized aggregate, for one (doc, term)-sized
+    local write — a strictly better trade than the r7 candidate, and
+    the corpus stats fold over the same table instead of their own
+    corpus pass (the r14-carried stats-merge item)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens().alias("tokens"))
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
-    )
     # dl rides THROUGH the tf aggregation (min over the per-doc constant)
     # instead of a separate corpus branch joined back on doc_id — r14,
     # guide §2.4: removes one corpus pass and one doc_id-keyed join from
     # every BM25 consumer for +8 bytes per (doc, term) shuffle row.
     # Values identical: min(dl) within a (doc_id, token) group IS dl.
-    tf = (
-        toks.withColumn("dl", F.size("tokens").cast("bigint"))
-        .select("doc_id", "dl", F.explode("tokens").alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
-    )
+    # r15: tf is built once and checkpointed, and the corpus stats fold
+    # over it (explode_outer keeps zero-token docs) — see _bm25_tf_stats.
+    tf, stats = _bm25_tf_stats(toks)
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_q = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("token"))
     w_cum = w_q.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1723,18 +1763,11 @@ def bm25_search(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("tokens"),
     )
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("tokens")).cast("bigint").alias("total_tokens"),
-    )
     # dl rides through the tf aggregation — same r14 rewrite as
-    # bm25_scored (one fewer corpus pass + doc_id join; identical values)
-    tf = (
-        toks.withColumn("dl", F.size("tokens").cast("bigint"))
-        .select("doc_id", "dl", F.explode("tokens").alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
-    )
+    # bm25_scored (one fewer corpus pass + doc_id join; identical
+    # values); r15: one shared checkpointed tf pass + folded stats
+    # (zero-token docs preserved via explode_outer) — _bm25_tf_stats.
+    tf, stats = _bm25_tf_stats(toks)
     dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     qterms = spark.createDataFrame(
         [(q, t) for q in queries for t in dict.fromkeys(w for w in q.split(" ") if w)],

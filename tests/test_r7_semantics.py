@@ -310,3 +310,57 @@ def test_rrf_fuse_input_hygiene(spark):
     )
     with pytest.raises(Exception, match="rank_col must be >= 1"):
         rrf_fuse([bad]).collect()
+
+
+def test_bm25_search_counts_zero_token_docs_in_stats(spark):
+    """r15 (_bm25_tf_stats): the corpus stats now FOLD over the
+    checkpointed tf table instead of running their own corpus pass, with
+    explode_outer keeping one NULL-token row per zero-token doc. Pin the
+    semantics that made the r14 merge attempt a blocker: a corpus with
+    empty and whitespace-only documents must still count them in n_docs
+    (they dilute idf and avgdl) while never scoring them, exactly like a
+    pure-Python reference over the full doc set."""
+    from pyspark_for_ebook_classification_spark.operators.textops import bm25_search
+
+    rows = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma"),
+        (3, ""),  # zero-token: split("") -> [""] filtered -> []
+        (4, "  "),  # whitespace-only: also zero tokens
+        (5, "alpha delta delta gamma"),
+    ]
+    docs = {d: [t for t in txt.split(" ") if t] for d, txt in rows}
+    n_docs = len(docs)  # 5, INCLUDING the two empty docs
+    avgdl = float(sum(len(t) for t in docs.values())) / n_docs
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    df = Counter()
+    for c in tf.values():
+        for tok in c:
+            df[tok] += 1
+
+    K = 5
+    q = "alpha gamma"
+
+    acc = {}
+    for t in dict.fromkeys(w for w in q.split(" ") if w):
+        idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        for d, c in tf.items():
+            if t not in c:
+                continue
+            k = c[t]
+            contrib = idf * (
+                (k * 2.2) / (k + 1.2 * (0.25 + 0.75 * (len(docs[d]) / avgdl)))
+            )
+            acc[d] = acc.get(d, Decimal(0)) + _d6(contrib)
+    ranked = sorted(
+        ((d, float(s)) for d, s in acc.items()), key=lambda x: (-x[1], x[0])
+    )
+    expected = {(q, d): (round(s, 4), r) for r, (d, s) in enumerate(ranked[:K], 1)}
+
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["query"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in bm25_search(sdf, [q], k=K).collect()
+    }
+    assert got == expected
+    assert all(d not in (3, 4) for _, d in got)  # empty docs never score
