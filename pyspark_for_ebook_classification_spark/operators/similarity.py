@@ -1520,8 +1520,9 @@ def _mmr_greedy_sql(lam: float, k: int, extra: tuple[str, ...] = ()) -> str:
     max over doubles (order-free); each step's argmax uses the same
     (mmr DESC, cand_id ASC) total order, so the collect_list input
     order cannot matter; λ/(1−λ) literals are CAST(repr AS DOUBLE),
-    byte-identical to F.lit. Step 1 scores λ·rel with no diversity
-    term, exactly the old pick1.
+    byte-identical to F.lit. Step 1 ARGMAXES rel itself (the old loop's
+    pick1 ordering — valid for every allowed λ including 0, where the
+    emitted λ·rel collapses to a constant) and emits λ·rel.
 
     Scale shape: per-query pools are bounded by construction (the
     callers rank-truncate before grouping), so the collected array and
@@ -1544,21 +1545,38 @@ def _mmr_greedy_sql(lam: float, k: int, extra: tuple[str, ...] = ()) -> str:
         f" / (c.nrm * s.nrm))) END"
     )
     unselected = "filter(cs, c -> NOT exists(st, s -> s.cand_id = c.cand_id))"
-    scored = (
+    # 'srt' is the ARGMAX key, 'mmr' the emitted score (r14 ADVICE): the
+    # old dataframe loop picked step 1 by rel DESC regardless of λ, but
+    # sorting on the emitted λ·rel collapses to 0 for the allowed λ=0 and
+    # fell through to cand_id — so step 1 sorts on rel itself (for λ>0 an
+    # order-identical positive scaling; for the declared λ=0.5 the
+    # halving is bitwise-exact) and later steps sort on mmr verbatim.
+    # The outer transform reuses the inner's mmr so the pairwise-dot
+    # array_max is computed once per candidate, not twice.
+    carry_t = "".join(f"'{f}', t.{f}, " for f in extra)
+    scored_base = (
         f"transform({unselected},"
         f" c -> named_struct('cand_id', c.cand_id, {carry}'rel', c.rel,"
         f" 'embedding', c.embedding, 'nrm', c.nrm,"
         f" 'mmr', {mmr}, 'rank', CAST(stp AS INT)))"
     )
+    scored = (
+        f"transform({scored_base},"
+        f" t -> named_struct('cand_id', t.cand_id, {carry_t}'rel', t.rel,"
+        f" 'embedding', t.embedding, 'nrm', t.nrm,"
+        f" 'mmr', t.mmr, 'rank', t.rank,"
+        f" 'srt', CASE WHEN size(st) = 0 THEN t.rel ELSE t.mmr END))"
+    )
     cmp_ = (
-        "(a, b) -> CASE WHEN a.mmr > b.mmr THEN -1 WHEN a.mmr < b.mmr THEN 1"
+        "(a, b) -> CASE WHEN a.srt > b.srt THEN -1 WHEN a.srt < b.srt THEN 1"
         " WHEN a.cand_id < b.cand_id THEN -1 WHEN a.cand_id > b.cand_id THEN 1"
         " ELSE 0 END"
     )
     init = (
         f"slice(transform(cs, c -> named_struct('cand_id', c.cand_id,"
         f" {carry}'rel', c.rel, 'embedding', c.embedding, 'nrm', c.nrm,"
-        f" 'mmr', CAST(0 AS DOUBLE), 'rank', 0)), 1, 0)"
+        f" 'mmr', CAST(0 AS DOUBLE), 'rank', 0,"
+        f" 'srt', CAST(0 AS DOUBLE))), 1, 0)"
     )
     step = (
         f"(st, stp) -> CASE WHEN size({unselected}) = 0 THEN st"

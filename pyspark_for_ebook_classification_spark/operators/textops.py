@@ -3087,8 +3087,30 @@ def bpe_apply(
     stream = wt.select(
         "word", "cnt", F.posexplode(chars).alias("p0", "s")
     ).select("word", "cnt", (F.col("p0") + 1).alias("p"), "s")
-    for left, right in merges:
+    for i, (left, right) in enumerate(merges):
         stream = _bpe_merge_with(stream, (left, right))
+        # Periodic lineage cut (r14 ADVICE): the lazy replay stacks ~5
+        # window operators per merge in ONE plan — the measured win for
+        # small tables (no per-round materialization job), but this
+        # public API accepts arbitrary merge lists and the uncut chain
+        # is a hard failure, not just slow: at 28 merges the serialized
+        # task binary's expression tree overflows the executor's
+        # deserialization stack and kills the session (measured on
+        # 4.1.2; Catalyst analysis is also superlinear — 6 s at 16
+        # merges, 9 s at 24, on a 3-word corpus). A cut every 16 merges
+        # keeps each segment at ~half the measured failure depth and
+        # makes driver cost linear in |merges|; below 16 merges (every
+        # registered caller) the chain stays fully lazy and the plan is
+        # byte-identical to the r14 form. The cut must be EAGER: all
+        # merge windows pipeline behind one word exchange, so a lazy
+        # checkpoint leaves the first action shipping the whole uncut
+        # chain in one task binary (measured: still dies at 45 merges
+        # with lazy cuts) — only a materialized cut truncates the RDD
+        # lineage the task serializes. One type-stream-sized job per 16
+        # merges is the bounded price, and only tables past 16 merges
+        # pay it.
+        if (i + 1) % 16 == 0 and i + 1 < len(merges):
+            stream = stream.localCheckpoint(eager=True)
     return stream.groupBy("word", "cnt").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "s"))), lambda x: x["s"]

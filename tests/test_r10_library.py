@@ -325,6 +325,45 @@ def test_bpe_apply_planted_fixed_merges(spark):
     assert got == {w: scan(w, merges) for w in ("abab", "abba", "aaaa")}
 
 
+def test_bpe_apply_long_table_crosses_lineage_cut(spark):
+    """r15 (r14 ADVICE): replaying a merge table longer than the 32-merge
+    lineage-cut interval must give the same answer as the sequential
+    scanner — the periodic localCheckpoint bounds plan depth for
+    production-scale tables and must be invisible to the result. The
+    table interleaves real merges across both sides of the cut boundary
+    (merge 40 consumes the output of merge 1) with inert padding pairs."""
+    from pyspark_for_ebook_classification_spark.operators.textops import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "abab abba aaaa"), (2, "baba cabc")], "doc_id int, text string"
+    )
+    # 1 real + 38 inert + 1 real-cascading + 5 inert = 45 merges (two cuts)
+    merges = (
+        [("a", "b")]
+        + [(f"x{i}", f"y{i}") for i in range(38)]
+        + [("ab", "ab")]
+        + [(f"p{i}", f"q{i}") for i in range(5)]
+    )
+
+    def scan(word, table):
+        syms = list(word) + ["</w>"]
+        for l, r in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r.word: list(r.symbols) for r in bpe_apply(docs, merges).collect()}
+    words = ("abab", "abba", "aaaa", "baba", "cabc")
+    assert got == {w: scan(w, merges) for w in words}
+
+
 def test_bpe_apply_validation(spark):
     from pyspark_for_ebook_classification_spark.operators.textops import bpe_apply
 

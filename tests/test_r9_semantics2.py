@@ -239,3 +239,61 @@ def test_mmr_rerank_production_form(spark):
         mmr_rerank(pool, lam=1.5)
     with _pytest.raises(ValueError, match="k >= 1"):
         mmr_rerank(pool, k=0)
+
+
+def test_mmr_rerank_lam_zero_first_pick_is_most_relevant(spark):
+    """r14 ADVICE: at λ=0 (allowed by the 0 ≤ λ ≤ 1 validation) the
+    emitted score λ·rel collapses to 0 for every candidate, and the r14
+    aggregate's argmax fell through to the cand_id tie-break — picking
+    the LOWEST ID instead of the most relevant, where the pre-r14 loop
+    (and the docstring: 'Step 1 takes the relevance argmax') picked by
+    rel DESC. Relevances here are arranged so argmax-rel ≠ min-id, which
+    the production-form test's pool masked. Later λ=0 steps are pure
+    max-diversity; emitted mmr values are 0 and −max-cosine."""
+    import math
+
+    from pyspark_for_ebook_classification_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.99, 0.14, 0.0], 3: [0.0, 1.0, 0.0],
+        4: [0.0, 0.98, 0.2], 5: [0.6, 0.8, 0.0], 6: [0.0, 0.0, 1.0],
+    }
+    # most relevant is cand 5 (not the lowest id)
+    rels = {1: 0.50, 2: 0.60, 3: 0.70, 4: 0.65, 5: 0.95, 6: 0.55}
+    pool = spark.createDataFrame(
+        [(10, c, rels[c], v) for c, v in vecs.items()],
+        "query_id bigint, cand_id bigint, rel double, embedding array<double>",
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    nrm = {c: math.sqrt(dot(v, v)) for c, v in vecs.items()}
+    sel, expect = [], []
+    for rank in range(1, 4):
+        best = None
+        for c in vecs:
+            if c in sel:
+                continue
+            if not sel:
+                key, m = rels[c], 0.0  # argmax by rel; emitted 0·rel
+            else:
+                mx = max(dot(vecs[c], vecs[s]) / (nrm[c] * nrm[s]) for s in sel)
+                m = -mx
+                key = m
+            if best is None or key > best[2] or (key == best[2] and c < best[0]):
+                best = (c, m, key)
+        sel.append(best[0])
+        expect.append((10, best[0], rels[best[0]], best[1], rank))
+
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["rel"], r["mmr"], r["rank"])
+        for r in mmr_rerank(pool, lam=0.0, k=3).collect()
+    )
+    assert got == sorted(expect)
+    assert expect[0][1] == 5  # the fixture really separates rel from id
