@@ -85,6 +85,13 @@ HEADLINE = [
     "data_tokenize_pack_pipeline",
     "text_bpe_library_apply",
     "dedup_incremental_gate",
+    # r15 addition (r14 verdict item 6): the full quality->exact->near
+    # curation funnel — the repo's slowest query, optimized this round
+    # (shared signature pass + survivor materialization, A/B 0.66×) and
+    # now tracked round-over-round. Earlier totals stay comparable via
+    # sum(queries) minus later additions; per-query timings compare
+    # directly.
+    "data_curation_pipeline",
 ]
 
 #: round-3 additions measured by scripts/scaling_check.py and plan-dumped
@@ -179,9 +186,7 @@ EXTRA = [
     "text_winnow_search_floor",
     "text_bm25_library_search",
     "sim_mmr_library_topk",
-    # r10: the composed quality->exact->near curation funnel (three
-    # library entries chained as one declared query)
-    "data_curation_pipeline",
+    # (data_curation_pipeline graduated to HEADLINE in r15)
     # r11 additions: the remaining production library entries routed
     # through the hash gate at non-default parameters (ann_topk lsh +
     # srp_multiprobe, semdedup, nb_classify)

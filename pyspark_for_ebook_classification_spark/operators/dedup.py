@@ -2141,20 +2141,42 @@ def neardup_dedup(
         raise ValueError(f"neardup_dedup: need max_bucket >= 2, got {max_bucket}")
     if shingle_k < 1:
         raise ValueError(f"neardup_dedup: need shingle_k >= 1, got {shingle_k}")
-    band_rows = num_hashes // bands
-
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    shingled = (
-        d.select("doc_id", _raw_tokens_expr().alias("tokens"))
+    # ONE shingle+signature pass feeds banding AND verification (r15,
+    # guide §2.3 — compute the proxy once; the same shape
+    # curate_incremental's batch side got in r14): previously the
+    # tokenize→shingle chain ran once for the verify table and again
+    # inside _minhash_signature, and the verify table was re-planned
+    # per join side — three corpus-sized text passes for one answer.
+    # _gate_sig_cols' band hashes are pinned bit-identical to
+    # _minhash_signature+_bands' (its docstring; tests/test_r10_neardup
+    # union-find parity), so candidate pairs are unchanged. The
+    # checkpoint is batch-one-time: signatures, buckets and the verify
+    # joins all read the written-once (doc_id, shingles, b*) table.
+    bsig = _gate_sig_cols(
+        d.repartition(_fanout_partitions(d), "doc_id")
+        .select("doc_id", _raw_tokens_expr().alias("tokens"))
         .filter(F.size("tokens") >= 1)
-        .select("doc_id", _shingles_expr_k(shingle_k).alias("shingles"))
-    )
-    sig = _minhash_signature(d, num_hashes=num_hashes, shingle_k=shingle_k)
-    cand = _lsh_candidate_pairs(
-        _bands(sig, n_bands=bands, band_rows=band_rows), max_bucket=max_bucket
-    )
+        .select("doc_id", _shingles_expr_k(shingle_k).alias("shingles")),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).localCheckpoint(eager=False)
+    band_frames = [
+        bsig.select(
+            "doc_id", F.lit(b).alias("band_id"), F.col(f"b{b}").alias("band_hash")
+        )
+        for b in range(bands)
+    ]
+    banded = band_frames[0]
+    for extra in band_frames[1:]:
+        banded = banded.unionByName(extra)
+    cand = _lsh_candidate_pairs(banded, max_bucket=max_bucket)
     return _neardup_cluster(
-        d.select("doc_id"), shingled, cand, threshold, id_col=id_col
+        d.select("doc_id"),
+        bsig.select("doc_id", "shingles"),
+        cand,
+        threshold,
+        id_col=id_col,
     )
 
 
@@ -2439,14 +2461,21 @@ def curate(
     from pyspark_for_ebook_classification_spark.operators.textops import gopher_gate
 
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # Shared survivor materialization + id-slice assembly (r15): the
+    # exact same r12/r14 discipline curate_incremental carries — without
+    # the cut points, the gopher-gate subtree re-planned once per
+    # consumer (the exact stage, the near stage's base, and the verdict
+    # join) and the verdict join re-ran exact_dedup's survivor-sized sha
+    # pass; surv_q's ids ARE qk's (d ⋈ qk on unique ids) and surv_e's
+    # ARE ek's, so the assembly reads the written-once frames.
     qk = (
         gopher_gate(d, **(gopher_params or {}))
         .filter("keep")
         .select("doc_id")
     )
-    surv_q = d.join(qk, "doc_id")
+    surv_q = d.join(qk, "doc_id").localCheckpoint(eager=False)
     ek = exact_dedup(surv_q).filter("keep").select("doc_id")
-    surv_e = surv_q.join(ek, "doc_id")
+    surv_e = surv_q.join(ek, "doc_id").localCheckpoint(eager=False)
     nk = (
         neardup_dedup(
             surv_e,
@@ -2461,8 +2490,16 @@ def curate(
     )
     return (
         d.select("doc_id")
-        .join(qk.withColumn("quality_keep", F.lit(True)), "doc_id", "left")
-        .join(ek.withColumn("exact_keep", F.lit(True)), "doc_id", "left")
+        .join(
+            surv_q.select("doc_id").withColumn("quality_keep", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .join(
+            surv_e.select("doc_id").withColumn("exact_keep", F.lit(True)),
+            "doc_id",
+            "left",
+        )
         .join(nk.withColumn("final_keep", F.lit(True)), "doc_id", "left")
         .select(
             F.col("doc_id").alias(id_col),
@@ -2702,6 +2739,11 @@ def curate_incremental(
     frames instead of re-planning the upstream batch subtree per
     consumer. Pass ``materialize=False`` to keep the plan fully lazy
     (e.g. when the caller checkpoints at its own boundaries).
+    MEASURED (r15): flipping the default to False looked like a win on
+    a sequential fresh-plan probe (6.16 vs 6.83 s) but the interleaved
+    same-JVM A/B — the only protocol that cancels session ordering
+    bias — read it at 1.25× SLOWER, so the checkpoints stay. Only the
+    alternating protocol is trustworthy for changes of this size.
 
     Returns one row per batch doc: (id_col, quality_keep, exact_admit,
     final_admit), monotone — ``filter("final_admit")`` is the admitted

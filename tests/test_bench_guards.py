@@ -134,7 +134,10 @@ def test_prev_round_headline_is_r11s_21(tmp_path):
     }
     assert promoted <= set(bench.HEADLINE)
     assert not promoted & set(bench.PREV_ROUND_HEADLINE)
-    assert len(bench.HEADLINE) == 25
+    # 25 r12-r14 + data_curation_pipeline (promoted r15, verdict item 6)
+    assert len(bench.HEADLINE) == 26
+    assert "data_curation_pipeline" in bench.HEADLINE
+    assert "data_curation_pipeline" not in bench.PREV_ROUND_HEADLINE
 
 
 def test_parse_scaling_reference_locates_column_by_header(tmp_path):
