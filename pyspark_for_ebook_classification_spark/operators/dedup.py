@@ -830,6 +830,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "component_id", F.coalesce("neighbor_min", "component_id")
                 ).alias("component_id"),
             )
+            # eager=True RE-CONFIRMED in r15 (r14 verdict item 7 asked for
+            # a lazy retry): lazy read 1.06x here (1.12x in r14) even
+            # though the same flip WINS 0.89x in pagerank's fixed-count
+            # loop - this loop's materializing action is a 1-row sum
+            # collect per round, too small to absorb the lazy segment's
+            # stage-finalization cost. Shape-dependent; A/B per loop.
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(

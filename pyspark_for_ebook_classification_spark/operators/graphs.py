@@ -105,6 +105,12 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         round — AQE reuses the exchange), then a partial-aggregating
         groupBy on dst.
       * ranks are checkpointed every 3 rounds, bounding recovery replay.
+        LAZY since r15: the r14 A/B read eager=False as a 1.10×
+        regression, but that was measured with the node list
+        unmaterialized — with ``nodes`` checkpointed (below) the
+        re-measured interleaved A/B reads lazy at 0.89×/0.93×
+        (two runs), so the reversal is itself reversed. Re-measure
+        rather than inherit: these eagerness calls are shape-dependent.
     Iteration count is fixed (8), the standard production choice —
     convergence-tested PageRank needs a driver-side scalar per round,
     which the CC operator (dedup.py) already demonstrates."""
@@ -112,7 +118,17 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edge_deg = edges.join(deg, "src").localCheckpoint(eager=True)
 
-    nodes = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("node"))
+    # node-sized, consumed by EVERY round's teleport left-join plus the
+    # rank init (r15): unmaterialized, each of the 8 rounds re-ran the
+    # supplier scan + exchange + sort (9 FileScans in the before-plan,
+    # filter-divergent between rounds so ReuseExchange could not dedupe
+    # them); one lazy checkpoint makes every round read the written-once
+    # node list.
+    nodes = (
+        load(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("node"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(_PR_BASE).cast("bigint").alias("r"))
 
     for k in range(_PR_ITERS):
@@ -130,7 +146,7 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
         if k % 3 == 2:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_units"))
 
 
