@@ -2143,8 +2143,11 @@ def tokenize_pack(
 
     Scale shape: word-type table broadcast into the doc word stream
     (map-side), one doc-keyed partial agg, one running-sum window per
-    partition. Integer arithmetic throughout (``div``, not floor(/) —
-    exactness past 2^53 cumulative tokens is real at corpus scale)."""
+    partition; the doc table is scanned ONCE — identity and the
+    partition column ride through the (outer-)exploded word stream
+    instead of a second scan + join-back (r15). Integer arithmetic
+    throughout (``div``, not floor(/) — exactness past 2^53 cumulative
+    tokens is real at corpus scale)."""
     from pyspark_for_ebook_classification_spark.operators.textops import (
         _LIB_BPE_MERGES,
         bpe_apply,
@@ -2160,21 +2163,30 @@ def tokenize_pack(
         F.col(text_col).alias("text"),
     )
     enc = bpe_apply(d, merges).select("word", "n_symbols")
+    # explode_outer keeps one NULL-word row per empty/whitespace-only doc
+    # (the BM25 stats trick, r15): doc identity and the partition column
+    # ride THROUGH the word stream, so the doc table is scanned once —
+    # the previous inner-explode form re-scanned it (scan + exchange +
+    # sort + SortMergeJoin) just to left-join (doc_id, partition_col)
+    # back onto the per-doc counts. NULL words miss the broadcast left
+    # join (every real word is in enc by construction — enc is this
+    # corpus's own word-type table), and coalesce(sum, 0) restores the
+    # "empty docs count 0 tokens and still get a position" contract.
+    part = [partition_col] if partition_col else []
     words = d.select(
         "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("word"),
-    )
-    per_doc = (
-        words.join(F.broadcast(enc), "word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_symbols").cast("bigint").alias("n_bpe_tokens"))
+        *part,
+        F.explode_outer(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("word"),
     )
     sized = (
-        d.drop("text")
-        .join(per_doc, "doc_id", "left")
-        .withColumn(
-            "n_bpe_tokens",
-            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint"),
+        words.join(F.broadcast(enc), "word", "left")
+        .groupBy("doc_id", *part)
+        .agg(
+            F.coalesce(F.sum("n_symbols"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens")
         )
     )
     w = (

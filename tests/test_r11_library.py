@@ -115,6 +115,32 @@ def test_tokenize_pack_counts_bpe_not_words(spark):
     assert (out[2].pack_id, out[2].pack_offset) == (0, 4)
 
 
+def test_tokenize_pack_empty_docs_count_zero_and_keep_position(spark):
+    """Docs whose text yields no words (empty, whitespace-only, NULL)
+    count 0 BPE tokens and still receive a pack position — pinned
+    because the r15 single-scan form routes doc identity through an
+    explode_outer word stream instead of a join-back, and an inner
+    explode would silently drop exactly these rows."""
+    docs = spark.createDataFrame(
+        [(1, "scan"), (2, ""), (3, "   "), (4, None), (5, "xyz")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in tokenize_pack(docs, seq_len=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    assert out[1].n_bpe_tokens == 2  # ['scan', '</w>'] under sc+an
+    assert out[2].n_bpe_tokens == 0
+    assert out[3].n_bpe_tokens == 0
+    assert out[4].n_bpe_tokens == 0
+    assert out[5].n_bpe_tokens == 4  # x,y,z,</w>
+    # layout: cum sums 2,2,2,2,6 → doc 5 starts at offset 2 of pack 0,
+    # empty docs sit where the running sum left them
+    assert (out[1].pack_id, out[1].pack_offset) == (0, 0)
+    assert (out[2].pack_id, out[2].pack_offset) == (0, 2)
+    assert (out[3].pack_id, out[3].pack_offset) == (0, 2)
+    assert (out[4].pack_id, out[4].pack_offset) == (0, 2)
+    assert (out[5].pack_id, out[5].pack_offset) == (0, 2)
+
+
 def test_tokenize_pack_validation(spark):
     d = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
