@@ -1052,9 +1052,19 @@ def ml_cv_grid_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphas = spark.createDataFrame([(a,) for a in _CV_ALPHAS], "alpha double")
     tr = docs.crossJoin(F.broadcast(folds)).filter(F.col("fold") != F.col("f"))
     tr_tok = tr.select("f", "lang", F.explode("tokens").alias("token"))
-    cnt_lt = tr_tok.groupBy("f", "lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    tot_l = tr_tok.groupBy("f", "lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = tr_tok.select("f", "token").distinct()
+    # cnt_lt is (fold x lang x vocab)-bounded — checkpoint it once and
+    # DERIVE the other training statistics from it instead of re-planning
+    # the corpus tokenize+explode chain per aggregate (r15: the executed
+    # plan paid 5 corpus scans / 4 explodes; tot_l is the exact row total
+    # sum(c) per (f, lang), vocab the distinct (f, token) set — integer
+    # identities, bit-identical to the direct corpus aggregates).
+    cnt_lt = (
+        tr_tok.groupBy("f", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot_l = cnt_lt.groupBy("f", "lang").agg(F.sum("c").alias("tot"))
+    vocab = cnt_lt.select("f", "token").distinct()
     vsize = vocab.groupBy("f").agg(F.count(F.lit(1)).alias("v"))
     w_f = Window.partitionBy("f")
     prior = (
