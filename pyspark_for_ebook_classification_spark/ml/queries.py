@@ -251,15 +251,25 @@ def ml_nb_relational_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("bucket") < _NB_CUT)
     test = docs.filter(F.col("bucket") >= _NB_CUT)
     tr_tok = train.select("lang", F.explode("tokens").alias("token"))
-    cnt_lt = tr_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    tot_l = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = tr_tok.select("token").distinct()
+    # cnt_lt is (lang x vocab)-bounded — checkpoint it once and DERIVE
+    # tot_l/vocab/vsize from it instead of re-planning the corpus
+    # tokenize+explode per aggregate, and fold n_train over prior's own
+    # lang-bounded rows instead of a separate corpus count (r15, the
+    # cv_grid pattern: 6 corpus scans -> 3 in the executed plan; sum of
+    # counts = row total and distinct tokens are integer identities, so
+    # values are bit-identical).
+    cnt_lt = (
+        tr_tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot_l = cnt_lt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = cnt_lt.select("token").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
     prior = (
         train.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(n_train))
+        .withColumn("n_train", F.sum("n_docs").over(Window.partitionBy()))
     )
     te_tok = (
         test.select("doc_id", F.col("lang").alias("true_lang"), F.explode("tokens").alias("token"))
@@ -1257,15 +1267,22 @@ def nb_classify(
     te = test.select(F.col(id_col).alias("doc_id"), toks.alias("tokens"))
 
     tr_tok = tr.select("lang", F.explode("tokens").alias("token"))
-    cnt_lt = tr_tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
-    tot_l = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = tr_tok.select("token").distinct()
+    # One checkpointed (label x vocab)-bounded count table feeds every
+    # derived training statistic; n_train folds over prior's own rows —
+    # the r15 single-training-pass shape shared with the declared twin
+    # (see ml_nb_relational_twin for the scan-count evidence).
+    cnt_lt = (
+        tr_tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot_l = cnt_lt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    vocab = cnt_lt.select("token").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    n_train = tr.agg(F.count(F.lit(1)).alias("n_train"))
     prior = (
         tr.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(n_train))
+        .withColumn("n_train", F.sum("n_docs").over(Window.partitionBy()))
     )
     te_tok = (
         te.select("doc_id", F.explode("tokens").alias("token"))
