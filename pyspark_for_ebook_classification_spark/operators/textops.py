@@ -2158,10 +2158,23 @@ def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         "element_at(tokens, i + 1) AS w2))"
     )
     rbig = ref.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
-    big_cnt = rbig.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    left_cnt = rbig.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = ref.select(F.explode("tokens").alias("t")).agg(
-        F.countDistinct("t").alias("v")
+    # big_cnt is reference-bigram-vocabulary bounded — checkpoint it once
+    # and DERIVE the unigram context counts and the vocab size from it
+    # instead of re-scanning+re-exploding the reference corpus per table
+    # (r15, the NB/cv_grid pattern; 4 corpus scans -> 2): c1 = sum(c12)
+    # per w1 is the exact bigram-start count, and because every ref doc
+    # has >= 2 tokens (the size filter above), every token occurrence
+    # sits in some bigram, so distinct(w1 UNION w2) IS the token vocab.
+    big_cnt = (
+        rbig.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    left_cnt = big_cnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        big_cnt.select(F.col("w1").alias("t"))
+        .union(big_cnt.select(F.col("w2").alias("t")))
+        .agg(F.countDistinct("t").alias("v"))
     )
     tbig = tgt.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
         "doc_id", "lang", "b.w1", "b.w2"
