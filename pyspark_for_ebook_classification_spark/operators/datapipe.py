@@ -952,9 +952,18 @@ def data_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", F.explode(tokens).alias("t"))
         .select("doc_id", "source", bucket.alias("b"))
     )
-    bc = occ.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count_if(F.col("source") == _DSIR_TARGET_SRC).alias("ct"),
+    # bc is _DSIR_BUCKETS-bounded (4096 rows at any corpus size) —
+    # checkpoint it once so the totals and the per-bucket terms read the
+    # materialized table instead of each re-planning the corpus
+    # tokenize+hash chain (r15: 4 corpus scans -> 2 — one inside the
+    # checkpoint, one for the per-doc scoring probe).
+    bc = (
+        occ.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count_if(F.col("source") == _DSIR_TARGET_SRC).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = bc.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     denom_t = F.col("tt") + _DSIR_ALPHA * _DSIR_BUCKETS
